@@ -1,0 +1,104 @@
+"""Frozen pipeline configuration.
+
+Mirrors the reference's ``configuration`` struct (reference:
+include/configuration.h:13-23 — sketch_size, prime_modulus, hash_type,
+init_size, k, N, b) extended with the engine-level knobs the reference
+leaves implicit: shingling, LSH banding, salting, verification thresholds.
+
+The config hash keys every checkpoint so a resume only reuses state
+produced under identical semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+# Largest prime representable in 31 bits; the reference's default modulus
+# (reference: test/test_serial.c:10, src/configuration/configuration.c:133).
+MERSENNE_31 = 2**31 - 1
+
+# Sentinel for an empty sketch slot (reference INFTY = UINT64_MAX,
+# include/minhash.h:23, src/configuration/configuration.c:143-148).
+INFTY = 2**64 - 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All semantic knobs of the dedup pipeline. Frozen → hashable → lineage."""
+
+    # --- sketch algebra (must match the reference bit-for-bit) ---
+    seed: int = 42
+    num_perm: int = 128                  # k = sketch_size (reference default 128, test/test_serial.c:9)
+    hash_family: str = "pairwise"        # "pairwise" | "kwise" (reference hash_type 0 | 1)
+    kwise_degree: int = 2                # polynomial degree for the k-wise family
+    modulus: int = MERSENNE_31
+
+    # --- shingling (engine-level; the reference hashes bare uint64 elements) ---
+    shingle_mode: str = "token"          # "token" | "char"
+    shingle_w: int = 3                   # w-gram width
+
+    # --- LSH banding ---
+    bands: int = 32                      # B
+    rows_per_band: int = 4               # R; B * R must equal num_perm
+    band_group_cap: int = 256            # all-pairs emission cap per band bucket
+    salt_hot_bands: bool = True          # detect over-cap buckets and salt their keys
+    salt_buckets: int = 8                # S sub-buckets for a hot band key
+    hot_band_threshold: int = 1024       # bucket size above which salting kicks in
+
+    # --- candidate channels ---
+    use_simhash_channel: bool = True     # add SimHash chunk-LSH candidates
+    simhash_max_hamming: int = 3         # accept simhash candidates within this distance
+    use_exact_channel: bool = True       # content-hash exact-duplicate channel
+
+    # --- verification ---
+    tau: float = 0.5                     # min estimated Jaccard to keep an edge
+    substring_check: bool = False        # suffix-automaton LCS channel on verified pairs
+    substring_min_ratio: float = 0.0     # report-only unless > 0
+
+    # --- audio fingerprint ---
+    audio_fp_frames: int = 64            # energy-delta frames → 64-bit fingerprint
+
+    # --- execution ---
+    batch_size: int = 1024               # rows per signature batch
+    signature_concurrency: int = 8       # actor-pool size for the signature stage
+    broadcast_verify_max_rows: int = 2_000_000   # ≤ this many clips → broadcast-join verify
+    driver_uf_max_edges: int = 10_000_000        # ≤ this many edges → driver union-find
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+        if self.hash_family not in ("pairwise", "kwise"):
+            raise ValueError(f"unknown hash_family {self.hash_family!r}")
+        if self.shingle_mode not in ("token", "char"):
+            raise ValueError(f"unknown shingle_mode {self.shingle_mode!r}")
+
+    # Only semantic fields participate in the lineage hash — execution knobs
+    # (batch size, concurrency, thresholds for broadcast-vs-shuffle) don't
+    # change results, so a resume across them is safe.
+    _EXEC_FIELDS = (
+        "batch_size",
+        "signature_concurrency",
+        "broadcast_verify_max_rows",
+        "driver_uf_max_edges",
+    )
+
+    def semantic_dict(self) -> dict:
+        d = asdict(self)
+        for k in self._EXEC_FIELDS:
+            d.pop(k, None)
+        return d
+
+    def config_hash(self) -> str:
+        payload = json.dumps(self.semantic_dict(), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def with_(self, **kw) -> "PipelineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,116 @@
+"""Audio payload handling: PCM16LE decode/encode, SNR, fingerprints.
+
+The reference has no audio (or any I/O); these kernels implement the
+``BASELINE.json.input_hint`` contract — clips carry an encoded waveform in a
+``binary`` column with ``codec`` / ``sr_hz`` / ``dur_ms`` metadata — plus a
+byte-level fingerprint channel that feeds the same sketch algebra as the
+transcript shingles.
+
+Only ``pcm_s16le`` is decodable in this sandbox (no codec libraries are
+installed); other codecs raise ``UnsupportedCodecError`` from the decode
+stub so the Ray-side plumbing (schema, batching, actor signature) stays
+real and tested while the decoder itself is a clearly-marked gap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+
+
+class UnsupportedCodecError(NotImplementedError):
+    """Raised for codecs that would need external libraries (mp3, opus, ...)."""
+
+
+def decode_pcm(payload: bytes, codec: str) -> np.ndarray:
+    """Decode an audio payload to a float64 waveform in [-1, 1].
+
+    STUB BOUNDARY: only "pcm_s16le" is implemented; real deployments plug a
+    codec library in here — the surrounding pipeline is codec-agnostic.
+    """
+    if codec != "pcm_s16le":
+        raise UnsupportedCodecError(f"codec {codec!r} needs an external decoder")
+    # tolerate odd-length payloads (truncated final sample)
+    usable = len(payload) - (len(payload) % 2)
+    pcm = np.frombuffer(payload[:usable], dtype="<i2")
+    return pcm.astype(np.float64) / 32768.0
+
+
+def encode_pcm(waveform: np.ndarray) -> bytes:
+    """Encode a float waveform in [-1, 1] to little-endian PCM16 bytes."""
+    clipped = np.clip(waveform, -1.0, 1.0)
+    return (np.round(clipped * 32767.0).astype("<i2")).tobytes()
+
+
+def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of ``test`` against ``reference`` in dB.
+
+    Used by the per-row invariant check (decoded-PCM allclose, SNR >= 30 dB,
+    per BASELINE.json input_hint). Lengths are truncated to the shorter.
+    """
+    n = min(len(reference), len(test))
+    if n == 0:
+        return float("inf")
+    ref = reference[:n]
+    err = ref - test[:n]
+    p_sig = float(np.mean(ref**2))
+    p_err = float(np.mean(err**2))
+    if p_err == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_err)
+
+
+def energy_delta_fingerprint(waveform: np.ndarray, n_frames: int = 64) -> int:
+    """64-bit gain-invariant audio fingerprint: bit i = (E_i > E_{i+1}) over
+    ``n_frames + 1`` equal-width frame energies.
+
+    Sign-of-energy-delta coding is the classic robust audio fingerprint
+    form (Haitsma & Kalker 2002, "A highly robust audio fingerprinting
+    system", ISMIR); this is a deliberately simple variant: it is invariant
+    to overall gain and robust to low-level noise, but not to time shifts
+    larger than a frame.
+    """
+    if len(waveform) < n_frames + 1:
+        return 0
+    usable = len(waveform) - (len(waveform) % (n_frames + 1))
+    frames = waveform[:usable].reshape(n_frames + 1, -1)
+    energy = (frames**2).sum(axis=1)
+    bits = (energy[:-1] > energy[1:]).astype(np.uint64)
+    shifts = np.arange(n_frames, dtype=np.uint64)
+    return int((bits << shifts).sum(dtype=np.uint64))
+
+
+def byte_ngram_hashes(payload: bytes, w: int, seed: int) -> np.ndarray:
+    """uint64 hashes of all byte w-grams of a payload (the audio analogue of
+    transcript shingles; feeds the same MinHash kernels)."""
+    from minhash_ray.functions.hashing import FNV_PRIME
+
+    data = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
+    if len(data) < w:
+        return np.empty(0, dtype=np.uint64)
+    data = data ^ U64(seed & (2**64 - 1))
+    P = U64(FNV_PRIME)
+    h = data[: len(data) - w + 1].copy()
+    for j in range(1, w):
+        h = h * P + data[j : len(data) - w + 1 + j]
+    return h
+
+
+def synth_waveform(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Deterministic synthetic clip: 2-4 sinusoids + Gaussian noise floor.
+
+    Fixture generation only (FIXTURES.md Table 1) — no external data.
+    """
+    n = int(sr_hz * dur_ms / 1000)
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    wave = np.zeros(n)
+    for _ in range(int(rng.integers(2, 5))):
+        freq = float(rng.uniform(80.0, min(4000.0, sr_hz / 2 * 0.9)))
+        amp = float(rng.uniform(0.10, 0.28))
+        phase = float(rng.uniform(0, 2 * np.pi))
+        wave += amp * np.sin(2 * np.pi * freq * t + phase)
+    wave += rng.normal(0.0, 0.002, size=n)
+    return np.clip(wave, -1.0, 1.0)
