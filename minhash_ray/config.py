@@ -53,7 +53,13 @@ class PipelineConfig:
     use_exact_channel: bool = True       # content-hash exact-duplicate channel
 
     # --- verification ---
-    tau: float = 0.5                     # min estimated Jaccard to keep an edge
+    tau: float = 0.5                     # similarity threshold defining a duplicate
+    verify_margin: float = 0.10          # keep edges with est_sim >= tau - margin:
+                                         # the k-slot estimator has std ~ sqrt(j(1-j)/k)
+                                         # (~0.044 at j=0.5, k=128); without the margin,
+                                         # true pairs at j ~= tau are rejected ~50% of
+                                         # the time.  Edges carry `sim`, so consumers
+                                         # can re-filter at exactly tau.
     substring_check: bool = False        # suffix-automaton LCS channel on verified pairs
     substring_min_ratio: float = 0.0     # report-only unless > 0
 

@@ -38,9 +38,12 @@ def decode_pcm(payload: bytes, codec: str) -> np.ndarray:
 
 
 def encode_pcm(waveform: np.ndarray) -> bytes:
-    """Encode a float waveform in [-1, 1] to little-endian PCM16 bytes."""
-    clipped = np.clip(waveform, -1.0, 1.0)
-    return (np.round(clipped * 32767.0).astype("<i2")).tobytes()
+    """Encode a float waveform to little-endian PCM16 bytes.
+
+    Symmetric with :func:`decode_pcm` (both scale by 32768), so
+    decode → encode round-trips bit-identically."""
+    scaled = np.round(waveform * 32768.0)
+    return np.clip(scaled, -32768, 32767).astype("<i2").tobytes()
 
 
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:

@@ -1,0 +1,206 @@
+"""The flagship pipeline: clips table → canonical cluster assignments.
+
+Stage graph (SURVEY.md §3.4) — every arrow is streaming, every stage an
+Arrow batch transform; checkpoints are optional and per-stage:
+
+    read clips ──V validate/project──S signatures (actor pool)
+        S ──B banding flat-map──G salted bucket self-join──pairs
+        pairs ──P verify (broadcast | shuffle join)──edges
+        edges ∪ exact-channel edges ──C components──assignments
+
+The audio payload is dropped at stage V; the shuffles only ever move
+~(16 + 8k)-byte rows.  All stage semantics trace to the reference sketch
+algebra (see the per-module docstrings).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from minhash_ray.config import PipelineConfig
+from minhash_ray.sources.clips import read_clips, validate_clips_schema
+from minhash_ray.stages.banding import make_minhash_band_fn, make_simhash_band_fn
+from minhash_ray.stages.candidates import candidate_pairs
+from minhash_ray.stages.cluster import assign_clusters
+from minhash_ray.stages.signature import SignatureStage
+from minhash_ray.stages.validate import make_validate_fn
+from minhash_ray.stages.verify import exact_edges, verify_pairs
+from minhash_ray.state.checkpoint import CheckpointManager
+
+
+@dataclass
+class DedupResult:
+    validated: object          # Dataset: clip_id, transcript, content_hash, audio_fp, ...
+    signatures: object         # Dataset: clip_id, signature, simhash, audio_fp, n_shingles
+    edges: object              # Dataset: clip_id_a, clip_id_b, sim, ..., channel
+    assignments: object        # Dataset: clip_id, cluster_id
+
+
+def run_dedup(
+    clips,
+    cfg: PipelineConfig | None = None,
+    ckpt_root: str | None = None,
+    resume: bool = True,
+    num_partitions: int = 32,
+) -> DedupResult:
+    """Run the full near-dup pipeline.
+
+    ``clips``: a Dataset or a path readable by ``read_clips``.
+    ``ckpt_root``: when set, stages V/S/E/C publish checkpoints there and a
+    resumed run reuses any stage whose manifest is complete for this config.
+    """
+    import ray.data as rd
+
+    cfg = cfg or PipelineConfig()
+    if isinstance(clips, str):
+        clips = read_clips(clips)
+    schema = clips.schema()
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        validate_clips_schema(base)
+    else:
+        validate_clips_schema(pa.schema(list(zip(schema.names, schema.types))))
+
+    ckpt = CheckpointManager(ckpt_root, cfg) if ckpt_root else None
+    if ckpt:
+        ckpt.clear_stale_temps()
+
+    # --- stage V: validate / fingerprint / drop audio payload ---
+    if ckpt and resume and ckpt.is_complete("validated"):
+        validated = ckpt.load("validated")
+    else:
+        validated = clips.map_batches(
+            make_validate_fn(cfg.audio_fp_frames), batch_format="pyarrow"
+        )
+        if ckpt:
+            validated = ckpt.save("validated", validated, input_stage="input")
+        else:
+            # consumed twice (signatures + exact channel); without a
+            # checkpoint backing it, pin the slim projection once.  At
+            # 10^12-clip scale you run with ckpt_root set and this branch
+            # never materializes anything.
+            validated = validated.materialize()
+
+    # --- stage S: signatures (stateful actor pool) ---
+    if ckpt and resume and ckpt.is_complete("signatures"):
+        signatures = ckpt.load("signatures")
+    else:
+        signatures = validated.map_batches(
+            SignatureStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.signature_concurrency,
+        )
+        if ckpt:
+            signatures = ckpt.save("signatures", signatures, input_stage="validated")
+        else:
+            signatures = signatures.materialize()   # consumed 3× (bands, count, verify)
+
+    # --- stages B+G+P: banding → salted self-join → verify ---
+    if ckpt and resume and ckpt.is_complete("edges"):
+        edges = ckpt.load("edges")
+        n_clips = None
+    else:
+        band_rows = signatures.map_batches(
+            make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm),
+            batch_format="pyarrow",
+        )
+        if cfg.use_simhash_channel:
+            sim_rows = signatures.map_batches(
+                make_simhash_band_fn(), batch_format="pyarrow"
+            )
+            band_rows = band_rows.union(sim_rows)
+
+        pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions)
+        n_clips = signatures.count()
+        edges = verify_pairs(
+            pairs,
+            signatures,
+            cfg,
+            n_clips=n_clips,
+            num_partitions=num_partitions,
+            concurrency=max(2, cfg.signature_concurrency // 2),
+        )
+        if cfg.use_exact_channel:
+            edges = edges.union(exact_edges(validated, num_partitions=max(2, num_partitions // 4)))
+        if ckpt:
+            edges = ckpt.save("edges", edges, input_stage="signatures")
+
+    # --- stage C: connected components → canonical assignments ---
+    if ckpt and resume and ckpt.is_complete("assignments"):
+        assignments = ckpt.load("assignments")
+    else:
+        assignments = assign_clusters(
+            signatures, edges, cfg, num_partitions=num_partitions
+        )
+        if ckpt:
+            assignments = ckpt.save("assignments", assignments, input_stage="edges")
+
+    return DedupResult(validated, signatures, edges, assignments)
+
+
+def dedup_metrics(assignments, truth_path: str, cfg: PipelineConfig | None = None) -> dict:
+    """Recall/precision of recovered dup pairs vs planted ground truth.
+
+    A truth pair counts as recovered iff both clips land in the same
+    cluster (pair recall through transitivity — matching how a dedup
+    consumer uses the output).  Gate (BASELINE.md): recall >= 0.99 over
+    truth pairs with jaccard_w >= tau.
+    """
+    import pyarrow.parquet as pq
+
+    cfg = cfg or PipelineConfig()
+    truth = pq.read_table(truth_path)
+    cluster_of: dict[str, str] = {}
+    for batch in assignments.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for cid, cl in zip(
+            batch.column("clip_id").to_pylist(), batch.column("cluster_id").to_pylist()
+        ):
+            cluster_of[cid] = cl
+
+    gated = recovered = 0
+    all_pairs = all_recovered = 0
+    for a, b, j in zip(
+        truth.column("clip_id_a").to_pylist(),
+        truth.column("clip_id_b").to_pylist(),
+        truth.column("jaccard_w").to_pylist(),
+    ):
+        same = cluster_of.get(a) == cluster_of.get(b) and cluster_of.get(a) is not None
+        all_pairs += 1
+        all_recovered += same
+        if j >= cfg.tau:
+            gated += 1
+            recovered += same
+
+    # precision: fraction of same-cluster dup pairs that are planted truth
+    truth_set = set(
+        zip(truth.column("clip_id_a").to_pylist(), truth.column("clip_id_b").to_pylist())
+    )
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for cid, cl in cluster_of.items():
+        members[cl].append(cid)
+    predicted = true_positive = 0
+    for _, ids in members.items():
+        if len(ids) < 2:
+            continue
+        ids.sort()
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                predicted += 1
+                if (ids[i], ids[k]) in truth_set:
+                    true_positive += 1
+
+    return {
+        "truth_pairs_gated": gated,
+        "recall_gated": (recovered / gated) if gated else 1.0,
+        "truth_pairs_all": all_pairs,
+        "recall_all": (all_recovered / all_pairs) if all_pairs else 1.0,
+        "predicted_pairs": predicted,
+        "precision": (true_positive / predicted) if predicted else 1.0,
+    }

@@ -1,0 +1,174 @@
+"""Stage G — candidate-pair generation: THE wide shuffle.
+
+Band rows (bucket, clip_id) → unordered candidate pairs (a < b) via a
+**salted self-equi-join on the bucket key**:
+
+1. a vectorized ``groupby(bucket).count()`` pass (partial aggregation per
+   block, tiny output) finds hot buckets (> ``hot_band_threshold`` rows —
+   e.g. boilerplate/silence clips all sharing a band hash),
+2. hot bucket counts are broadcast (``ray.put`` once, read per task) and
+   hot rows are **salted**: ``salt = splitmix64(fnv(clip_id)) % S_b`` with
+   ``S_b = ceil(count / band_group_cap)`` sub-buckets, so no join group
+   exceeds ~cap rows and the join blowup per hot bucket is O(count·cap)
+   instead of O(count²),
+3. the self-join emits within-(bucket, salt) ordered pairs; a filter keeps
+   ``a < b``,
+4. cross-salt connectivity for hot buckets is restored by a representative
+   pass: min clip per (bucket, salt) → self-join reps on bucket → rep
+   pairs.  Direct cross-salt pairs are traded for connectivity-via-
+   representatives, the standard salted-LSH tradeoff (documented; recall is
+   measured against planted truth in tests),
+5. pairs are deduplicated across bands with a vectorized
+   ``groupby(a, b).count()``.
+
+This replaces the reference's single-threaded propagator bottleneck
+(src/fcds/minhash-fcds.c:252-316) with a shuffle whose skew is explicitly
+bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from minhash_ray.config import PipelineConfig
+from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+from minhash_ray.stages.banding import splitmix64
+
+U64 = np.uint64
+
+PAIRS_SCHEMA = pa.schema([("clip_id_a", pa.string()), ("clip_id_b", pa.string())])
+
+
+def _hash_clip_ids(ids: pa.Array) -> np.ndarray:
+    """Vectorized-ish uint64 hash of clip-id strings (used only for salting)."""
+    # dictionary-encode first: hot buckets repeat ids across bands
+    d = ids.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    from minhash_ray.functions.hashing import hash_str_array
+
+    uh = splitmix64(hash_str_array(uniq, 0))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+
+
+def find_hot_buckets(band_ds, threshold: int) -> dict[int, int]:
+    """bucket → row count for buckets above threshold (vectorized partial
+    aggregation; the filtered result is tiny and safe to collect)."""
+    counts = band_ds.groupby("bucket").count()
+    cname = [c for c in counts.schema().names if c != "bucket"][0]
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column(cname), threshold)),
+        batch_format="pyarrow",
+    )
+    out = {}
+    for row in hot.take_all():
+        out[int(row["bucket"])] = int(row[cname])
+    return out
+
+
+def make_salt_fn(hot_ref, cap: int):
+    """map_batches fn adding a ``salt`` column (0 for cold buckets).
+
+    ``hot_ref`` is a ``ray.ObjectRef`` wrapped in a list (broadcast once via
+    ``ray.put``, materialized lazily per worker process)."""
+    state = {}
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if "hot" not in state:
+            import ray
+
+            state["hot"] = ray.get(hot_ref[0]) if hot_ref else {}
+        hot = state["hot"]
+        buckets = batch.column("bucket").to_numpy()
+        salt = np.zeros(len(buckets), dtype=np.int64)
+        if hot:
+            hot_keys = np.array(list(hot.keys()), dtype=np.int64)
+            mask = np.isin(buckets, hot_keys)
+            if mask.any():
+                ids = batch.column("clip_id")
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                id_hash = _hash_clip_ids(ids)
+                counts = np.array([hot[int(b)] for b in buckets[mask]], dtype=np.int64)
+                n_sub = np.maximum(counts // max(cap, 1), 1).astype(np.uint64)
+                salt[mask] = ((id_hash[mask] % n_sub) + U64(1)).astype(np.int64)
+        return batch.append_column("salt", pa.array(salt, pa.int64()))
+
+    return add_salt
+
+
+def _pairs_from_join(joined, out_cols=("clip_id_a", "clip_id_b")):
+    """Keep strictly-ordered pairs from a self-join result."""
+
+    def keep_ordered(batch: pa.Table) -> pa.Table:
+        a = batch.column("clip_id")
+        b = batch.column("clip_id_r")
+        mask = pc.less(a, b)
+        t = batch.filter(mask)
+        return pa.table(
+            {out_cols[0]: t.column("clip_id"), out_cols[1]: t.column("clip_id_r")},
+            schema=PAIRS_SCHEMA,
+        )
+
+    return joined.map_batches(keep_ordered, batch_format="pyarrow")
+
+
+def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
+    """Band rows → deduplicated unordered candidate pairs (a < b)."""
+    import ray
+
+    # band rows are consumed by the count pass, both self-join sides and the
+    # rep pass — pin them once (~24 B/row; at extreme scale checkpoint this
+    # stage to parquet instead and feed the checkpoint here)
+    band_ds = band_ds.materialize()
+
+    hot = {}
+    if cfg.salt_hot_bands:
+        hot = find_hot_buckets(band_ds, cfg.hot_band_threshold)
+    hot_ref = [ray.put(hot)] if hot else None
+
+    salted = band_ds.map_batches(
+        make_salt_fn(hot_ref, cfg.band_group_cap), batch_format="pyarrow"
+    ).materialize()
+
+    joined = salted.join(
+        salted,
+        join_type="inner",
+        on=("bucket", "salt"),
+        right_suffix="_r",
+        num_partitions=num_partitions,
+    )
+    pairs = _pairs_from_join(joined)
+
+    if hot:
+        # representative pass: min clip per (bucket, salt) of hot buckets,
+        # self-joined on bucket → connectivity across salt sub-buckets
+        hot_keys_arr = np.array(list(hot.keys()), dtype=np.int64)
+
+        def keep_hot(batch: pa.Table) -> pa.Table:
+            mask = np.isin(batch.column("bucket").to_numpy(), hot_keys_arr)
+            return batch.filter(pa.array(mask))
+
+        hot_rows = salted.map_batches(keep_hot, batch_format="pyarrow")
+        reps = hot_rows.groupby(["bucket", "salt"]).min("clip_id")
+        rep_col = [c for c in reps.schema().names if c.startswith("min")][0]
+        reps = reps.map_batches(
+            lambda t: pa.table(
+                {"bucket": t.column("bucket"), "clip_id": t.column(rep_col)}
+            ),
+            batch_format="pyarrow",
+        )
+        rep_joined = reps.join(
+            reps,
+            join_type="inner",
+            on=("bucket",),
+            right_suffix="_r",
+            num_partitions=max(2, num_partitions // 8),
+        )
+        pairs = pairs.union(_pairs_from_join(rep_joined))
+
+    # dedupe across bands/channels (vectorized hash aggregation)
+    uniq = pairs.groupby(["clip_id_a", "clip_id_b"]).count()
+    return uniq.select_columns(["clip_id_a", "clip_id_b"])

@@ -1,0 +1,194 @@
+"""Stage C — clustering: verified edges → canonical cluster assignments.
+
+Two paths, auto-selected by edge count:
+
+* **driver union-find** (≤ ``driver_uf_max_edges``): edges stream to the
+  driver via ``iter_batches`` (never ``take_all`` on big data) into a
+  path-compressed union-find.  Dup edges are a tiny fraction of the corpus,
+  so this holds far beyond fixture scale.
+* **distributed min-label propagation** (the 10^12 path): iterate
+  "label(v) = min(label(v), min over neighbors' labels)" via partitioned
+  joins + vectorized groupby-min until fixpoint.  Converges in O(diameter)
+  rounds; near-dup components are small and shallow so a handful of rounds
+  suffices (cf. Kiveris et al. 2014, "Connected components in MapReduce").
+
+Canonical cluster id = min clip_id of the component, mirroring the
+deterministic, order-independent outcome the reference gets from min-fold
+commutativity (the property its concurrent designs rely on,
+src/utils/utils.c:3-46).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from minhash_ray.config import PipelineConfig
+from minhash_ray.state.unionfind import UnionFind
+
+ASSIGN_SCHEMA = pa.schema([("clip_id", pa.string()), ("cluster_id", pa.string())])
+
+
+def components_driver(edges_ds) -> dict[str, str]:
+    """Stream edges into a driver-side union-find; returns node → cluster."""
+    uf = UnionFind()
+    for batch in edges_ds.select_columns(["clip_id_a", "clip_id_b"]).iter_batches(
+        batch_size=262144, batch_format="pyarrow"
+    ):
+        for a, b in zip(
+            batch.column("clip_id_a").to_pylist(), batch.column("clip_id_b").to_pylist()
+        ):
+            uf.union(a, b)
+    return uf.components()
+
+
+def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: int = 50):
+    """Distributed min-label propagation. Returns a Dataset {clip_id, cluster_id}."""
+    import ray.data as rd
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("clip_id_a")
+        b = batch.column("clip_id_b")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    directed = edges_ds.select_columns(["clip_id_a", "clip_id_b"]).map_batches(
+        to_directed, batch_format="pyarrow"
+    ).materialize()
+
+    # labels init: every endpoint labels itself
+    labels = (
+        directed.map_batches(
+            lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("min(label)")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # neighbor labels: join edges with labels on src, propagate to dst
+        msgs = directed.join(
+            labels,
+            join_type="inner",
+            on=("src",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "label": t.column("min(label)")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # convergence: any node whose label shrank this round?
+        changed = (
+            new_labels.join(
+                labels,
+                join_type="inner",
+                on=("node",),
+                right_suffix="_old",
+                num_partitions=num_partitions,
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"c": pa.array(
+                        np.asarray(
+                            pa.compute.not_equal(t.column("label"), t.column("label_old"))
+                        ).astype(np.int64)
+                    )}
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("c")
+        )
+        labels = new_labels
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"clip_id": t.column("node"), "cluster_id": t.column("label")},
+            schema=ASSIGN_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def assign_clusters(all_ids_ds, edges_ds, cfg: PipelineConfig, num_partitions: int = 32):
+    """Full assignment table {clip_id, cluster_id}: dup members get their
+    component's min clip_id, everything else is its own singleton cluster.
+
+    ``all_ids_ds`` needs only a ``clip_id`` column.
+    """
+    n_edges = edges_ds.count()
+    if n_edges <= cfg.driver_uf_max_edges:
+        comp = components_driver(edges_ds)
+        import ray
+
+        comp_ref = [ray.put(comp)]
+
+        class Assigner:
+            """Actor-pool stage: the component map is deserialized once per
+            actor (not once per batch — a plain function would re-fetch)."""
+
+            def __init__(self):
+                self.comp = ray.get(comp_ref[0])
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column("clip_id").to_pylist()
+                out = [self.comp.get(i, i) for i in ids]
+                return pa.table(
+                    {
+                        "clip_id": batch.column("clip_id"),
+                        "cluster_id": pa.array(out, pa.string()),
+                    },
+                    schema=ASSIGN_SCHEMA,
+                )
+
+        return all_ids_ds.select_columns(["clip_id"]).map_batches(
+            Assigner, batch_format="pyarrow", concurrency=2
+        )
+
+    # scale path: distributed label propagation + left join for singletons
+    comp_ds = components_label_propagation(edges_ds, num_partitions=num_partitions)
+    joined = all_ids_ds.select_columns(["clip_id"]).join(
+        comp_ds,
+        join_type="left_outer",
+        on=("clip_id",),
+        right_suffix="_c",
+        num_partitions=num_partitions,
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cluster = pc.coalesce(batch.column("cluster_id"), batch.column("clip_id"))
+        return pa.table(
+            {"clip_id": batch.column("clip_id"), "cluster_id": cluster},
+            schema=ASSIGN_SCHEMA,
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -1,0 +1,124 @@
+"""Per-stage checkpoints with lineage metadata and atomic publish.
+
+The Ray-native re-expression of the reference's versioned sketch list
+(src/datatypes/sketch_list.c:5-68 — immutable published versions readable
+while the writer continues) and generation swap
+(src/parallel/minhash-concurrent.c:305-352 — publish happens atomically):
+
+* a stage writes its Parquet part files into ``<dir>.tmp-<nonce>``,
+* a ``manifest.json`` carrying lineage (config hash, stage name, input
+  stage, per-file row counts, engine version) is written **into** the temp
+  dir,
+* one atomic ``os.rename`` publishes the version.  Readers either see a
+  complete manifest or nothing — a killed job leaves only temp dirs, which
+  the next run clears.
+
+Resume = for each stage in order, reuse the checkpoint iff its manifest is
+complete and its config hash matches the current semantic config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from minhash_ray.config import PipelineConfig
+
+MANIFEST = "manifest.json"
+
+
+class CheckpointManager:
+    def __init__(self, root: str, cfg: PipelineConfig):
+        self.root = root
+        self.cfg = cfg
+        self.cfg_hash = cfg.config_hash()
+        os.makedirs(self._base(), exist_ok=True)
+
+    def _base(self) -> str:
+        return os.path.join(self.root, self.cfg_hash)
+
+    def stage_dir(self, stage: str) -> str:
+        return os.path.join(self._base(), stage)
+
+    def manifest(self, stage: str) -> dict | None:
+        path = os.path.join(self.stage_dir(stage), MANIFEST)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def is_complete(self, stage: str) -> bool:
+        m = self.manifest(stage)
+        return bool(m) and m.get("status") == "complete" and m.get("config_hash") == self.cfg_hash
+
+    def load(self, stage: str):
+        """Open a published checkpoint as a Dataset (parquet part files)."""
+        import ray.data as rd
+
+        d = self.stage_dir(stage)
+        files = [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        return rd.read_parquet(files)
+
+    def save(self, stage: str, ds, input_stage: str | None = None, extra: dict | None = None):
+        """Execute ``ds`` into a checkpoint, atomically publish, return a
+        Dataset reading from the published files (so downstream consumes the
+        immutable version, not the recomputation)."""
+        final = self.stage_dir(stage)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        try:
+            ds.write_parquet(tmp)
+            # per-partition lineage: row counts per part file
+            import pyarrow.parquet as pq
+
+            parts = []
+            for f in sorted(os.listdir(tmp)):
+                if f.endswith(".parquet"):
+                    parts.append(
+                        {"file": f, "rows": pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows}
+                    )
+            manifest = {
+                "status": "complete",
+                "stage": stage,
+                "config_hash": self.cfg_hash,
+                "config": self.cfg.semantic_dict(),
+                "input_stage": input_stage,
+                "created_at": time.time(),
+                "engine_version": __import__("minhash_ray").__version__,
+                "partitions": parts,
+                "rows": sum(p["rows"] for p in parts),
+            }
+            if extra:
+                manifest.update(extra)
+            with open(os.path.join(tmp, MANIFEST), "w") as f:
+                json.dump(manifest, f, indent=1)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)                      # atomic publish
+        finally:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+        return self.load(stage)
+
+    def clear_stale_temps(self) -> None:
+        base = self._base()
+        for name in os.listdir(base):
+            if ".tmp-" in name:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+
+    def prune_other_configs(self) -> None:
+        """Checkpoint retention (the reference's garbage_collector_list
+        analogue, src/fcds/minhash-fcds.c:401-433): drop versions built
+        under other config hashes."""
+        if not os.path.isdir(self.root):
+            return
+        for name in os.listdir(self.root):
+            if name != self.cfg_hash:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
