@@ -1,44 +1,242 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship near-dup pipeline over a clips table synthesized
+  deterministically from /root/testdata/sf0.001 documents text (the
+  clips-shaped input mandated by BASELINE.json.input_hint does not exist in
+  the testdata, so it is derived from it; see minhash_ray/sources/synth.py).
+* ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops), each taking ``sf_dir``.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+  (identical column names/types; integer cents instead of float sums so the
+  value-hash compare is bit-stable).  Sketch/LSH/clip pipelines are
+  non-SQL-expressible → rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _clips_ds(sf_dir: str):
+    import ray.data as rd
+
+    from minhash_ray.sources.synth import clips_dir_for
+
+    d = clips_dir_for(sf_dir)
+    return rd.read_parquet(os.path.join(d, "clips.parquet")), d
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001-derived clips; returns assignments."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup
+
+    clips, _ = _clips_ds(SF0001)
+    cfg = PipelineConfig(signature_concurrency=4)
+    res = run_dedup(clips, cfg, num_partitions=8)
+    return res.assignments
+
+
+# ---------------------------------------------------------------------------
+
+
+def _clips_dedup(sf_dir: str):
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup
+
+    clips, _ = _clips_ds(sf_dir)
+    return run_dedup(clips, PipelineConfig(signature_concurrency=4), num_partitions=8)
+
+
+def clips_dedup_assignments(sf_dir: str):
+    return _clips_dedup(sf_dir).assignments
+
+
+def clips_dedup_edges(sf_dir: str):
+    return _clips_dedup(sf_dir).edges
+
+
+def clips_signatures(sf_dir: str):
+    """clip_id, simhash+audio_fp (as int64), n_shingles — the signature
+    stage output in SQL-friendly dtypes (full list<u64> signatures are
+    exercised in pytest; rows-only here)."""
+    import numpy as np
+    import pyarrow as pa
+
+    res = _clips_dedup(sf_dir)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "simhash": pa.array(
+                    batch.column("simhash").to_numpy().astype(np.int64), pa.int64()
+                ),
+                "audio_fp": pa.array(
+                    batch.column("audio_fp").to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_shingles": batch.column("n_shingles"),
+            }
+        )
+
+    return res.signatures.map_batches(slim, batch_format="pyarrow")
+
+
+def audio_frame_features(sf_dir: str):
+    from minhash_ray.pipelines.multimodal import audio_frame_features as affn
+
+    clips, _ = _clips_ds(sf_dir)
+    return affn(clips.limit(200))
+
+
+def substring_pairs(sf_dir: str):
+    """Longest-common-substring ratio for MinHash candidate doc pairs
+    (suffix-automaton channel)."""
+    import pyarrow as pa
+
+    from minhash_ray.functions.substring import lcs_ratio
+    from minhash_ray.pipelines.dedup_text import minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(sf_dir)
+    import duckdb
+
+    texts = dict(
+        duckdb.connect()
+        .execute(f"select doc_id, text from '{os.path.join(sf_dir, 'documents.parquet')}'")
+        .fetchall()
+    )
+
+    def add_lcs(batch: pa.Table) -> pa.Table:
+        ratios = [
+            lcs_ratio(texts.get(a, ""), texts.get(b, ""))
+            for a, b in zip(
+                batch.column("doc_id_a").to_pylist(), batch.column("doc_id_b").to_pylist()
+            )
+        ]
+        return batch.append_column("lcs_ratio", pa.array(ratios, pa.float64()))
+
+    return pairs.map_batches(add_lcs, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from minhash_ray.pipelines import ann, dedup_text, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- text analysis (SQL-checked) ---
+        "token_counts": text.token_counts,
+        "text_quality": text.text_quality,
+        "doc_fingerprints": text.doc_fingerprints,
+        "lang_stats": text.lang_stats,
+        # --- dedup over documents ---
+        "exact_dedup_docs": dedup_text.exact_dedup,          # SQL-checked
+        "simhash_fingerprints": dedup_text.simhash_fingerprints,   # rows-only
+        "minhash_dup_pairs": dedup_text.minhash_dup_pairs,   # rows-only
+        "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,     # rows-only
+        "rolling_fingerprints": dedup_text.rolling_fingerprints,   # rows-only
+        # --- similarity search ---
+        "ann_topk": ann.ann_topk,                            # SQL-checked
+        "embedding_pairs_exact": ann.embedding_pairs_exact,  # SQL-checked
+        # LSH scale path, loose threshold so the random test embeddings
+        # yield candidates (near-dup regime is covered in pytest)
+        "embedding_dup_pairs": lambda sf: ann.embedding_dup_pairs(
+            sf, threshold=0.3, n_planes=16, n_chunks=8
+        ),                                                   # rows-only
+        # --- relational engine surface (SQL-checked) ---
+        "lineitem_agg": relational.lineitem_agg,
+        "orders_by_segment": relational.orders_by_segment,
+        "top_customers": relational.top_customers,
+        "supplier_regions": relational.supplier_regions,
+        "events_by_type": relational.events_by_type,
+        "filtered_lineitem": relational.filtered_lineitem,
+        "part_brand_stats": relational.part_brand_stats,
+        # --- language ID heuristic (rows-only: model-style scoring) ---
+        "lang_id": text.lang_id,
+        # --- flagship clips pipelines (rows-only: sketch/LSH semantics) ---
+        "clips_dedup_assignments": clips_dedup_assignments,
+        "clips_dedup_edges": clips_dedup_edges,
+        "clips_signatures": clips_signatures,
+        "audio_frame_features": audio_frame_features,
+        "substring_pairs": substring_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_tokens = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+    )
+    return {
+        "token_counts": f"SELECT doc_id, {n_tokens} AS n_tokens FROM documents",
+        "text_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_measured, "
+            f"{n_tokens} AS n_tokens, "
+            "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)"
+            " AS n_punct FROM documents"
+        ),
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "lang_stats": (
+            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "exact_dedup_docs": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "embedding_pairs_exact": (
+            "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"
+        ),
+        "ann_topk": (
+            "SELECT vec_id, CAST(row_number() OVER ("
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS BIGINT)"
+            " AS rank FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY rank LIMIT 10"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "top_customers": (
+            "SELECT o_custkey AS c_custkey, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey ORDER BY n_orders DESC, c_custkey LIMIT 10"
+        ),
+        "supplier_regions": (
+            "SELECT r_name, count(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n_events, "
+            "count(DISTINCT user_id) AS n_users, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events GROUP BY event_type"
+        ),
+        "filtered_lineitem": (
+            "SELECT l_returnflag, count(*) AS n_items, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01' "
+            "GROUP BY l_returnflag"
+        ),
+        "part_brand_stats": (
+            "SELECT p_brand, count(*) AS n_parts, "
+            "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size "
+            "FROM part GROUP BY p_brand"
+        ),
+    }

@@ -1,0 +1,153 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "clips_dedup_e2e", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": 0.1, "num_cpus": N,
+     "clips": N, "clips_per_sec": X, "recall_gated": r}
+
+``--scaling``: runs the same headline job twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm) input and
+prints throughput at both plus scaling efficiency — the sandbox evidence
+for the north rule's N-vs-4N-node criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    name = os.path.basename(os.path.normpath(path))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NCPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines import ann, dedup_text, relational, text
+    from minhash_ray.pipelines.dedup import dedup_metrics, run_dedup
+    from minhash_ray.sources.synth import clips_dir_for
+
+    # --- headline: clips near-dup dedup end-to-end ---
+    clips_dir = clips_dir_for(SF_DIR)                    # cached, untimed
+    clips_path = os.path.join(clips_dir, "clips.parquet")
+    # warm the page cache so we measure compute + shuffle, not first-touch IO
+    with open(clips_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    cfg = PipelineConfig(signature_concurrency=max(4, NCPUS // 4))
+    t0 = time.time()
+    res = run_dedup(rd.read_parquet(clips_path), cfg, num_partitions=max(8, NCPUS))
+    n_clips = res.assignments.count()
+    headline = time.time() - t0
+    metrics = dedup_metrics(
+        res.assignments,
+        os.path.join(clips_dir, "truth_pairs.parquet"),
+        cfg,
+        clips_path=clips_path,
+    )
+
+    # --- per-pipeline timings over the sf tables ---
+    def timed(fn):
+        t = time.time()
+        out = fn(SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        return round(time.time() - t, 3)
+
+    queries = {
+        "minhash_dup_pairs_docs": timed(dedup_text.minhash_dup_pairs),
+        "exact_dedup_docs": timed(dedup_text.exact_dedup),
+        "token_counts": timed(text.token_counts),
+        "text_quality": timed(text.text_quality),
+        "ann_topk": timed(ann.ann_topk),
+        "embedding_pairs_exact": timed(ann.embedding_pairs_exact),
+        "lineitem_agg": timed(relational.lineitem_agg),
+        "orders_by_segment": timed(relational.orders_by_segment),
+        "events_by_type": timed(relational.events_by_type),
+    }
+
+    out = {
+        "metric": "clips_dedup_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NCPUS,
+        "clips": n_clips,
+        "clips_per_sec": round(n_clips / headline, 1),
+        "recall_gated": round(metrics["recall_gated"], 4),
+        "precision": round(metrics["precision"], 4),
+        "precision_loose": round(metrics.get("precision_loose", metrics["precision"]), 4),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh processes (the sandbox
+    substitute for N vs 4N Ray nodes; see BASELINE.md)."""
+    # pre-generate the clips cache so neither run pays synthesis
+    from minhash_ray.sources.synth import clips_dir_for
+
+    clips_dir_for(SF_DIR)
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = one(lo_n)
+    hi = one(hi_n)
+    thr_lo = lo["clips_per_sec"]
+    thr_hi = hi["clips_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi_n / lo_n)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": _sf_of(SF_DIR),
+        "cpus_lo": lo_n, "cpus_hi": hi_n,
+        "sec_lo": lo["value"], "sec_hi": hi["value"],
+        "clips_per_sec_lo": thr_lo, "clips_per_sec_hi": thr_hi,
+        "speedup": round(thr_hi / thr_lo, 2),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

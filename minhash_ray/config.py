@@ -71,6 +71,13 @@ class PipelineConfig:
     signature_concurrency: int = 8       # actor-pool size for the signature stage
     broadcast_verify_max_rows: int = 2_000_000   # ≤ this many clips → broadcast-join verify
     driver_uf_max_edges: int = 10_000_000        # ≤ this many edges → driver union-find
+    driver_agg_max_rows: int = 50_000_000        # ≤ this many rows → driver-side streaming
+                                                 # aggregation for metadata-scale reductions
+                                                 # (bucket counts, exact-dup reps); beyond it
+                                                 # the distributed groupby paths take over
+    pair_dedupe: str = "local"                   # "local": per-batch dedupe, duplicate edges
+                                                 # tolerated by union-find; "global": full
+                                                 # shuffle dedupe (the 10^12 path)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
@@ -91,6 +98,7 @@ class PipelineConfig:
         "signature_concurrency",
         "broadcast_verify_max_rows",
         "driver_uf_max_edges",
+        "driver_agg_max_rows",
     )
 
     def semantic_dict(self) -> dict:

@@ -1,0 +1,244 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``ann_topk`` — brute-force cosine top-k against a broadcast query matrix:
+  the embeddings stream through ``map_batches`` (numpy matmul per batch,
+  float64), per-batch top-k partials are reduced on the driver — the
+  canonical "broadcast small side, never shuffle the big side" pattern.
+* ``embedding_dup_pairs`` — embedding-cosine near-duplicate pairs via
+  random-hyperplane LSH (Charikar 2002 SimHash for vectors): bucket by
+  sign-pattern chunks, self-join buckets, verify exact cosine — the scale
+  path that avoids the O(n^2) cross join.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from minhash_ray.stages.banding import splitmix64
+
+U64 = np.uint64
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
+def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
+    """Top-k most cosine-similar vectors to ``query_vec_id`` (excluding
+    itself): (vec_id, rank) with rank 1..k, ties broken by vec_id.
+
+    Per-batch vectorized cosine against the broadcast query vector; partial
+    top-k per batch, final merge on the driver (k rows)."""
+    import duckdb  # only to fetch the single query row without Ray overhead
+
+    q = duckdb.connect().execute(
+        f"select embedding from '{os.path.join(sf_dir, 'embeddings.parquet')}' "
+        f"where vec_id = {int(query_vec_id)}"
+    ).fetchone()[0]
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (m @ qn) / norms
+        ids = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
+        mask = ids != query_vec_id
+        cos, ids = cos[mask], ids[mask]
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cos": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    partials = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow")
+    t = pa.concat_tables(list(partials.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    ids = t.column("vec_id").to_numpy()
+    cos = t.column("cos").to_numpy()
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def embedding_pairs_exact(sf_dir: str, threshold: float = 0.35):
+    """All pairs with cosine >= threshold — exact, vectorized brute force:
+    the full (small-side) normalized matrix is broadcast once, each batch
+    computes batch×all cosines with one matmul and emits its pairs.  The
+    SQL-checkable baseline; ``embedding_dup_pairs`` is the LSH scale path."""
+    import ray
+
+    emb = _emb(sf_dir).materialize()
+    t = pa.concat_tables(list(emb.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    mat = _matrix(t)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    all_ids = np.asarray(t.column("vec_id").to_numpy(), dtype=np.int64)
+    pack_ref = [ray.put({"mat": mat, "ids": all_ids})]
+
+    class PairFinder:
+        def __init__(self):
+            pack = ray.get(pack_ref[0])
+            self.mat, self.ids = pack["mat"], pack["ids"]
+            self.index = {v: i for i, v in enumerate(self.ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_b = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
+            rows = np.fromiter(
+                (self.index[v] for v in ids_b), dtype=np.int64, count=len(ids_b)
+            )
+            cos = self.mat[rows] @ self.mat.T                  # (b, n)
+            ii, jj = np.nonzero(cos >= threshold)
+            a = ids_b[ii]
+            b = self.ids[jj]
+            keep = a < b
+            order = np.lexsort((b[keep], a[keep]))
+            return pa.table(
+                {
+                    "vec_id_a": pa.array(a[keep][order], pa.int64()),
+                    "vec_id_b": pa.array(b[keep][order], pa.int64()),
+                }
+            )
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        PairFinder, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )
+
+
+class _HyperplaneBucketer:
+    """Actor-pool stage: the random hyperplane matrix is actor state."""
+
+    def __init__(self, dim: int, n_planes: int, n_chunks: int, seed: int):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.n_chunks = n_chunks
+        self.chunk_bits = n_planes // n_chunks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        signs = (m @ self.planes) > 0                      # (n, n_planes)
+        ids = batch.column("vec_id")
+        n = m.shape[0]
+        buckets = np.empty((n, self.n_chunks), dtype=np.int64)
+        w = self.chunk_bits
+        weights = (U64(1) << np.arange(w, dtype=np.uint64))
+        for c in range(self.n_chunks):
+            chunk = signs[:, c * w : (c + 1) * w].astype(np.uint64) @ weights
+            mixed = splitmix64(chunk + (U64(c) << U64(56)))
+            buckets[:, c] = (mixed >> U64(1)).astype(np.int64)
+        out_ids = pa.concat_arrays(
+            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids] * self.n_chunks
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(buckets.T.reshape(-1), pa.int64()),
+                "vec_id": out_ids,
+            }
+        )
+
+
+def embedding_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    n_chunks: int = 4,
+    seed: int = 42,
+    num_partitions: int = 8,
+):
+    """Near-duplicate embedding pairs (cosine >= threshold, vec_id_a <
+    vec_id_b) via hyperplane-LSH candidates + exact cosine verification.
+
+    Two vectors at angle θ disagree on a random hyperplane with prob θ/π;
+    with 8-bit chunks a cos≥0.9 pair (θ≤26°) shares a chunk with prob
+    ~1-(1-(1-θ/π)^8)^4 ≈ 0.97, and near-identical pairs ~always."""
+    import ray
+
+    emb = _emb(sf_dir).materialize()
+    # broadcast the (small-side) full matrix for exact verification;
+    # at huge scale swap for the shuffle-join verifier as in stages/verify
+    t = pa.concat_tables(list(emb.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    mat = _matrix(t)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ids_list = t.column("vec_id").to_pylist()
+    index = {v: i for i, v in enumerate(ids_list)}
+    pack_ref = [ray.put({"mat": mat, "index": index})]
+
+    dim = mat.shape[1]
+    buckets = emb.map_batches(
+        _HyperplaneBucketer,
+        fn_constructor_kwargs={
+            "dim": dim, "n_planes": n_planes, "n_chunks": n_chunks, "seed": seed
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    from minhash_ray.util import clamp_partitions
+
+    joined = buckets.join(
+        buckets,
+        join_type="inner",
+        on=("bucket",),
+        right_suffix="_r",
+        num_partitions=clamp_partitions(num_partitions),
+    )
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.less(batch.column("vec_id"), batch.column("vec_id_r"))
+        tt = batch.filter(mask)
+        return pa.table({"vec_id_a": tt.column("vec_id"), "vec_id_b": tt.column("vec_id_r")})
+
+    pairs = joined.map_batches(ordered, batch_format="pyarrow")
+    uniq = pairs.groupby(["vec_id_a", "vec_id_b"]).count().select_columns(
+        ["vec_id_a", "vec_id_b"]
+    )
+
+    class Verify:
+        def __init__(self):
+            pack = ray.get(pack_ref[0])
+            self.mat, self.index = pack["mat"], pack["index"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.fromiter(
+                (self.index[v] for v in batch.column("vec_id_a").to_pylist()),
+                dtype=np.int64, count=batch.num_rows,
+            )
+            b = np.fromiter(
+                (self.index[v] for v in batch.column("vec_id_b").to_pylist()),
+                dtype=np.int64, count=batch.num_rows,
+            )
+            cos = (self.mat[a] * self.mat[b]).sum(axis=1)
+            keep = cos >= threshold
+            return pa.table(
+                {
+                    "vec_id_a": batch.column("vec_id_a").filter(pa.array(keep)),
+                    "vec_id_b": batch.column("vec_id_b").filter(pa.array(keep)),
+                    "cos": pa.array(cos[keep], pa.float64()),
+                }
+            )
+
+    return uniq.map_batches(Verify, batch_format="pyarrow", concurrency=2)

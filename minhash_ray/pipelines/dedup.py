@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 
 from minhash_ray.config import PipelineConfig
@@ -115,7 +116,10 @@ def run_dedup(
             )
             band_rows = band_rows.union(sim_rows)
 
-        pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions)
+        # materialized: the slim pair table is tiny relative to the corpus,
+        # and splitting the join graph from the verify actor pool prevents
+        # CPU-reservation deadlock on small clusters
+        pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
         n_clips = signatures.count()
         edges = verify_pairs(
             pairs,
@@ -126,9 +130,18 @@ def run_dedup(
             concurrency=max(2, cfg.signature_concurrency // 2),
         )
         if cfg.use_exact_channel:
-            edges = edges.union(exact_edges(validated, num_partitions=max(2, num_partitions // 4)))
+            edges = edges.union(
+                exact_edges(
+                    validated,
+                    num_partitions=max(2, num_partitions // 4),
+                    driver_max_rows=cfg.driver_agg_max_rows,
+                    n_rows=n_clips,
+                )
+            )
         if ckpt:
             edges = ckpt.save("edges", edges, input_stage="signatures")
+        else:
+            edges = edges.materialize()     # consumed twice (count + components)
 
     # --- stage C: connected components → canonical assignments ---
     if ckpt and resume and ckpt.is_complete("assignments"):
@@ -143,13 +156,28 @@ def run_dedup(
     return DedupResult(validated, signatures, edges, assignments)
 
 
-def dedup_metrics(assignments, truth_path: str, cfg: PipelineConfig | None = None) -> dict:
-    """Recall/precision of recovered dup pairs vs planted ground truth.
+def dedup_metrics(
+    assignments,
+    truth_path: str,
+    cfg: PipelineConfig | None = None,
+    clips_path: str | None = None,
+    precision_sample: int = 20000,
+) -> dict:
+    """Recall vs planted ground truth + precision vs *true* similarity.
 
-    A truth pair counts as recovered iff both clips land in the same
-    cluster (pair recall through transitivity — matching how a dedup
+    Recall: a truth pair counts as recovered iff both clips land in the
+    same cluster (pair recall through transitivity — matching how a dedup
     consumer uses the output).  Gate (BASELINE.md): recall >= 0.99 over
     truth pairs with jaccard_w >= tau.
+
+    Precision: predicted same-cluster pairs are validated against the TRUE
+    shingle-set Jaccard of their transcripts (sampled up to
+    ``precision_sample`` pairs), not merely the planted list — transcripts
+    derived from a shared text corpus can be genuinely near-duplicate
+    without having been planted.  ``precision_strict`` uses j >= tau;
+    ``precision_loose`` uses j >= tau - verify_margin (the configured edge
+    acceptance band).  When ``clips_path`` is None, precision falls back to
+    planted-truth membership.
     """
     import pyarrow.parquet as pq
 
@@ -176,31 +204,69 @@ def dedup_metrics(assignments, truth_path: str, cfg: PipelineConfig | None = Non
             gated += 1
             recovered += same
 
-    # precision: fraction of same-cluster dup pairs that are planted truth
-    truth_set = set(
-        zip(truth.column("clip_id_a").to_pylist(), truth.column("clip_id_b").to_pylist())
-    )
+    # enumerate predicted same-cluster pairs (sampled)
     from collections import defaultdict
 
     members = defaultdict(list)
     for cid, cl in cluster_of.items():
         members[cl].append(cid)
-    predicted = true_positive = 0
+    predicted_pairs: list[tuple[str, str]] = []
     for _, ids in members.items():
         if len(ids) < 2:
             continue
         ids.sort()
         for i in range(len(ids)):
             for k in range(i + 1, len(ids)):
-                predicted += 1
-                if (ids[i], ids[k]) in truth_set:
-                    true_positive += 1
+                predicted_pairs.append((ids[i], ids[k]))
+    n_predicted = len(predicted_pairs)
+    if n_predicted > precision_sample:
+        rng = np.random.default_rng(0)
+        sel = rng.choice(n_predicted, size=precision_sample, replace=False)
+        sampled = [predicted_pairs[int(i)] for i in sel]
+    else:
+        sampled = predicted_pairs
 
-    return {
+    out = {
         "truth_pairs_gated": gated,
         "recall_gated": (recovered / gated) if gated else 1.0,
         "truth_pairs_all": all_pairs,
         "recall_all": (all_recovered / all_pairs) if all_pairs else 1.0,
-        "predicted_pairs": predicted,
-        "precision": (true_positive / predicted) if predicted else 1.0,
+        "predicted_pairs": n_predicted,
     }
+
+    if clips_path is not None and sampled:
+        from minhash_ray.oracle import oracle_token_shingles
+
+        clips = pq.read_table(clips_path, columns=["clip_id", "transcript"])
+        text_of = dict(
+            zip(clips.column("clip_id").to_pylist(), clips.column("transcript").to_pylist())
+        )
+        cache: dict[str, frozenset] = {}
+
+        def sset(cid: str) -> frozenset:
+            if cid not in cache:
+                cache[cid] = frozenset(
+                    oracle_token_shingles(text_of.get(cid, ""), cfg.shingle_w, cfg.seed)
+                )
+            return cache[cid]
+
+        strict = loose = 0
+        for a, b in sampled:
+            sa, sb = sset(a), sset(b)
+            union = sa | sb
+            j = (len(sa & sb) / len(union)) if union else 1.0
+            # exact-channel pairs (byte-identical) always count
+            if j >= cfg.tau:
+                strict += 1
+            if j >= cfg.tau - cfg.verify_margin:
+                loose += 1
+        out["precision_strict"] = strict / len(sampled)
+        out["precision_loose"] = loose / len(sampled)
+        out["precision"] = out["precision_strict"]
+    else:
+        truth_set = set(
+            zip(truth.column("clip_id_a").to_pylist(), truth.column("clip_id_b").to_pylist())
+        )
+        tp = sum(1 for p in sampled if p in truth_set)
+        out["precision"] = (tp / len(sampled)) if sampled else 1.0
+    return out

@@ -1,0 +1,227 @@
+"""General relational operators over the TPC-H-ish test tables — the
+"full data-processing engine" surface from the gap analysis (SURVEY.md
+§2.6): projections, vectorized filters, partial+final aggregation,
+broadcast and partitioned joins, sort/limit top-k, distinct counting.
+
+Monetary sums are computed in integer cents (``floor(x*100 + 0.5)``) on
+both the Ray side and the DuckDB oracle so float accumulation order can
+never flip a bit of the compared values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped: per (returnflag, linestatus): row count, total
+    quantity, revenue in cents.  Partial aggregation happens per block
+    inside Ray's hash aggregate; the shuffle moves partials only."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy()
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty.astype(np.int64), pa.int64()),
+                "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum("qty", alias_name="sum_qty"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+def orders_by_segment(sf_dir: str):
+    """orders ⋈ customer (broadcast hash join: customer is the small side,
+    shipped to workers once) → per-segment order count + cents total."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pa.concat_tables(
+        list(
+            _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        )
+    )
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = [ray.put(seg_of)]
+
+    class AttachSegment:
+        def __init__(self):
+            self.seg = ray.get(ref[0])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            seg = [self.seg.get(k) for k in keys]
+            total = _cents(batch.column("o_totalprice").to_numpy())
+            t = pa.table(
+                {
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "total_cents": pa.array(total, pa.int64()),
+                }
+            )
+            return t.filter(pc.is_valid(t.column("c_mktsegment")))
+
+    return (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(AttachSegment, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+    )
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Top-k customers by order count — aggregate → sort(desc, key asc) →
+    limit.  Deterministic tie-break on custkey."""
+    from ray.data.aggregate import Count
+
+    agg = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    top = agg.sort(["n_orders", "o_custkey"], descending=[True, False]).limit(k)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": batch.column("o_custkey"), "n_orders": batch.column("n_orders")}
+        )
+
+    return top.map_batches(rename, batch_format="pyarrow")
+
+
+def supplier_regions(sf_dir: str):
+    """supplier ⋈ nation ⋈ region (two broadcast lookups) → suppliers per
+    region name."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nation = pa.concat_tables(
+        list(_t(sf_dir, "nation").iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    region = pa.concat_tables(
+        list(_t(sf_dir, "region").iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    r_of = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n_to_r = {
+        nk: r_of[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    ref = [ray.put(n_to_r)]
+
+    class AttachRegion:
+        def __init__(self):
+            self.map = ray.get(ref[0])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = [self.map.get(k) for k in batch.column("s_nationkey").to_pylist()]
+            return pa.table({"r_name": pa.array(names, pa.string())})
+
+    return (
+        _t(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(AttachRegion, batch_format="pyarrow", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+
+
+def events_by_type(sf_dir: str):
+    """Per event type: event count, distinct users, value sum in cents —
+    distinct via per-block partial sets folded through a groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    # distinct users per type: dedupe (type, user) pairs first (hash
+    # aggregate), then count per type — two vectorized shuffles of slim rows
+    pairs = (
+        ds.select_columns(["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .count()
+        .select_columns(["event_type", "user_id"])
+    )
+    n_users = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value_cents": pa.array(_cents(batch.column("value").to_numpy()), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    )
+    joined = totals.join(n_users, join_type="inner", on=("event_type",), num_partitions=2)
+    return joined.select_columns(["event_type", "n_events", "n_users", "value_cents"])
+
+
+def filtered_lineitem(sf_dir: str, date_lo: str = "1995-01-01", date_hi: str = "1996-01-01"):
+    """Vectorized predicate + projection + aggregate: lineitems shipped in
+    [date_lo, date_hi) per return flag."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_shipdate", "l_quantity"])
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy()
+        mask = (ship >= lo) & (ship < hi)
+        t = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty": pa.array(t.column("l_quantity").to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="sum_qty"))
+    )
+
+
+def part_brand_stats(sf_dir: str):
+    """Distinct-ish aggregate over part: per brand, part count + total size."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _t(sf_dir, "part", ["p_brand", "p_size"])
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"), Sum("p_size", alias_name="total_size"))
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang,
+source, n_chars) — the large-scale training-data-pipeline ops the engine
+adds beyond the reference's sketch algebra (SURVEY.md §2.6): token
+counting, quality scoring, content fingerprinting, language-ID heuristics.
+
+Every op is a vectorized ``map_batches`` transform; column names are chosen
+to match the DuckDB oracle SQL in ``__ray_entry__.oracle_sql`` exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+PUNCT = ".,!?;:"
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def token_counts(sf_dir: str):
+    """doc_id, n_tokens (whitespace tokenization, empty text → 0)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch.column("text")))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # trim+split leaves [''] for empty strings → count 0
+        empties = pc.equal(pc.utf8_trim_whitespace(batch.column("text")), "").to_numpy(
+            zero_copy_only=False
+        )
+        n[empties] = 0
+        return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def text_quality(sf_dir: str):
+    """doc_id, n_chars_measured, n_tokens, n_punct — quality-scoring
+    features (length / token / punctuation counts), all exact integers so
+    the oracle compare is bit-stable."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empties = pc.equal(pc.utf8_trim_whitespace(text), "").to_numpy(zero_copy_only=False)
+        n_tok[empties] = 0
+        stripped = pc.replace_substring_regex(text, f"[{PUNCT}]", "")
+        n_punct = n_chars - pc.utf8_length(stripped).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars_measured": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_punct": pa.array(n_punct.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str):
+    """doc_id, fp — md5 content fingerprint (exact-dedup key; md5 chosen so
+    the DuckDB oracle can reproduce it byte-for-byte)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in
+               batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def lang_stats(sf_dir: str):
+    """lang, n_docs, total_chars — grouped aggregate (partial per block +
+    shuffle of partials via Ray's hash aggregation)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+# --- language-ID heuristic (no SQL oracle: model-style scoring) -----------
+
+_LANG_PROFILES = {
+    # tiny seeded character-trigram profiles; a real deployment swaps in
+    # fastText/CLD3 — the Ray plumbing (stateful actor pool) is identical
+    "en": ["the", "and", "ing", " th", "he "],
+    "es": ["de ", " de", "os ", "la ", " la"],
+    "fr": ["es ", " le", "le ", "de ", " de"],
+    "zh": [],
+}
+
+
+class LangIdStage:
+    """Stateful actor-pool stage: profiles built once per actor."""
+
+    def __init__(self):
+        self.profiles = {k: set(v) for k, v in _LANG_PROFILES.items() if v}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            t = (t or "").lower()
+            if any(ord(c) > 0x2E80 for c in t[:200]):
+                out.append("zh")
+                continue
+            grams = {t[i : i + 3] for i in range(len(t) - 2)}
+            best, score = "unknown", 0
+            for lang, prof in self.profiles.items():
+                s = len(grams & prof)
+                if s > score:
+                    best, score = lang, s
+            out.append(best)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(out, pa.string())}
+        )
+
+
+def lang_id(sf_dir: str):
+    """doc_id, lang_pred — n-gram heuristic language ID (actor pool)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    )

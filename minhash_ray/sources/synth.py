@@ -1,0 +1,67 @@
+"""Deterministic clips-table synthesis tied to the driver testdata.
+
+``BASELINE.json.input_hint`` mandates a clips-shaped input table that the
+driver testdata does not ship; this module synthesizes one deterministically
+(seeded, no external data) with transcripts windowed from the testdata
+``documents.text`` column, caches it under /tmp keyed by (sf_dir, rows,
+seed), and returns the cache directory.  entry(), queries() and bench.py
+all read clips through this path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+CACHE_ROOT = "/tmp/minhash_ray_clips"
+
+# rows synthesized per scale factor directory (~6x the documents row count,
+# so near-dup clusters have realistic text diversity underneath)
+DEFAULT_ROWS = {
+    "sf0.001": 600,
+    "sf0.01": 3000,
+    "sf0.1": 30000,
+}
+
+
+def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
+                  dur_range: tuple[int, int] = (300, 1500)) -> str:
+    """Synthesize (or reuse cached) clips + truth_pairs parquet for a
+    testdata scale dir. Returns the directory containing them."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    if n_rows is None:
+        n_rows = DEFAULT_ROWS.get(sf_name, 1000)
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{n_rows}|{seed}|{dur_range}|v2".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(CACHE_ROOT, key)
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+
+    import pyarrow.parquet as pq
+
+    base_texts = None
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        base_texts = pq.read_table(docs_path, columns=["text"]).column("text").to_pylist()
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tools.make_fixtures import generate_clips
+
+    clips, truth = generate_clips(n_rows, seed=seed, base_texts=base_texts, dur_range=dur_range)
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    # small row groups → parallel read blocks
+    pq.write_table(clips, os.path.join(tmp, "clips.parquet"), row_group_size=1024)
+    pq.write_table(truth, os.path.join(tmp, "truth_pairs.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    if os.path.exists(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    return out_dir

@@ -53,9 +53,34 @@ def _hash_clip_ids(ids: pa.Array) -> np.ndarray:
     return uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
 
 
-def find_hot_buckets(band_ds, threshold: int) -> dict[int, int]:
-    """bucket → row count for buckets above threshold (vectorized partial
-    aggregation; the filtered result is tiny and safe to collect)."""
+def find_hot_buckets(band_ds, threshold: int, driver_max_rows: int = 50_000_000,
+                     n_rows: int | None = None) -> dict[int, int]:
+    """bucket → row count for buckets above threshold.
+
+    Metadata-scale reduction: below ``driver_max_rows`` the bucket column
+    (8 B/row) streams to the driver and is counted with one vectorized
+    ``np.unique`` (Ray's aggregate operators carry seconds of fixed
+    overhead that dwarf the actual count at this size); beyond it, the
+    distributed groupby-count path takes over."""
+    if n_rows is None:
+        n_rows = band_ds.count()
+    if n_rows <= driver_max_rows:
+        vals_list, cnts_list = [], []
+        for batch in band_ds.select_columns(["bucket"]).iter_batches(
+            batch_size=1_048_576, batch_format="pyarrow"
+        ):
+            v, c = np.unique(batch.column("bucket").to_numpy(), return_counts=True)
+            vals_list.append(v)
+            cnts_list.append(c)
+        if not vals_list:
+            return {}
+        all_v = np.concatenate(vals_list)
+        all_c = np.concatenate(cnts_list)
+        uniq, inv = np.unique(all_v, return_inverse=True)
+        totals = np.bincount(inv, weights=all_c).astype(np.int64)
+        hot_mask = totals > threshold
+        return {int(v): int(c) for v, c in zip(uniq[hot_mask], totals[hot_mask])}
+
     counts = band_ds.groupby("bucket").count()
     cname = [c for c in counts.schema().names if c != "bucket"][0]
     hot = counts.map_batches(
@@ -99,18 +124,26 @@ def make_salt_fn(hot_ref, cap: int):
     return add_salt
 
 
-def _pairs_from_join(joined, out_cols=("clip_id_a", "clip_id_b")):
-    """Keep strictly-ordered pairs from a self-join result."""
+def _pairs_from_join(joined, out_cols=("clip_id_a", "clip_id_b"), local_dedupe: bool = True):
+    """Keep strictly-ordered pairs from a self-join result, deduplicating
+    within each batch (cross-batch duplicates are tolerated downstream)."""
 
     def keep_ordered(batch: pa.Table) -> pa.Table:
         a = batch.column("clip_id")
         b = batch.column("clip_id_r")
         mask = pc.less(a, b)
         t = batch.filter(mask)
-        return pa.table(
+        out = pa.table(
             {out_cols[0]: t.column("clip_id"), out_cols[1]: t.column("clip_id_r")},
             schema=PAIRS_SCHEMA,
         )
+        if local_dedupe and out.num_rows:
+            import pandas as pd
+
+            df = out.to_pandas()
+            df = df.drop_duplicates()
+            out = pa.Table.from_pandas(df, schema=PAIRS_SCHEMA, preserve_index=False)
+        return out
 
     return joined.map_batches(keep_ordered, batch_format="pyarrow")
 
@@ -119,6 +152,10 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
     """Band rows → deduplicated unordered candidate pairs (a < b)."""
     import ray
 
+    from minhash_ray.util import clamp_partitions
+
+    num_partitions = clamp_partitions(num_partitions)
+
     # band rows are consumed by the count pass, both self-join sides and the
     # rep pass — pin them once (~24 B/row; at extreme scale checkpoint this
     # stage to parquet instead and feed the checkpoint here)
@@ -126,7 +163,9 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
 
     hot = {}
     if cfg.salt_hot_bands:
-        hot = find_hot_buckets(band_ds, cfg.hot_band_threshold)
+        hot = find_hot_buckets(
+            band_ds, cfg.hot_band_threshold, driver_max_rows=cfg.driver_agg_max_rows
+        )
     hot_ref = [ray.put(hot)] if hot else None
 
     salted = band_ds.map_batches(
@@ -144,7 +183,7 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
 
     if hot:
         # representative pass: min clip per (bucket, salt) of hot buckets,
-        # self-joined on bucket → connectivity across salt sub-buckets
+        # paired across salts → connectivity across salt sub-buckets
         hot_keys_arr = np.array(list(hot.keys()), dtype=np.int64)
 
         def keep_hot(batch: pa.Table) -> pa.Table:
@@ -152,23 +191,63 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
             return batch.filter(pa.array(mask))
 
         hot_rows = salted.map_batches(keep_hot, batch_format="pyarrow")
-        reps = hot_rows.groupby(["bucket", "salt"]).min("clip_id")
-        rep_col = [c for c in reps.schema().names if c.startswith("min")][0]
-        reps = reps.map_batches(
-            lambda t: pa.table(
-                {"bucket": t.column("bucket"), "clip_id": t.column(rep_col)}
-            ),
-            batch_format="pyarrow",
-        )
-        rep_joined = reps.join(
-            reps,
-            join_type="inner",
-            on=("bucket",),
-            right_suffix="_r",
-            num_partitions=max(2, num_partitions // 8),
-        )
-        pairs = pairs.union(_pairs_from_join(rep_joined))
+        n_hot_rows = sum(hot.values())
+        if n_hot_rows <= cfg.driver_agg_max_rows:
+            # metadata-scale: reps + rep pairs computed driver-side
+            import itertools
 
-    # dedupe across bands/channels (vectorized hash aggregation)
-    uniq = pairs.groupby(["clip_id_a", "clip_id_b"]).count()
-    return uniq.select_columns(["clip_id_a", "clip_id_b"])
+            import pandas as pd
+
+            frames = [
+                b for b in hot_rows.iter_batches(batch_size=1_048_576, batch_format="pandas")
+            ]
+            if frames:
+                df = pd.concat(frames, ignore_index=True)
+                reps = df.groupby(["bucket", "salt"])["clip_id"].min().reset_index()
+                pa_list, pb_list = [], []
+                for _, grp in reps.groupby("bucket"):
+                    ids = sorted(grp["clip_id"].tolist())
+                    for x, y in itertools.combinations(ids, 2):
+                        pa_list.append(x)
+                        pb_list.append(y)
+                if pa_list:
+                    import ray.data as rd
+
+                    rep_pairs = rd.from_arrow(
+                        pa.table(
+                            {
+                                "clip_id_a": pa.array(pa_list, pa.string()),
+                                "clip_id_b": pa.array(pb_list, pa.string()),
+                            },
+                            schema=PAIRS_SCHEMA,
+                        )
+                    )
+                    pairs = pairs.union(rep_pairs)
+        else:
+            # distributed fallback: groupby-min reps + self-join on bucket
+            reps = hot_rows.groupby(["bucket", "salt"]).min("clip_id")
+            rep_col = [c for c in reps.schema().names if c.startswith("min")][0]
+            reps = reps.map_batches(
+                lambda t: pa.table(
+                    {"bucket": t.column("bucket"), "clip_id": t.column(rep_col)}
+                ),
+                batch_format="pyarrow",
+            )
+            rep_joined = reps.join(
+                reps,
+                join_type="inner",
+                on=("bucket",),
+                right_suffix="_r",
+                num_partitions=max(2, num_partitions // 8),
+            )
+            pairs = pairs.union(_pairs_from_join(rep_joined))
+
+    if cfg.pair_dedupe == "global":
+        # full shuffle dedupe — the 10^12 path where cross-batch duplicate
+        # verification would dominate
+        uniq = pairs.groupby(["clip_id_a", "clip_id_b"]).count()
+        return uniq.select_columns(["clip_id_a", "clip_id_b"])
+    # "local": batches were deduped inside _pairs_from_join; remaining
+    # cross-batch duplicates cost duplicate (vectorized) verification and
+    # produce duplicate edges, which union-find absorbs
+    return pairs

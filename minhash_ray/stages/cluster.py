@@ -46,6 +46,10 @@ def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: 
     """Distributed min-label propagation. Returns a Dataset {clip_id, cluster_id}."""
     import ray.data as rd
 
+    from minhash_ray.util import clamp_partitions
+
+    num_partitions = clamp_partitions(num_partitions)
+
     def to_directed(batch: pa.Table) -> pa.Table:
         a = batch.column("clip_id_a")
         b = batch.column("clip_id_b")
@@ -173,13 +177,15 @@ def assign_clusters(all_ids_ds, edges_ds, cfg: PipelineConfig, num_partitions: i
         )
 
     # scale path: distributed label propagation + left join for singletons
+    from minhash_ray.util import clamp_partitions
+
     comp_ds = components_label_propagation(edges_ds, num_partitions=num_partitions)
     joined = all_ids_ds.select_columns(["clip_id"]).join(
         comp_ds,
         join_type="left_outer",
         on=("clip_id",),
         right_suffix="_c",
-        num_partitions=num_partitions,
+        num_partitions=clamp_partitions(num_partitions),
     )
 
     def fill(batch: pa.Table) -> pa.Table:

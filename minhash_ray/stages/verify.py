@@ -109,6 +109,9 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig):
 
 
 def verify_broadcast(pairs_ds, sig_ds, cfg: PipelineConfig, concurrency: int = 4):
+    from minhash_ray.util import clamp_concurrency
+
+    concurrency = clamp_concurrency(concurrency)
     pack_ref = build_broadcast_pack(sig_ds, cfg)
     return pairs_ds.map_batches(
         BroadcastVerifier,
@@ -121,6 +124,9 @@ def verify_broadcast(pairs_ds, sig_ds, cfg: PipelineConfig, concurrency: int = 4
 
 def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 32):
     """Scale path: attach signatures by two partitioned hash joins."""
+    from minhash_ray.util import clamp_partitions
+
+    num_partitions = clamp_partitions(num_partitions)
     slim = sig_ds.select_columns(["clip_id", "signature", "simhash", "audio_fp"])
 
     with_a = pairs_ds.join(
@@ -170,15 +176,66 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
     return with_ab.map_batches(compute, batch_format="pyarrow")
 
 
-def exact_edges(validated_ds, num_partitions: int = 8):
+def exact_edges(validated_ds, num_partitions: int = 8, driver_max_rows: int = 50_000_000,
+                n_rows: int | None = None):
     """Exact-duplicate channel: star edges within identical content hashes.
 
-    Vectorized throughout: min-rep per content_hash (groupby aggregate) +
-    one partitioned join back — no per-group python.  Covers zero-shingle
-    rows, which are excluded from banding (all-INFTY sketches must not
-    cross-match, reference src/configuration/configuration.c:143-148).
+    Covers zero-shingle rows, which are excluded from banding (all-INFTY
+    sketches must not cross-match, reference
+    src/configuration/configuration.c:143-148).
+
+    Below ``driver_max_rows`` the (clip_id, content_hash) projection
+    streams to the driver, min-reps are computed with one pandas groupby
+    and broadcast back — Ray's aggregate+join carries ~10 s of fixed
+    overhead that dwarfs this metadata-scale reduction.  Beyond it, the
+    distributed groupby-min + partitioned-join path runs instead.
     """
+    from minhash_ray.util import clamp_partitions
+
+    num_partitions = clamp_partitions(num_partitions)
     slim = validated_ds.select_columns(["clip_id", "content_hash"])
+    if n_rows is None:
+        n_rows = slim.count()
+
+    if n_rows <= driver_max_rows:
+        import ray
+
+        import pandas as pd
+
+        frames = [
+            b for b in slim.iter_batches(batch_size=1_048_576, batch_format="pandas")
+        ]
+        df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=["clip_id", "content_hash"]
+        )
+        reps = df.groupby("content_hash")["clip_id"].min()
+        rep_of = reps.to_dict()
+        rep_ref = [ray.put(rep_of)]
+
+        class Star:
+            def __init__(self):
+                self.rep = ray.get(rep_ref[0])
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column("clip_id").to_pylist()
+                hashes = batch.column("content_hash").to_pylist()
+                a = [self.rep[h] for h in hashes]
+                keep = np.fromiter(
+                    (x < y for x, y in zip(a, ids)), dtype=bool, count=len(ids)
+                )
+                n = int(keep.sum())
+                return _edges_table(
+                    pa.array([x for x, k in zip(a, keep) if k], pa.string()),
+                    pa.array([y for y, k in zip(ids, keep) if k], pa.string()),
+                    np.ones(n, dtype=np.float64),
+                    np.zeros(n, dtype=np.int64),
+                    np.zeros(n, dtype=np.int64),
+                    "exact",
+                    None,
+                )
+
+        return slim.map_batches(Star, batch_format="pyarrow", concurrency=2)
+
     reps = slim.groupby("content_hash").min("clip_id")
     rep_col = [c for c in reps.schema().names if c != "content_hash"][0]
 

@@ -1,0 +1,185 @@
+"""Operator-coverage tests: text analysis, text dedup, ANN, relational ops
+vs DuckDB oracles at sf0.001, multimodal plumbing, substring kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _pdf(res):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+SQL_QUERIES = [
+    "token_counts", "text_quality", "doc_fingerprints", "lang_stats",
+    "exact_dedup_docs", "ann_topk", "embedding_pairs_exact", "lineitem_agg",
+    "orders_by_segment", "top_customers", "supplier_regions",
+    "events_by_type", "filtered_lineitem", "part_brand_stats",
+]
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_duckdb_oracle(ray_session, sf_dir, duck, name):
+    import __ray_entry__ as E
+
+    rdf = _canon(_pdf(E.queries()[name](sf_dir)))
+    odf = _canon(duck.execute(E.oracle_sql()[name]).fetchdf())
+    assert list(rdf.columns) == list(odf.columns)
+    assert [str(d) for d in rdf.dtypes] == [str(d) for d in odf.dtypes]
+    assert rdf.equals(odf), f"{name} values differ"
+
+
+def test_rows_only_queries_have_stable_schema(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    expected_cols = {
+        "simhash_fingerprints": ["doc_id", "simhash"],
+        "rolling_fingerprints": ["doc_id", "n_grams", "min_gram_hash"],
+        "lang_id": ["doc_id", "lang_pred"],
+        "minhash_dup_pairs": ["doc_id_a", "doc_id_b", "sim"],
+    }
+    for name, cols in expected_cols.items():
+        df = _pdf(E.queries()[name](sf_dir))
+        assert list(df.columns) == cols, name
+        assert len(df) >= 0
+
+
+def test_minhash_dup_pairs_deterministic_and_verified(ray_session, sf_dir):
+    from minhash_ray.pipelines.dedup_text import minhash_dup_pairs, ngram_jaccard_pairs
+
+    p1 = _pdf(minhash_dup_pairs(sf_dir)).sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    p2 = _pdf(minhash_dup_pairs(sf_dir)).sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    assert p1.equals(p2)
+    # estimator vs exact n-gram jaccard: every kept pair has real overlap
+    ex = _pdf(ngram_jaccard_pairs(sf_dir, threshold=0.0))
+    j_of = {(a, b): j for a, b, j in zip(ex.doc_id_a, ex.doc_id_b, ex.jaccard)}
+    for a, b, sim in zip(p1.doc_id_a, p1.doc_id_b, p1.sim):
+        j = j_of.get((a, b), 0.0)
+        assert abs(j - sim) < 0.25, (a, b, j, sim)
+
+
+def test_embedding_lsh_finds_planted_dups(ray_session, tmp_path):
+    """Hyperplane-LSH near-dup path on embeddings WITH planted duplicates
+    (the testdata embeddings are near-orthogonal, so plant our own)."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 32))
+    dup = base[:40] + rng.standard_normal((40, 32)) * 0.05   # cos ~ 0.999
+    mat = np.vstack([base, dup]).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(mat), dtype=np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    from minhash_ray.pipelines.ann import embedding_dup_pairs
+
+    pairs = _pdf(embedding_dup_pairs(str(d), threshold=0.9))
+    found = set(zip(pairs.vec_id_a, pairs.vec_id_b))
+    planted = {(i, 200 + i) for i in range(40)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, recall
+    # verification keeps only true high-cosine pairs
+    assert (pairs.cos >= 0.9).all()
+
+
+def test_ann_topk_is_true_topk(ray_session, sf_dir):
+    import duckdb
+
+    from minhash_ray.pipelines.ann import ann_topk
+
+    got = _pdf(ann_topk(sf_dir, query_vec_id=3, k=5))
+    rows = duckdb.connect().execute(
+        f"""SELECT vec_id FROM '{sf_dir}/embeddings.parquet' WHERE vec_id <> 3
+            ORDER BY list_cosine_similarity(embedding,
+              (SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id=3)) DESC, vec_id
+            LIMIT 5"""
+    ).fetchall()
+    assert got.vec_id.tolist() == [r[0] for r in rows]
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_multimodal_frame_features_and_stub(ray_session, small_fixture):
+    import ray.data as rd
+
+    from minhash_ray.pipelines.multimodal import audio_frame_features
+
+    clips = rd.read_parquet(str(small_fixture / "clips.parquet")).limit(20)
+    t = pa.concat_tables(
+        list(
+            audio_frame_features(clips).iter_batches(batch_size=4096, batch_format="pyarrow")
+        )
+    )
+    assert t.column("frame_idx").to_numpy().min() >= 0          # all pcm decodes
+    assert t.schema.field("feature").type == pa.list_(pa.float32(), 8)
+
+    # stub boundary: unknown codec rows become decode_error rows, not crashes
+    def poison(batch: pa.Table) -> pa.Table:
+        codecs = ["mp3"] * batch.num_rows
+        i = batch.column_names.index("codec")
+        return batch.set_column(i, "codec", pa.array(codecs, pa.string()))
+
+    poisoned = clips.map_batches(poison, batch_format="pyarrow")
+    t2 = pa.concat_tables(
+        list(
+            audio_frame_features(poisoned).iter_batches(batch_size=4096, batch_format="pyarrow")
+        )
+    )
+    assert (t2.column("frame_idx").to_numpy() == -1).all()
+    assert all(e and "external decoder" in e for e in t2.column("decode_error").to_pylist())
+
+
+def test_resample_stub(ray_session, small_fixture):
+    import ray.data as rd
+
+    from minhash_ray.pipelines.multimodal import resample_stub
+
+    clips = rd.read_parquet(str(small_fixture / "clips.parquet")).limit(10)
+    out = pa.concat_tables(
+        list(
+            resample_stub(clips, 16000).iter_batches(batch_size=4096, batch_format="pyarrow")
+        )
+    )
+    assert (out.column("sr_hz").to_numpy() == 16000).all()
+
+
+def test_substring_kernel():
+    from minhash_ray.functions.substring import lcs_ratio, longest_common_substring_len
+
+    assert longest_common_substring_len("abcdef", "zabcy") == 3
+    assert longest_common_substring_len("", "abc") == 0
+    assert longest_common_substring_len("aaaa", "aa") == 2
+    assert lcs_ratio("hello world", "hello world") == 1.0
+    assert lcs_ratio("abc", "xyz") == 0.0

@@ -302,7 +302,9 @@ def generate_clips(
 def write_fixtures(out_dir: str, n_rows: int, seed: int = 42, **kw) -> None:
     os.makedirs(out_dir, exist_ok=True)
     clips, truth = generate_clips(n_rows, seed=seed, **kw)
-    pq.write_table(clips, os.path.join(out_dir, "clips.parquet"))
+    # small row groups so ray.data.read_parquet can split the read into
+    # many blocks (one giant row group = one block = no read parallelism)
+    pq.write_table(clips, os.path.join(out_dir, "clips.parquet"), row_group_size=1024)
     pq.write_table(truth, os.path.join(out_dir, "truth_pairs.parquet"))
 
 
