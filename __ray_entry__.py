@@ -42,7 +42,7 @@ def entry() -> Any:
     from minhash_ray.pipelines.dedup import run_dedup
 
     clips, _ = _clips_ds(SF0001)
-    cfg = PipelineConfig(signature_concurrency=4)
+    cfg = PipelineConfig()
     res = run_dedup(clips, cfg, num_partitions=8)
     return res.assignments
 
@@ -55,7 +55,7 @@ def _clips_dedup(sf_dir: str):
     from minhash_ray.pipelines.dedup import run_dedup
 
     clips, _ = _clips_ds(sf_dir)
-    return run_dedup(clips, PipelineConfig(signature_concurrency=4), num_partitions=8)
+    return run_dedup(clips, PipelineConfig(), num_partitions=8)
 
 
 def clips_dedup_assignments(sf_dir: str):

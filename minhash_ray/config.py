@@ -65,10 +65,19 @@ class PipelineConfig:
 
     # --- audio fingerprint ---
     audio_fp_frames: int = 64            # energy-delta frames → 64-bit fingerprint
+    use_audio_channel: bool = True       # byte-level audio MinHash LSH channel
+    audio_num_perm: int = 64             # OPH slots of the byte-ngram signature
+    audio_ngram: int = 4                 # byte w-grams
+    audio_bands: int = 16                # audio LSH: 16 bands × 4 rows = 64
+    audio_rows_per_band: int = 4
+    audio_tau: float = 0.85              # byte-channel edge threshold (near-exact)
 
     # --- execution ---
     batch_size: int = 1024               # rows per signature batch
-    signature_concurrency: int = 8       # actor-pool size for the signature stage
+    signature_concurrency: int = 0       # actor-pool size for the fused
+                                         # validate+signature stage; 0 = auto
+                                         # (cluster CPUs - 2: it is the heaviest
+                                         # compute stage and runs in its own graph)
     broadcast_verify_max_rows: int = 2_000_000   # ≤ this many clips → broadcast-join verify
     driver_uf_max_edges: int = 10_000_000        # ≤ this many edges → driver union-find
     driver_agg_max_rows: int = 50_000_000        # ≤ this many rows → driver-side streaming
@@ -78,6 +87,11 @@ class PipelineConfig:
     pair_dedupe: str = "local"                   # "local": per-batch dedupe, duplicate edges
                                                  # tolerated by union-find; "global": full
                                                  # shuffle dedupe (the 10^12 path)
+    candidate_backend: str = "auto"              # "local": raw-task hash-partition reducers
+                                                 # (fast below driver_agg_max_rows band rows,
+                                                 # explicit star+chain caps); "join":
+                                                 # Dataset.join self-join (the 10^12 path);
+                                                 # "auto" picks by band-row count
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

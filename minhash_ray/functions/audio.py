@@ -86,6 +86,42 @@ def energy_delta_fingerprint(waveform: np.ndarray, n_frames: int = 64) -> int:
     return int((bits << shifts).sum(dtype=np.uint64))
 
 
+def byte_oph_signature(payload: bytes, k: int, w: int, seed: int) -> np.ndarray:
+    """Byte-level audio MinHash signature via one-permutation hashing.
+
+    One rolling hash per byte w-gram, bucketed into k slots by its top
+    bits, elementwise-min per slot (OPH: Li, Owen & Zhang 2012, "One
+    permutation hashing") — O(bytes) instead of the reference's O(bytes·k)
+    k-permutation construction, with the same mergeable min-fold algebra
+    (reference merge semantics, src/utils/utils.c:36-46).  Empty slots stay
+    INFTY.  Byte-level means the channel matches byte-near-identical
+    payloads (exact copies, pad/trim variants); it is intentionally NOT
+    robust to re-encoding or gain changes — those belong to the decoded
+    feature channels.
+    """
+    sig = np.full(k, np.uint64(2**64 - 1), dtype=np.uint64)
+    grams = byte_ngram_hashes(payload, w, seed)
+    if len(grams) == 0:
+        return sig
+    # content-defined sampling (keep grams whose hash has 4 low zero bits,
+    # ~1/16): shift-invariant — identical byte content selects identical
+    # grams regardless of position — and cuts the sort bandwidth 16x.
+    # Winnowing-style selection (Schleimer et al. 2003, SIGMOD).
+    sampled = grams[(grams & U64(0xF)) == U64(0)]
+    if len(sampled):
+        grams = sampled
+    shift = U64(64 - int(k).bit_length() + 1)
+    bucket = (grams >> shift).astype(np.int64)
+    bucket = np.minimum(bucket, k - 1)
+    order = np.argsort(bucket, kind="stable")
+    b_sorted = bucket[order]
+    g_sorted = grams[order]
+    starts = np.flatnonzero(np.diff(b_sorted, prepend=-1))
+    mins = np.minimum.reduceat(g_sorted, starts)
+    sig[b_sorted[starts]] = mins
+    return sig
+
+
 def byte_ngram_hashes(payload: bytes, w: int, seed: int) -> np.ndarray:
     """uint64 hashes of all byte w-grams of a payload (the audio analogue of
     transcript shingles; feeds the same MinHash kernels)."""

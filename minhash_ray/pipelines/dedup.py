@@ -26,8 +26,6 @@ from minhash_ray.sources.clips import read_clips, validate_clips_schema
 from minhash_ray.stages.banding import make_minhash_band_fn, make_simhash_band_fn
 from minhash_ray.stages.candidates import candidate_pairs
 from minhash_ray.stages.cluster import assign_clusters
-from minhash_ray.stages.signature import SignatureStage
-from minhash_ray.stages.validate import make_validate_fn
 from minhash_ray.stages.verify import exact_edges, verify_pairs
 from minhash_ray.state.checkpoint import CheckpointManager
 
@@ -69,39 +67,31 @@ def run_dedup(
     if ckpt:
         ckpt.clear_stale_temps()
 
-    # --- stage V: validate / fingerprint / drop audio payload ---
-    if ckpt and resume and ckpt.is_complete("validated"):
-        validated = ckpt.load("validated")
-    else:
-        validated = clips.map_batches(
-            make_validate_fn(cfg.audio_fp_frames), batch_format="pyarrow"
-        )
-        if ckpt:
-            validated = ckpt.save("validated", validated, input_stage="input")
-        else:
-            # consumed twice (signatures + exact channel); without a
-            # checkpoint backing it, pin the slim projection once.  At
-            # 10^12-clip scale you run with ckpt_root set and this branch
-            # never materializes anything.
-            validated = validated.materialize()
+    # --- stage V+S fused: validate / fingerprint / sketch in one pass over
+    # the payload column (actor pool holding the coefficient tables); the
+    # audio payload is dropped at this boundary ---
+    from minhash_ray.stages.signature import ValidateSignatureStage
 
-    # --- stage S: signatures (stateful actor pool) ---
     if ckpt and resume and ckpt.is_complete("signatures"):
         signatures = ckpt.load("signatures")
     else:
-        signatures = validated.map_batches(
-            SignatureStage,
+        from minhash_ray.util import cluster_cpus
+
+        concurrency = cfg.signature_concurrency or max(2, cluster_cpus() - 2)
+        signatures = clips.map_batches(
+            ValidateSignatureStage,
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=cfg.signature_concurrency,
+            concurrency=concurrency,
         )
         if ckpt:
-            signatures = ckpt.save("signatures", signatures, input_stage="validated")
+            signatures = ckpt.save("signatures", signatures, input_stage="input")
         else:
             signatures = signatures.materialize()   # consumed 3× (bands, count, verify)
+    validated = signatures                          # superset of the stage-V contract
 
-    # --- stages B+G+P: banding → salted self-join → verify ---
+    # --- stages B+G+P: banding → salted bucket shuffle → verify ---
     if ckpt and resume and ckpt.is_complete("edges"):
         edges = ckpt.load("edges")
         n_clips = None
@@ -115,29 +105,51 @@ def run_dedup(
                 make_simhash_band_fn(), batch_format="pyarrow"
             )
             band_rows = band_rows.union(sim_rows)
+        if cfg.use_audio_channel:
+            from minhash_ray.stages.banding import make_audio_band_fn
+
+            audio_rows = signatures.map_batches(
+                make_audio_band_fn(cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm),
+                batch_format="pyarrow",
+            )
+            band_rows = band_rows.union(audio_rows)
 
         # materialized: the slim pair table is tiny relative to the corpus,
-        # and splitting the join graph from the verify actor pool prevents
+        # and splitting the shuffle graph from the verify stage prevents
         # CPU-reservation deadlock on small clusters
         pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
         n_clips = signatures.count()
-        edges = verify_pairs(
-            pairs,
-            signatures,
-            cfg,
-            n_clips=n_clips,
-            num_partitions=num_partitions,
-            concurrency=max(2, cfg.signature_concurrency // 2),
-        )
-        if cfg.use_exact_channel:
-            edges = edges.union(
-                exact_edges(
-                    validated,
-                    num_partitions=max(2, num_partitions // 4),
-                    driver_max_rows=cfg.driver_agg_max_rows,
-                    n_rows=n_clips,
-                )
+
+        if n_clips <= cfg.broadcast_verify_max_rows:
+            # one driver pass builds the broadcast pack AND the exact-dup
+            # star edges — no separate exact stage
+            from minhash_ray.stages.verify import build_broadcast_pack, make_broadcast_verifier
+
+            pack_ref, exact_tbl = build_broadcast_pack(signatures, cfg, with_content=True)
+            edges = pairs.map_batches(
+                make_broadcast_verifier(pack_ref, cfg),
+                batch_format="pyarrow",
+                batch_size=65536,
             )
+            if cfg.use_exact_channel and exact_tbl.num_rows:
+                import ray.data as _rd
+
+                edges = edges.union(_rd.from_arrow(exact_tbl))
+        else:
+            # 10^12 path: partitioned-join verification + distributed exact
+            edges = verify_pairs(
+                pairs, signatures, cfg,
+                n_clips=n_clips, num_partitions=num_partitions,
+            )
+            if cfg.use_exact_channel:
+                edges = edges.union(
+                    exact_edges(
+                        signatures,
+                        num_partitions=max(2, num_partitions // 4),
+                        driver_max_rows=cfg.driver_agg_max_rows,
+                        n_rows=n_clips,
+                    )
+                )
         if ckpt:
             edges = ckpt.save("edges", edges, input_stage="signatures")
         else:

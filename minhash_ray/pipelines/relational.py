@@ -76,25 +76,24 @@ def orders_by_segment(sf_dir: str):
     seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
     ref = [ray.put(seg_of)]
 
-    class AttachSegment:
-        def __init__(self):
-            self.seg = ray.get(ref[0])
+    def attach_segment(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            seg = [self.seg.get(k) for k in keys]
-            total = _cents(batch.column("o_totalprice").to_numpy())
-            t = pa.table(
-                {
-                    "c_mktsegment": pa.array(seg, pa.string()),
-                    "total_cents": pa.array(total, pa.int64()),
-                }
-            )
-            return t.filter(pc.is_valid(t.column("c_mktsegment")))
+        seg_map = cached_get(ref[0])
+        keys = batch.column("o_custkey").to_pylist()
+        seg = [seg_map.get(k) for k in keys]
+        total = _cents(batch.column("o_totalprice").to_numpy())
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "total_cents": pa.array(total, pa.int64()),
+            }
+        )
+        return t.filter(pc.is_valid(t.column("c_mktsegment")))
 
     return (
         _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(AttachSegment, batch_format="pyarrow", concurrency=2)
+        .map_batches(attach_segment, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
     )
@@ -139,17 +138,16 @@ def supplier_regions(sf_dir: str):
     }
     ref = [ray.put(n_to_r)]
 
-    class AttachRegion:
-        def __init__(self):
-            self.map = ray.get(ref[0])
+    def attach_region(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            names = [self.map.get(k) for k in batch.column("s_nationkey").to_pylist()]
-            return pa.table({"r_name": pa.array(names, pa.string())})
+        n_map = cached_get(ref[0])
+        names = [n_map.get(k) for k in batch.column("s_nationkey").to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string())})
 
     return (
         _t(sf_dir, "supplier", ["s_nationkey"])
-        .map_batches(AttachRegion, batch_format="pyarrow", concurrency=2)
+        .map_batches(attach_region, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_suppliers"))
     )

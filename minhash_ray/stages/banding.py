@@ -36,6 +36,7 @@ BAND_SCHEMA = pa.schema([("bucket", pa.int64()), ("clip_id", pa.string())])
 
 _MINHASH_NS = U64(0x9E3779B97F4A7C15)
 _SIMHASH_NS = U64(0xC2B2AE3D27D4EB4F)
+_AUDIO_NS = U64(0xD6E8FEB86659FD93)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
@@ -76,6 +77,41 @@ def make_minhash_band_fn(bands: int, rows_per_band: int, num_perm: int):
             * bands
         ) if m else pa.array([], pa.string())
         # column-major flatten so clip ids repeat per band cheaply
+        out_buckets = buckets.T.reshape(-1) if m else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"bucket": pa.array(out_buckets, pa.int64()), "clip_id": out_ids},
+            schema=BAND_SCHEMA,
+        )
+
+    return explode
+
+
+def make_audio_band_fn(bands: int, rows_per_band: int, audio_num_perm: int):
+    """Byte-level audio MinHash LSH channel (separate bucket namespace).
+
+    Rows whose audio signature is all-INFTY (empty payload) are skipped —
+    the same empty-sketch hygiene as the transcript channel."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("audio_sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sigs = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, audio_num_perm)
+        keep = ~(sigs == np.uint64(2**64 - 1)).all(axis=1)
+        sigs = np.ascontiguousarray(sigs[keep], dtype=np.uint64)
+        clip_ids = batch.column("clip_id").filter(pa.array(keep))
+        m = sigs.shape[0]
+        grouped = sigs.reshape(m, bands, rows_per_band) if m else sigs.reshape(0, bands, rows_per_band)
+        P = U64(0x100000001B3)
+        h = np.full((m, bands), _AUDIO_NS, dtype=np.uint64)
+        h = h + np.arange(bands, dtype=np.uint64)[None, :]
+        for r in range(rows_per_band):
+            h = h * P + grouped[:, :, r]
+        buckets = (splitmix64(h) >> U64(1)).astype(np.int64)
+        out_ids = pa.concat_arrays(
+            [clip_ids.combine_chunks() if isinstance(clip_ids, pa.ChunkedArray) else clip_ids]
+            * bands
+        ) if m else pa.array([], pa.string())
         out_buckets = buckets.T.reshape(-1) if m else np.empty(0, dtype=np.int64)
         return pa.table(
             {"bucket": pa.array(out_buckets, pa.int64()), "clip_id": out_ids},

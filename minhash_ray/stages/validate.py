@@ -23,23 +23,33 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from minhash_ray.functions.audio import UnsupportedCodecError, decode_pcm, energy_delta_fingerprint
-
-VALIDATED_SCHEMA = pa.schema(
-    [
-        ("clip_id", pa.string()),
-        ("transcript", pa.string()),
-        ("content_hash", pa.string()),
-        ("audio_fp", pa.uint64()),
-        ("n_samples", pa.int64()),
-        ("decode_ok", pa.bool_()),
-    ]
+from minhash_ray.functions.audio import (
+    UnsupportedCodecError,
+    byte_oph_signature,
+    decode_pcm,
+    energy_delta_fingerprint,
 )
 
 
-def make_validate_fn(n_fp_frames: int = 64):
+def validated_schema(audio_num_perm: int) -> pa.Schema:
+    return pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("transcript", pa.string()),
+            ("content_hash", pa.string()),
+            ("audio_fp", pa.uint64()),
+            ("audio_sig", pa.list_(pa.uint64(), audio_num_perm)),
+            ("n_samples", pa.int64()),
+            ("decode_ok", pa.bool_()),
+        ]
+    )
+
+
+def make_validate_fn(n_fp_frames: int = 64, audio_num_perm: int = 64,
+                     audio_ngram: int = 4, seed: int = 42):
     """Returns the stage V batch function (closure over config only —
     stateless, runs as plain Ray tasks)."""
+    schema = validated_schema(audio_num_perm)
 
     def validate_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -48,6 +58,7 @@ def make_validate_fn(n_fp_frames: int = 64):
         transcripts = batch.column("transcript").to_pylist()
 
         audio_fp = np.zeros(n, dtype=np.uint64)
+        audio_sig = np.empty((n, audio_num_perm), dtype=np.uint64)
         n_samples = np.zeros(n, dtype=np.int64)
         decode_ok = np.zeros(n, dtype=bool)
         content_hash = [""] * n
@@ -59,6 +70,8 @@ def make_validate_fn(n_fp_frames: int = 64):
             h.update(b"\x00")
             h.update(payload)
             content_hash[i] = h.hexdigest()
+            # byte-level channel works on the raw payload, codec-agnostic
+            audio_sig[i] = byte_oph_signature(payload, audio_num_perm, audio_ngram, seed)
             try:
                 wave = decode_pcm(payload, codecs[i])
                 n_samples[i] = len(wave)
@@ -66,7 +79,7 @@ def make_validate_fn(n_fp_frames: int = 64):
                 decode_ok[i] = True
             except UnsupportedCodecError:
                 # stub boundary: codec needs an external decoder; the row
-                # still flows through the transcript channels
+                # still flows through the transcript + byte channels
                 decode_ok[i] = False
 
         return pa.table(
@@ -75,10 +88,13 @@ def make_validate_fn(n_fp_frames: int = 64):
                 "transcript": batch.column("transcript"),
                 "content_hash": pa.array(content_hash, pa.string()),
                 "audio_fp": pa.array(audio_fp, pa.uint64()),
+                "audio_sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(audio_sig.reshape(-1), pa.uint64()), audio_num_perm
+                ),
                 "n_samples": pa.array(n_samples, pa.int64()),
                 "decode_ok": pa.array(decode_ok, pa.bool_()),
             },
-            schema=VALIDATED_SCHEMA,
+            schema=schema,
         )
 
     return validate_batch

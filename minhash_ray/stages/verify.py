@@ -33,6 +33,7 @@ EDGES_SCHEMA = pa.schema(
         ("clip_id_a", pa.string()),
         ("clip_id_b", pa.string()),
         ("sim", pa.float64()),
+        ("audio_sim", pa.float64()),
         ("simhash_dist", pa.int64()),
         ("audio_fp_dist", pa.int64()),
         ("channel", pa.string()),
@@ -40,12 +41,16 @@ EDGES_SCHEMA = pa.schema(
 )
 
 
-def _edges_table(ids_a, ids_b, sim, sh_dist, fp_dist, channel: str, keep_mask) -> pa.Table:
+def _edges_table(ids_a, ids_b, sim, sh_dist, fp_dist, channel: str, keep_mask,
+                 audio_sim=None) -> pa.Table:
+    if audio_sim is None:
+        audio_sim = np.zeros(len(sim), dtype=np.float64)
     t = pa.table(
         {
             "clip_id_a": ids_a,
             "clip_id_b": ids_b,
             "sim": pa.array(sim, pa.float64()),
+            "audio_sim": pa.array(audio_sim, pa.float64()),
             "simhash_dist": pa.array(sh_dist, pa.int64()),
             "audio_fp_dist": pa.array(fp_dist, pa.int64()),
             "channel": pa.array([channel] * len(sim), pa.string()),
@@ -55,70 +60,120 @@ def _edges_table(ids_a, ids_b, sim, sh_dist, fp_dist, channel: str, keep_mask) -
     return t.filter(pa.array(keep_mask)) if keep_mask is not None else t
 
 
-class BroadcastVerifier:
-    """Actor-pool verify stage: resolves the broadcast signature pack once
-    per actor in ``__init__``, verifies each pair batch vectorized."""
+def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
+    """Verify stage as a plain task fn: the broadcast signature pack is
+    fetched through the per-worker-process cache (numpy arrays are
+    zero-copy views of the shared object store), so tasks stay elastic —
+    no actor pool reserving CPUs while upstream stages run."""
+    threshold = cfg.tau - cfg.verify_margin
+    audio_tau = cfg.audio_tau
 
-    def __init__(self, pack_ref, cfg: PipelineConfig):
-        import ray
+    def verify(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
 
-        pack = ray.get(pack_ref[0])
-        self.index: dict[str, int] = pack["index"]
-        self.sigs: np.ndarray = pack["sigs"]
-        self.simhash: np.ndarray = pack["simhash"]
-        self.audio_fp: np.ndarray = pack["audio_fp"]
-        self.cfg = cfg
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        pack = cached_get(pack_ref[0])
+        ids_sorted, sigs = pack["ids_sorted"], pack["sigs"]
         ids_a = batch.column("clip_id_a")
         ids_b = batch.column("clip_id_b")
-        idx_a = np.fromiter(
-            (self.index[x] for x in ids_a.to_pylist()), dtype=np.int64, count=batch.num_rows
-        )
-        idx_b = np.fromiter(
-            (self.index[x] for x in ids_b.to_pylist()), dtype=np.int64, count=batch.num_rows
-        )
-        sim = estimate_similarity(self.sigs[idx_a], self.sigs[idx_b])
-        sh = hamming_distance(self.simhash[idx_a], self.simhash[idx_b])
-        fp = hamming_distance(self.audio_fp[idx_a], self.audio_fp[idx_b])
-        keep = sim >= self.cfg.tau - self.cfg.verify_margin
-        return _edges_table(ids_a, ids_b, sim, sh, fp, "minhash", keep)
+        idx_a = np.searchsorted(ids_sorted, np.array(ids_a.to_pylist(), dtype="S"))
+        idx_b = np.searchsorted(ids_sorted, np.array(ids_b.to_pylist(), dtype="S"))
+        sim = estimate_similarity(sigs[idx_a], sigs[idx_b])
+        sh = hamming_distance(pack["simhash"][idx_a], pack["simhash"][idx_b])
+        fp = hamming_distance(pack["audio_fp"][idx_a], pack["audio_fp"][idx_b])
+        audio_sigs = pack.get("audio_sigs")
+        if audio_sigs is not None:
+            # exclude all-INFTY (empty payload) sketches from matching 1.0
+            asim = estimate_similarity(audio_sigs[idx_a], audio_sigs[idx_b])
+            nonempty = ~(
+                (audio_sigs[idx_a] == np.uint64(2**64 - 1)).all(axis=1)
+                & (audio_sigs[idx_b] == np.uint64(2**64 - 1)).all(axis=1)
+            )
+            asim = asim * nonempty
+        else:
+            asim = np.zeros(len(sim), dtype=np.float64)
+        keep = (sim >= threshold) | (asim >= audio_tau)
+        return _edges_table(ids_a, ids_b, sim, sh, fp, "minhash", keep, audio_sim=asim)
+
+    return verify
 
 
-def build_broadcast_pack(sig_ds, cfg: PipelineConfig):
-    """Collect the signature table into numpy matrices + id index and
-    ``ray.put`` it once.  Only valid under ``broadcast_verify_max_rows``."""
+def driver_exact_edges_table(ids, hashes) -> pa.Table:
+    """Exact-duplicate star edges computed driver-side (vectorized pandas
+    transform-min).  ids/hashes: equal-length sequences."""
+    import pandas as pd
+
+    df = pd.DataFrame({"clip_id": ids, "content_hash": hashes})
+    rep = df.groupby("content_hash")["clip_id"].transform("min")
+    mask = (rep < df["clip_id"]).to_numpy()
+    n = int(mask.sum())
+    return _edges_table(
+        pa.array(rep[mask].tolist(), pa.string()),
+        pa.array(df["clip_id"][mask].tolist(), pa.string()),
+        np.ones(n, dtype=np.float64),
+        np.zeros(n, dtype=np.int64),
+        np.zeros(n, dtype=np.int64),
+        "exact",
+        None,
+    )
+
+
+def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False):
+    """Collect the signature table into numpy matrices + sorted-id index and
+    ``ray.put`` it once.  Only valid under ``broadcast_verify_max_rows``.
+
+    With ``with_content=True`` the same single driver pass also returns the
+    exact-duplicate star-edge table (no separate stage or second scan).
+    """
     import ray
 
     from minhash_ray.stages.signature import signature_matrix
 
+    cols = ["clip_id", "signature", "simhash", "audio_fp"]
+    have_audio = "audio_sig" in sig_ds.schema().names
+    if have_audio:
+        cols.append("audio_sig")
+    if with_content:
+        cols.append("content_hash")
     tables = []
-    for batch in sig_ds.select_columns(
-        ["clip_id", "signature", "simhash", "audio_fp"]
-    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+    for batch in sig_ds.select_columns(cols).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
         tables.append(batch)
     t = pa.concat_tables(tables)
-    ids = t.column("clip_id").to_pylist()
+    # the pack is pure numpy (no python dict): workers get zero-copy plasma
+    # views with no per-process deserialization cost — a dict index costs
+    # ~1 s per worker process and therefore ANTI-scales with worker count.
+    # ids are kept as a sorted fixed-width byte array; lookup = searchsorted.
+    ids = np.array(t.column("clip_id").to_pylist(), dtype="S")
+    order = np.argsort(ids)
     pack = {
-        "index": {cid: i for i, cid in enumerate(ids)},
-        "sigs": signature_matrix(t, cfg.num_perm),
-        "simhash": np.ascontiguousarray(t.column("simhash").to_numpy(), dtype=np.uint64),
-        "audio_fp": np.ascontiguousarray(t.column("audio_fp").to_numpy(), dtype=np.uint64),
+        "ids_sorted": ids[order],
+        "sigs": signature_matrix(t, cfg.num_perm)[order],
+        "simhash": np.ascontiguousarray(t.column("simhash").to_numpy(), dtype=np.uint64)[order],
+        "audio_fp": np.ascontiguousarray(t.column("audio_fp").to_numpy(), dtype=np.uint64)[order],
     }
-    return [ray.put(pack)]
+    if have_audio:
+        col = t.column("audio_sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        pack["audio_sigs"] = (
+            col.flatten().to_numpy(zero_copy_only=False).reshape(-1, cfg.audio_num_perm)[order]
+        )
+    refs = [ray.put(pack)]
+    if with_content:
+        exact_tbl = driver_exact_edges_table(
+            t.column("clip_id").to_pylist(), t.column("content_hash").to_pylist()
+        )
+        return refs, exact_tbl
+    return refs
 
 
 def verify_broadcast(pairs_ds, sig_ds, cfg: PipelineConfig, concurrency: int = 4):
-    from minhash_ray.util import clamp_concurrency
-
-    concurrency = clamp_concurrency(concurrency)
     pack_ref = build_broadcast_pack(sig_ds, cfg)
     return pairs_ds.map_batches(
-        BroadcastVerifier,
-        fn_constructor_kwargs={"pack_ref": pack_ref, "cfg": cfg},
+        make_broadcast_verifier(pack_ref, cfg),
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency,
     )
 
 
@@ -127,7 +182,11 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
     from minhash_ray.util import clamp_partitions
 
     num_partitions = clamp_partitions(num_partitions)
-    slim = sig_ds.select_columns(["clip_id", "signature", "simhash", "audio_fp"])
+    cols = ["clip_id", "signature", "simhash", "audio_fp"]
+    have_audio = "audio_sig" in sig_ds.schema().names
+    if have_audio:
+        cols.append("audio_sig")
+    slim = sig_ds.select_columns(cols)
 
     with_a = pairs_ds.join(
         slim,
@@ -147,14 +206,16 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
     )
 
     num_perm = cfg.num_perm
+    audio_num_perm = cfg.audio_num_perm
     tau = cfg.tau - cfg.verify_margin
+    audio_tau = cfg.audio_tau
 
     def compute(batch: pa.Table) -> pa.Table:
-        def mat(name):
+        def mat(name, width):
             col = batch.column(name)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+            return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
 
         def vec(name):
             return np.ascontiguousarray(batch.column(name).to_numpy(), dtype=np.uint64)
@@ -165,12 +226,25 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
         sig_cols = [c for c in names if c.startswith("signature")]
         simh_cols = [c for c in names if c.startswith("simhash")]
         fp_cols = [c for c in names if c.startswith("audio_fp")]
-        sim = estimate_similarity(mat(sig_cols[0]), mat(sig_cols[1]))
+        audio_cols = [c for c in names if c.startswith("audio_sig")]
+        sim = estimate_similarity(mat(sig_cols[0], num_perm), mat(sig_cols[1], num_perm))
         sh = hamming_distance(vec(simh_cols[0]), vec(simh_cols[1]))
         fp = hamming_distance(vec(fp_cols[0]), vec(fp_cols[1]))
-        keep = sim >= tau
+        if len(audio_cols) == 2:
+            aa = mat(audio_cols[0], audio_num_perm)
+            ab = mat(audio_cols[1], audio_num_perm)
+            asim = estimate_similarity(aa, ab)
+            nonempty = ~(
+                (aa == np.uint64(2**64 - 1)).all(axis=1)
+                & (ab == np.uint64(2**64 - 1)).all(axis=1)
+            )
+            asim = asim * nonempty
+        else:
+            asim = np.zeros(len(sim), dtype=np.float64)
+        keep = (sim >= tau) | (asim >= audio_tau)
         return _edges_table(
-            batch.column("clip_id_a"), batch.column("clip_id_b"), sim, sh, fp, "minhash", keep
+            batch.column("clip_id_a"), batch.column("clip_id_b"), sim, sh, fp,
+            "minhash", keep, audio_sim=asim,
         )
 
     return with_ab.map_batches(compute, batch_format="pyarrow")
@@ -209,32 +283,45 @@ def exact_edges(validated_ds, num_partitions: int = 8, driver_max_rows: int = 50
             columns=["clip_id", "content_hash"]
         )
         reps = df.groupby("content_hash")["clip_id"].min()
-        rep_of = reps.to_dict()
-        rep_ref = [ray.put(rep_of)]
+        # only hashes with >1 member can produce star edges — broadcast the
+        # small dup-rep map as sorted numpy arrays (zero-copy per worker)
+        sizes = df.groupby("content_hash")["clip_id"].size()
+        dup = reps[sizes > 1]
+        keys = np.array(dup.index.to_numpy(), dtype="S")
+        vals = np.array(dup.to_numpy(), dtype="S")
+        order = np.argsort(keys)
+        rep_ref = [ray.put({"keys": keys[order], "vals": vals[order]})]
 
-        class Star:
-            def __init__(self):
-                self.rep = ray.get(rep_ref[0])
+        def star_fn(batch: pa.Table) -> pa.Table:
+            from minhash_ray.util import cached_get
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch.column("clip_id").to_pylist()
-                hashes = batch.column("content_hash").to_pylist()
-                a = [self.rep[h] for h in hashes]
-                keep = np.fromiter(
-                    (x < y for x, y in zip(a, ids)), dtype=bool, count=len(ids)
-                )
-                n = int(keep.sum())
+            rep = cached_get(rep_ref[0])
+            keys_s, vals_s = rep["keys"], rep["vals"]
+            ids = np.array(batch.column("clip_id").to_pylist(), dtype="S")
+            hashes = np.array(batch.column("content_hash").to_pylist(), dtype="S")
+            if len(keys_s) == 0:
                 return _edges_table(
-                    pa.array([x for x, k in zip(a, keep) if k], pa.string()),
-                    pa.array([y for y, k in zip(ids, keep) if k], pa.string()),
-                    np.ones(n, dtype=np.float64),
-                    np.zeros(n, dtype=np.int64),
-                    np.zeros(n, dtype=np.int64),
-                    "exact",
-                    None,
+                    pa.array([], pa.string()), pa.array([], pa.string()),
+                    np.zeros(0), np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64), "exact", None,
                 )
+            pos = np.searchsorted(keys_s, hashes)
+            pos_c = np.minimum(pos, len(keys_s) - 1)
+            found = keys_s[pos_c] == hashes
+            a = vals_s[pos_c]
+            keep = found & (a < ids)
+            n = int(keep.sum())
+            return _edges_table(
+                pa.array([x.decode() for x in a[keep]], pa.string()),
+                pa.array([x.decode() for x in ids[keep]], pa.string()),
+                np.ones(n, dtype=np.float64),
+                np.zeros(n, dtype=np.int64),
+                np.zeros(n, dtype=np.int64),
+                "exact",
+                None,
+            )
 
-        return slim.map_batches(Star, batch_format="pyarrow", concurrency=2)
+        return slim.map_batches(star_fn, batch_format="pyarrow")
 
     reps = slim.groupby("content_hash").min("clip_id")
     rep_col = [c for c in reps.schema().names if c != "content_hash"][0]

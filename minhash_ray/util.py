@@ -26,3 +26,22 @@ def clamp_partitions(requested: int, reserve: int = 2) -> int:
 def clamp_concurrency(requested: int) -> int:
     cpus = cluster_cpus()
     return max(1, min(requested, max(1, cpus // 2)))
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def cached_get(ref):
+    """Per-worker-process cache around ``ray.get`` for broadcast objects.
+
+    Lets broadcast-lookup stages run as plain *tasks* (elastic, no idle CPU
+    reservation, no actor-pool startup latency) while still deserializing
+    the broadcast payload only once per worker process — the middle ground
+    between an actor pool (state held, CPUs pinned) and naive per-task
+    ``ray.get`` (repeated deserialization of dict payloads)."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]

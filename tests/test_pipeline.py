@@ -150,7 +150,7 @@ def test_checkpoint_resume(ray_session, small_fixture, tmp_path):
     a1 = _collect(res1.assignments)
 
     mgr = CheckpointManager(ckpt_root, cfg)
-    for stage in ("validated", "signatures", "edges", "assignments"):
+    for stage in ("signatures", "edges", "assignments"):
         assert mgr.is_complete(stage), stage
         m = mgr.manifest(stage)
         assert m["config_hash"] == cfg.config_hash()
@@ -183,3 +183,69 @@ def test_label_propagation_matches_union_find(ray_session, small_fixture):
     lp_t = _collect(components_label_propagation(edges, num_partitions=4))
     lp = dict(zip(lp_t["clip_id"].to_pylist(), lp_t["cluster_id"].to_pylist()))
     assert lp == uf
+
+
+def test_audio_byte_channel_links_same_audio_different_transcript(ray_session, tmp_path):
+    """Byte-level audio MinHash channel: clips sharing a byte-identical
+    payload but unrelated transcripts must cluster together (the
+    'byte-level audio fingerprints' channel of the north star)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from minhash_ray.functions.audio import encode_pcm, synth_waveform
+
+    rng = np.random.default_rng(5)
+    waves = [synth_waveform(rng, 8000, 800) for _ in range(6)]
+    rows = []
+    # pairs (0,1), (2,3): same audio, different transcripts; 4,5 singles
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine ten",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "pack my box with five dozen liquor jugs today again",
+        "unique text number five stands completely alone here",
+        "unique text number six stands completely alone here too",
+    ]
+    audio = [waves[0], waves[0], waves[1], waves[1], waves[2], waves[3]]
+    for i, (t, w) in enumerate(zip(texts, audio)):
+        rows.append(
+            {
+                "clip_id": f"clip_{i:08d}",
+                "bytes": encode_pcm(w),
+                "sr_hz": 8000,
+                "dur_ms": 800,
+                "codec": "pcm_s16le",
+                "transcript": t,
+            }
+        )
+    from minhash_ray.sources.clips import CLIPS_SCHEMA
+
+    t = pa.Table.from_pylist(rows, schema=CLIPS_SCHEMA)
+    p = tmp_path / "aud"
+    p.mkdir()
+    pq.write_table(t, str(p / "clips.parquet"))
+
+    cfg = PipelineConfig(signature_concurrency=1)
+    res = run_dedup(rd.read_parquet(str(p / "clips.parquet")), cfg, num_partitions=2)
+    tbl = pa.concat_tables(
+        list(res.assignments.iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    cl = dict(zip(tbl["clip_id"].to_pylist(), tbl["cluster_id"].to_pylist()))
+    assert cl["clip_00000000"] == cl["clip_00000001"]
+    assert cl["clip_00000002"] == cl["clip_00000003"]
+    assert cl["clip_00000000"] != cl["clip_00000002"]
+    assert cl["clip_00000004"] != cl["clip_00000005"]
+
+    # with the channel off, the same pairs must NOT link (transcripts differ)
+    res2 = run_dedup(
+        rd.read_parquet(str(p / "clips.parquet")),
+        cfg.with_(use_audio_channel=False),
+        num_partitions=2,
+    )
+    tbl2 = pa.concat_tables(
+        list(res2.assignments.iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    cl2 = dict(zip(tbl2["clip_id"].to_pylist(), tbl2["cluster_id"].to_pylist()))
+    assert cl2["clip_00000000"] != cl2["clip_00000001"]
