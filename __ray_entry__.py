@@ -99,6 +99,30 @@ def audio_frame_features(sf_dir: str):
     return affn(clips.limit(200))
 
 
+def audio_resample(sf_dir: str):
+    """Rate-normalize a clip sample to 16 kHz (multimodal plumbing op);
+    returns clip_id, sr_hz, n_bytes."""
+    import pyarrow as pa
+
+    from minhash_ray.pipelines.multimodal import resample_stub
+
+    clips, _ = _clips_ds(sf_dir)
+    out = resample_stub(clips.limit(100), 16000)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "sr_hz": batch.column("sr_hz"),
+                "n_bytes": pc.binary_length(batch.column("bytes")),
+            }
+        )
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
 def substring_pairs(sf_dir: str):
     """Longest-common-substring ratio for MinHash candidate doc pairs
     (suffix-automaton channel)."""
@@ -159,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": relational.events_by_type,
         "filtered_lineitem": relational.filtered_lineitem,
         "part_brand_stats": relational.part_brand_stats,
+        "nation_revenue": relational.nation_revenue,
+        # --- multimodal resample plumbing (rows-only: binary payload op) ---
+        "audio_resample": audio_resample,
         # --- language ID heuristic (rows-only: model-style scoring) ---
         "lang_id": text.lang_id,
         # --- flagship clips pipelines (rows-only: sketch/LSH semantics) ---
@@ -238,5 +265,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, count(*) AS n_parts, "
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size "
             "FROM part GROUP BY p_brand"
+        ),
+        "nation_revenue": (
+            "SELECT n_name, count(*) AS n_items, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
     }

@@ -214,6 +214,73 @@ def filtered_lineitem(sf_dir: str, date_lo: str = "1995-01-01", date_hi: str = "
     )
 
 
+def nation_revenue(sf_dir: str, num_partitions: int = 8):
+    """lineitem ⋈ orders (partitioned hash join — both sides large) ⋈
+    customer ⋈ nation (broadcast lookups) → revenue cents per nation.
+
+    The lineitem-orders join runs through ``Dataset.join`` so the engine's
+    large-large join path is exercised by a SQL-checked query."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from minhash_ray.util import clamp_partitions
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_widen(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(li_widen, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=clamp_partitions(num_partitions),
+    )
+
+    cust = pa.concat_tables(
+        list(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
+    )
+    nation = pa.concat_tables(
+        list(_t(sf_dir, "nation").iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_nation = {
+        ck: n_name[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = [ray.put(cust_nation)]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        cmap = cached_get(ref[0])
+        names = [cmap.get(k) for k in batch.column("o_custkey").to_pylist()]
+        t = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_cents": batch.column("revenue_cents"),
+            }
+        )
+        return t.filter(pc.is_valid(t.column("n_name")))
+
+    return (
+        joined.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_items"), Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
 def part_brand_stats(sf_dir: str):
     """Distinct-ish aggregate over part: per brand, part count + total size."""
     from ray.data.aggregate import Count, Sum

@@ -249,3 +249,35 @@ def test_audio_byte_channel_links_same_audio_different_transcript(ray_session, t
     )
     cl2 = dict(zip(tbl2["clip_id"].to_pylist(), tbl2["cluster_id"].to_pylist()))
     assert cl2["clip_00000000"] != cl2["clip_00000001"]
+
+
+def test_partial_checkpoint_resume(ray_session, small_fixture, tmp_path):
+    """Mid-pipeline resume: with only the signatures checkpoint published
+    (job 'killed' before edges), a resumed run must reuse signatures (its
+    manifest mtime is untouched) and recompute the rest to the same
+    result."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from minhash_ray.state.checkpoint import CheckpointManager
+
+    cfg = PipelineConfig(signature_concurrency=2)
+    ckpt_root = str(tmp_path / "ckpt")
+    ds = rd.read_parquet(str(small_fixture / "clips.parquet"))
+    res_full = run_dedup(ds, cfg, ckpt_root=ckpt_root, num_partitions=4)
+    full = sorted(_collect(res_full.assignments).to_pylist(), key=lambda r: r["clip_id"])
+
+    # simulate a crash after stage S: drop edges + assignments checkpoints
+    mgr = CheckpointManager(ckpt_root, cfg)
+    shutil.rmtree(mgr.stage_dir("edges"))
+    shutil.rmtree(mgr.stage_dir("assignments"))
+    sig_manifest = os.path.join(mgr.stage_dir("signatures"), "manifest.json")
+    mtime_before = os.path.getmtime(sig_manifest)
+
+    res2 = run_dedup(ds, cfg, ckpt_root=ckpt_root, num_partitions=4)
+    resumed = sorted(_collect(res2.assignments).to_pylist(), key=lambda r: r["clip_id"])
+    assert resumed == full
+    assert os.path.getmtime(sig_manifest) == mtime_before   # not recomputed
+    assert mgr.is_complete("edges") and mgr.is_complete("assignments")
