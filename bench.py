@@ -81,6 +81,8 @@ def run_bench() -> dict:
     res = run_dedup(rd.read_parquet(clips_path), cfg, num_partitions=max(8, NCPUS))
     n_clips = res.assignments.count()
     headline = time.time() - t0
+    if os.environ.get("GRAFT_STATS"):
+        print(res.assignments.stats(), file=sys.stderr)
     metrics = dedup_metrics(
         res.assignments,
         os.path.join(clips_dir, "truth_pairs.parquet"),

@@ -1,0 +1,99 @@
+"""Job entry point — the ``ray job submit`` surface of the engine.
+
+    python -m minhash_ray.cli --input /path/clips_parquet_or_lance \
+        --output /path/out --checkpoint /path/ckpt \
+        [--truth /path/truth_pairs.parquet] [--num-perm 128] [--tau 0.5] ...
+
+Reads the clips table, runs the full near-dup pipeline (resuming from the
+checkpoint root when present), writes cluster assignments + edges as
+partitioned Parquet, and prints a one-line JSON result with row counts and
+(when ground truth is supplied) recall/precision metrics.
+
+Owns its Ray session (guarded — under ``ray job submit`` the driver may
+already have initialised Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="clips table (parquet dir/file or lance)")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint root (enables resume)")
+    ap.add_argument("--truth", default=None, help="truth_pairs.parquet for metrics")
+    ap.add_argument("--num-perm", type=int, default=128)
+    ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--rows-per-band", type=int, default=4)
+    ap.add_argument("--shingle-w", type=int, default=3)
+    ap.add_argument("--tau", type=float, default=0.5)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--num-partitions", type=int, default=32)
+    ap.add_argument("--no-audio-channel", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local-mode CPU count (omit under ray job submit)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import dedup_metrics, run_dedup
+    from minhash_ray.sources.clips import read_clips
+
+    cfg = PipelineConfig(
+        seed=args.seed,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows_per_band=args.rows_per_band,
+        shingle_w=args.shingle_w,
+        tau=args.tau,
+        use_audio_channel=not args.no_audio_channel,
+    )
+
+    t0 = time.time()
+    res = run_dedup(
+        read_clips(args.input),
+        cfg,
+        ckpt_root=args.checkpoint,
+        num_partitions=args.num_partitions,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    res.assignments.write_parquet(os.path.join(args.output, "assignments"))
+    res.edges.write_parquet(os.path.join(args.output, "edges"))
+    n = res.assignments.count()
+    out = {
+        "clips": n,
+        "edges": res.edges.count(),
+        "sec": round(time.time() - t0, 2),
+        "clips_per_sec": round(n / (time.time() - t0), 1),
+        "config_hash": cfg.config_hash(),
+        "output": args.output,
+    }
+    if args.truth:
+        clips_path = args.input if args.input.endswith(".parquet") else None
+        m = dedup_metrics(res.assignments, args.truth, cfg, clips_path=clips_path)
+        out.update({k: round(v, 4) if isinstance(v, float) else v for k, v in m.items()})
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
