@@ -88,6 +88,7 @@ def run_bench() -> dict:
         os.path.join(clips_dir, "truth_pairs.parquet"),
         cfg,
         clips_path=clips_path,
+        edges=res.edges,
     )
 
     # --- per-pipeline timings over the sf tables ---
@@ -111,6 +112,7 @@ def run_bench() -> dict:
             "recall_gated": round(metrics["recall_gated"], 4),
             "precision": round(metrics["precision"], 4),
             "precision_loose": round(metrics.get("precision_loose", metrics["precision"]), 4),
+            "edge_precision": round(metrics.get("edge_precision", -1.0), 4),
         }
         ray.shutdown()
         return out
@@ -139,6 +141,7 @@ def run_bench() -> dict:
         "recall_gated": round(metrics["recall_gated"], 4),
         "precision": round(metrics["precision"], 4),
         "precision_loose": round(metrics.get("precision_loose", metrics["precision"]), 4),
+        "edge_precision": round(metrics.get("edge_precision", -1.0), 4),
     }
     ray.shutdown()
     return out

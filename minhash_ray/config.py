@@ -62,6 +62,11 @@ class PipelineConfig:
                                          # can re-filter at exactly tau.
     substring_check: bool = False        # suffix-automaton LCS channel on verified pairs
     substring_min_ratio: float = 0.0     # report-only unless > 0
+    exact_verify: bool = True            # broadcast-verify gates edges on the TRUE
+                                         # shingle-set jaccard (standard LSH verify
+                                         # step); the sketch estimator is always
+                                         # reported in the edge table.  The shuffle
+                                         # (10^12) path keeps the estimator gate.
 
     # --- audio fingerprint ---
     audio_fp_frames: int = 64            # energy-delta frames → 64-bit fingerprint

@@ -174,6 +174,7 @@ def dedup_metrics(
     cfg: PipelineConfig | None = None,
     clips_path: str | None = None,
     precision_sample: int = 20000,
+    edges=None,
 ) -> dict:
     """Recall vs planted ground truth + precision vs *true* similarity.
 
@@ -245,6 +246,19 @@ def dedup_metrics(
         "recall_all": (all_recovered / all_pairs) if all_pairs else 1.0,
         "predicted_pairs": n_predicted,
     }
+
+    if edges is not None:
+        # edge-level precision: fraction of kept text-channel edges whose
+        # exact jaccard clears tau (audio-channel keeps excluded) — ~1.0 by
+        # construction under exact_verify
+        tot = ok = 0
+        for b in edges.iter_batches(batch_size=262144, batch_format="pyarrow"):
+            j = b.column("jaccard").to_numpy()
+            asim = b.column("audio_sim").to_numpy()
+            text_kept = (j >= 0) & ~(asim >= cfg.audio_tau)
+            tot += int(text_kept.sum())
+            ok += int((j[text_kept] >= cfg.tau).sum())
+        out["edge_precision"] = (ok / tot) if tot else 1.0
 
     if clips_path is not None and sampled:
         from minhash_ray.oracle import oracle_token_shingles

@@ -55,6 +55,9 @@ def full_signatures_schema(num_perm: int, audio_num_perm: int) -> pa.Schema:
             ("n_shingles", pa.int64()),
             ("n_samples", pa.int64()),
             ("decode_ok", pa.bool_()),
+            # sorted-unique shingle set per row (variable length): computed
+            # once here in parallel, consumed by exact verification
+            ("shingles", pa.list_(pa.uint64())),
         ]
     )
 
@@ -117,8 +120,24 @@ class ValidateSignatureStage:
                 decode_ok[i] = False          # stub boundary: external codec
 
         shingles, counts = shingles_for_config(texts_col, cfg)
-        sigs = signatures_from_shingles(shingles, counts, self.tables)
+        # SimHash votes over the shingle MULTISET (oracle parity)...
         simhash = simhash_from_shingles(shingles, counts)
+        # ...while MinHash is duplicate-invariant (min-fold idempotence,
+        # reference src/utils/utils.c:3-33): dedupe per row first — less
+        # hashing, and the sorted-unique sets feed exact verification
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        o = np.lexsort((shingles, row_ids))
+        rs, ss = row_ids[o], shingles[o]
+        uniq = np.ones(len(rs), dtype=bool)
+        if len(rs) > 1:
+            uniq[1:] = (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1])
+        rs_u, ss_u = rs[uniq], ss[uniq]
+        ucounts = np.bincount(rs_u, minlength=n).astype(np.int64)
+        sigs = signatures_from_shingles(ss_u, ucounts, self.tables)
+        shingle_col = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(ucounts)]), pa.int32()),
+            pa.array(ss_u, pa.uint64()),
+        )
 
         return pa.table(
             {
@@ -136,6 +155,7 @@ class ValidateSignatureStage:
                 "n_shingles": pa.array(counts.astype(np.int64), pa.int64()),
                 "n_samples": pa.array(n_samples, pa.int64()),
                 "decode_ok": pa.array(decode_ok, pa.bool_()),
+                "shingles": shingle_col,
             },
             schema=self.schema,
         )

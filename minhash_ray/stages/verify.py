@@ -32,7 +32,8 @@ EDGES_SCHEMA = pa.schema(
     [
         ("clip_id_a", pa.string()),
         ("clip_id_b", pa.string()),
-        ("sim", pa.float64()),
+        ("sim", pa.float64()),          # sketch estimator (reference query)
+        ("jaccard", pa.float64()),      # exact shingle-set jaccard (-1 = not computed)
         ("audio_sim", pa.float64()),
         ("simhash_dist", pa.int64()),
         ("audio_fp_dist", pa.int64()),
@@ -42,14 +43,17 @@ EDGES_SCHEMA = pa.schema(
 
 
 def _edges_table(ids_a, ids_b, sim, sh_dist, fp_dist, channel: str, keep_mask,
-                 audio_sim=None) -> pa.Table:
+                 audio_sim=None, jaccard=None) -> pa.Table:
     if audio_sim is None:
         audio_sim = np.zeros(len(sim), dtype=np.float64)
+    if jaccard is None:
+        jaccard = np.full(len(sim), 1.0 if channel == "exact" else -1.0, dtype=np.float64)
     t = pa.table(
         {
             "clip_id_a": ids_a,
             "clip_id_b": ids_b,
             "sim": pa.array(sim, pa.float64()),
+            "jaccard": pa.array(jaccard, pa.float64()),
             "audio_sim": pa.array(audio_sim, pa.float64()),
             "simhash_dist": pa.array(sh_dist, pa.int64()),
             "audio_fp_dist": pa.array(fp_dist, pa.int64()),
@@ -66,6 +70,7 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
     zero-copy views of the shared object store), so tasks stay elastic —
     no actor pool reserving CPUs while upstream stages run."""
     threshold = cfg.tau - cfg.verify_margin
+    tau = cfg.tau
     audio_tau = cfg.audio_tau
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -91,6 +96,31 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
             asim = asim * nonempty
         else:
             asim = np.zeros(len(sim), dtype=np.float64)
+
+        shingles = pack.get("shingles")
+        if shingles is not None:
+            # exact verification: candidate generation came from the sketch
+            # bands, but the kept edge is gated on the TRUE shingle-set
+            # jaccard — no estimator variance at the tau boundary (standard
+            # LSH verify step; the estimator value is still reported)
+            offs = pack["shingle_offsets"]
+            jacc = np.empty(len(sim), dtype=np.float64)
+            for i in range(len(sim)):
+                a0, a1 = offs[idx_a[i]], offs[idx_a[i] + 1]
+                b0, b1 = offs[idx_b[i]], offs[idx_b[i] + 1]
+                na, nb = a1 - a0, b1 - b0
+                if na == 0 or nb == 0:
+                    jacc[i] = 0.0
+                    continue
+                inter = len(
+                    np.intersect1d(shingles[a0:a1], shingles[b0:b1], assume_unique=True)
+                )
+                jacc[i] = inter / (na + nb - inter)
+            keep = (jacc >= tau) | (asim >= audio_tau)
+            return _edges_table(
+                ids_a, ids_b, sim, sh, fp, "minhash", keep, audio_sim=asim, jaccard=jacc
+            )
+
         keep = (sim >= threshold) | (asim >= audio_tau)
         return _edges_table(ids_a, ids_b, sim, sh, fp, "minhash", keep, audio_sim=asim)
 
@@ -128,12 +158,19 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
 
     from minhash_ray.stages.signature import signature_matrix
 
+    schema_names = sig_ds.schema().names
     cols = ["clip_id", "signature", "simhash", "audio_fp"]
-    have_audio = "audio_sig" in sig_ds.schema().names
+    have_audio = "audio_sig" in schema_names
     if have_audio:
         cols.append("audio_sig")
     if with_content:
         cols.append("content_hash")
+    have_shingles = cfg.exact_verify and "shingles" in schema_names
+    have_transcript = cfg.exact_verify and not have_shingles and "transcript" in schema_names
+    if have_shingles:
+        cols.append("shingles")
+    elif have_transcript:
+        cols.append("transcript")
     tables = []
     for batch in sig_ds.select_columns(cols).iter_batches(
         batch_size=65536, batch_format="pyarrow"
@@ -159,6 +196,50 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
         pack["audio_sigs"] = (
             col.flatten().to_numpy(zero_copy_only=False).reshape(-1, cfg.audio_num_perm)[order]
         )
+    if have_shingles or have_transcript:
+        # per-row sorted-unique shingle sets for exact verification, laid
+        # out flat + offsets in the same sorted-id order as the matrices.
+        # Normally read straight from the (parallel-computed) `shingles`
+        # column; the transcript fallback recomputes driver-side.
+        if have_shingles:
+            col = t.column("shingles")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ss = np.ascontiguousarray(
+                col.flatten().to_numpy(zero_copy_only=False), dtype=np.uint64
+            )
+            raw_offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            ucounts = np.diff(raw_offs)
+            uoffs = raw_offs
+        else:
+            from minhash_ray.functions.shingles import shingles_for_config
+
+            texts = t.column("transcript")
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            sh, counts = shingles_for_config(texts, cfg)
+            n_rows = len(counts)
+            row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+            o2 = np.lexsort((sh, row_ids))
+            rs, ss_all = row_ids[o2], sh[o2]
+            uniq_mask = np.ones(len(rs), dtype=bool)
+            if len(rs) > 1:
+                uniq_mask[1:] = (rs[1:] != rs[:-1]) | (ss_all[1:] != ss_all[:-1])
+            rs, ss = rs[uniq_mask], ss_all[uniq_mask]
+            ucounts = np.bincount(rs, minlength=n_rows)
+            uoffs = np.concatenate([[0], np.cumsum(ucounts)])
+        # permute the variable-length segments into sorted-id order
+        sc = ucounts[order]
+        total = int(sc.sum())
+        if total:
+            seg_local = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(sc) - sc, sc
+            )
+            gather = np.repeat(uoffs[order], sc) + seg_local
+            pack["shingles"] = np.ascontiguousarray(ss[gather])
+        else:
+            pack["shingles"] = np.empty(0, dtype=np.uint64)
+        pack["shingle_offsets"] = np.concatenate([[0], np.cumsum(sc)]).astype(np.int64)
     refs = [ray.put(pack)]
     if with_content:
         exact_tbl = driver_exact_edges_table(
