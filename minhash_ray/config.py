@@ -76,6 +76,11 @@ class PipelineConfig:
     audio_bands: int = 16                # audio LSH: 16 bands × 4 rows = 64
     audio_rows_per_band: int = 4
     audio_tau: float = 0.85              # byte-channel edge threshold (near-exact)
+    audio_min_filled: int = 24           # OPH slots that must be non-INFTY on both
+                                         # sides before the byte channel may gate an
+                                         # edge (short payloads fill few slots; shared
+                                         # emptiness is not similarity) — and before a
+                                         # row emits audio band rows at all
 
     # --- execution ---
     batch_size: int = 1024               # rows per signature batch

@@ -122,6 +122,33 @@ def byte_oph_signature(payload: bytes, k: int, w: int, seed: int) -> np.ndarray:
     return sig
 
 
+def audio_similarity(a: np.ndarray, b: np.ndarray, min_filled: int = 0) -> np.ndarray:
+    """OPH byte-sketch similarity with empty-slot hygiene.
+
+    The reference estimator (``query``, src/serial/minhash-serial.c:16-26)
+    counts equal-INFTY slots as matches — correct for always-filled k-perm
+    sketches, but OPH sketches of short payloads leave most slots empty, so
+    unrelated short clips would score near 1.0 on shared emptiness.  Here a
+    slot contributes only if at least one side filled it (both-empty slots
+    carry no evidence), a match additionally requires both sides filled,
+    and rows with fewer than ``min_filled`` filled slots on either side
+    never gate (their estimate has too few effective samples).
+
+    a, b: (n_pairs, k) uint64 → (n_pairs,) float64.
+    """
+    if a.ndim == 1:
+        a = a[None, :]
+        b = b[None, :]
+    inf = np.uint64(2**64 - 1)
+    filled_a = a != inf
+    filled_b = b != inf
+    informative = (filled_a | filled_b).sum(axis=1)
+    matches = ((a == b) & filled_a & filled_b).sum(axis=1)
+    sim = matches / np.maximum(informative, 1)
+    enough = (filled_a.sum(axis=1) >= min_filled) & (filled_b.sum(axis=1) >= min_filled)
+    return sim * enough
+
+
 def byte_ngram_hashes(payload: bytes, w: int, seed: int) -> np.ndarray:
     """uint64 hashes of all byte w-grams of a payload (the audio analogue of
     transcript shingles; feeds the same MinHash kernels)."""

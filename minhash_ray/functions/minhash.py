@@ -82,6 +82,54 @@ def _seg_arange(counts: np.ndarray) -> np.ndarray:
     return out
 
 
+def segment_intersection_counts(
+    flat: np.ndarray, offsets: np.ndarray, idx_a: np.ndarray, idx_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized intersection sizes between per-row sorted-unique segments.
+
+    ``flat``: concatenated sorted-unique uint64 sets, ``offsets``:
+    (n_rows+1,) int64 segment bounds, ``idx_a``/``idx_b``: (n_pairs,) row
+    indices.  Returns (intersection, |A|, |B|) per pair.
+
+    No per-pair python loop: both sides' segments are gathered with a pair
+    tag and lex-sorted by (pair, value); a value common to a pair's two
+    segments then appears exactly twice adjacently (each side is unique
+    within itself), so adjacent-duplicate runs count the intersection.
+    O((Ta+Tb) log(Ta+Tb)) total, independent of pair count.
+    """
+    counts = np.diff(offsets)
+    ca = counts[idx_a].astype(np.int64)
+    cb = counts[idx_b].astype(np.int64)
+    n_pairs = len(idx_a)
+    pair_a = np.repeat(np.arange(n_pairs, dtype=np.int64), ca)
+    pair_b = np.repeat(np.arange(n_pairs, dtype=np.int64), cb)
+    ga = np.repeat(offsets[idx_a], ca) + _seg_arange(ca)
+    gb = np.repeat(offsets[idx_b], cb) + _seg_arange(cb)
+    vals = np.concatenate([flat[ga], flat[gb]])
+    tags = np.concatenate([pair_a, pair_b])
+    if len(vals) == 0:
+        return np.zeros(n_pairs, dtype=np.int64), ca, cb
+    order = np.lexsort((vals, tags))
+    v = vals[order]
+    t = tags[order]
+    dup = (v[1:] == v[:-1]) & (t[1:] == t[:-1])
+    inter = np.bincount(t[1:][dup], minlength=n_pairs).astype(np.int64)
+    return inter, ca, cb
+
+
+def exact_jaccard_for_pairs(
+    flat: np.ndarray, offsets: np.ndarray, idx_a: np.ndarray, idx_b: np.ndarray
+) -> np.ndarray:
+    """True set Jaccard per candidate pair over flat+offsets shingle sets.
+    Pairs where either side is empty get 0.0."""
+    inter, ca, cb = segment_intersection_counts(flat, offsets, idx_a, idx_b)
+    union = ca + cb - inter
+    jacc = np.zeros(len(idx_a), dtype=np.float64)
+    nz = union > 0
+    jacc[nz] = inter[nz] / union[nz]
+    return jacc
+
+
 def merge_signatures(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Elementwise-min merge (reference ``merge``, src/utils/utils.c:36-46)."""
     return np.minimum(a, b)

@@ -86,7 +86,12 @@ def run_dedup(
             concurrency=concurrency,
         )
         if ckpt:
-            signatures = ckpt.save("signatures", signatures, input_stage="input")
+            from minhash_ray.stages.signature import full_signatures_schema
+
+            signatures = ckpt.save(
+                "signatures", signatures, input_stage="input",
+                schema=full_signatures_schema(cfg.num_perm, cfg.audio_num_perm),
+            )
         else:
             signatures = signatures.materialize()   # consumed 3× (bands, count, verify)
     validated = signatures                          # superset of the stage-V contract
@@ -109,7 +114,10 @@ def run_dedup(
             from minhash_ray.stages.banding import make_audio_band_fn
 
             audio_rows = signatures.map_batches(
-                make_audio_band_fn(cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm),
+                make_audio_band_fn(
+                    cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm,
+                    min_filled=cfg.audio_min_filled,
+                ),
                 batch_format="pyarrow",
             )
             band_rows = band_rows.union(audio_rows)
@@ -151,7 +159,9 @@ def run_dedup(
                     )
                 )
         if ckpt:
-            edges = ckpt.save("edges", edges, input_stage="signatures")
+            from minhash_ray.stages.verify import EDGES_SCHEMA
+
+            edges = ckpt.save("edges", edges, input_stage="signatures", schema=EDGES_SCHEMA)
         else:
             edges = edges.materialize()     # consumed twice (count + components)
 
@@ -163,7 +173,11 @@ def run_dedup(
             signatures, edges, cfg, num_partitions=num_partitions
         )
         if ckpt:
-            assignments = ckpt.save("assignments", assignments, input_stage="edges")
+            from minhash_ray.stages.cluster import ASSIGN_SCHEMA
+
+            assignments = ckpt.save(
+                "assignments", assignments, input_stage="edges", schema=ASSIGN_SCHEMA
+            )
 
     return DedupResult(validated, signatures, edges, assignments)
 

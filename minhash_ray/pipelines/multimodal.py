@@ -100,29 +100,42 @@ def audio_frame_features(clips_ds, frame_ms: int = 250, concurrency: int = 2):
 
 def resample_stub(clips_ds, target_sr: int = 16000):
     """Rate-conversion stage: real plumbing, stub kernel (linear
-    interpolation; a production build swaps in a polyphase resampler)."""
+    interpolation; a production build swaps in a polyphase resampler).
+
+    Non-decodable codecs pass through unchanged with ``resample_error``
+    set — one poison row must never abort the stream (same contract as
+    ``AudioFrameFeatures``)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         from minhash_ray.functions.audio import encode_pcm
 
-        out = []
+        out, out_sr, errs = [], [], []
         for payload, codec, sr in zip(
             batch.column("bytes").to_pylist(),
             batch.column("codec").to_pylist(),
             batch.column("sr_hz").to_pylist(),
         ):
-            wave = decode_pcm(payload or b"", codec)
+            try:
+                wave = decode_pcm(payload or b"", codec)
+            except UnsupportedCodecError as e:
+                out.append(payload)
+                out_sr.append(sr)
+                errs.append(str(e))
+                continue
             if sr != target_sr and len(wave) > 1:
                 n_out = int(len(wave) * target_sr / sr)
                 x_new = np.linspace(0.0, len(wave) - 1, n_out)
                 wave = np.interp(x_new, np.arange(len(wave)), wave)
             out.append(encode_pcm(wave))
+            out_sr.append(target_sr)
+            errs.append(None)
         t = batch.set_column(
             batch.column_names.index("bytes"), "bytes", pa.array(out, pa.binary())
         )
         idx = t.column_names.index("sr_hz")
-        return t.set_column(
-            idx, "sr_hz", pa.array(np.full(t.num_rows, target_sr, dtype=np.int32), pa.int32())
+        t = t.set_column(
+            idx, "sr_hz", pa.array(np.array(out_sr, dtype=np.int32), pa.int32())
         )
+        return t.append_column("resample_error", pa.array(errs, pa.string()))
 
     return clips_ds.map_batches(fn, batch_format="pyarrow", batch_size=64)

@@ -86,33 +86,50 @@ def make_minhash_band_fn(bands: int, rows_per_band: int, num_perm: int):
     return explode
 
 
-def make_audio_band_fn(bands: int, rows_per_band: int, audio_num_perm: int):
+def make_audio_band_fn(
+    bands: int, rows_per_band: int, audio_num_perm: int, min_filled: int = 0
+):
     """Byte-level audio MinHash LSH channel (separate bucket namespace).
 
-    Rows whose audio signature is all-INFTY (empty payload) are skipped —
-    the same empty-sketch hygiene as the transcript channel."""
+    Empty-sketch hygiene (same spirit as the transcript channel's
+    zero-shingle exclusion): rows with fewer than ``min_filled`` non-INFTY
+    OPH slots emit no audio band rows (short payloads fill few slots and
+    would band-collide on shared emptiness), and any individual band row
+    whose R-slot window is entirely INFTY is dropped — two sketches must
+    agree on at least one *filled* slot to meet in a bucket."""
 
     def explode(batch: pa.Table) -> pa.Table:
+        INF = np.uint64(2**64 - 1)
         col = batch.column("audio_sig")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         sigs = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, audio_num_perm)
-        keep = ~(sigs == np.uint64(2**64 - 1)).all(axis=1)
+        filled = (sigs != INF).sum(axis=1)
+        keep = filled >= max(min_filled, 1)
         sigs = np.ascontiguousarray(sigs[keep], dtype=np.uint64)
         clip_ids = batch.column("clip_id").filter(pa.array(keep))
         m = sigs.shape[0]
-        grouped = sigs.reshape(m, bands, rows_per_band) if m else sigs.reshape(0, bands, rows_per_band)
+        if m == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "clip_id": pa.array([], pa.string())},
+                schema=BAND_SCHEMA,
+            )
+        grouped = sigs.reshape(m, bands, rows_per_band)
         P = U64(0x100000001B3)
         h = np.full((m, bands), _AUDIO_NS, dtype=np.uint64)
         h = h + np.arange(bands, dtype=np.uint64)[None, :]
         for r in range(rows_per_band):
             h = h * P + grouped[:, :, r]
         buckets = (splitmix64(h) >> U64(1)).astype(np.int64)
+        window_ok = ~(grouped == INF).all(axis=2)          # (m, bands)
         out_ids = pa.concat_arrays(
             [clip_ids.combine_chunks() if isinstance(clip_ids, pa.ChunkedArray) else clip_ids]
             * bands
-        ) if m else pa.array([], pa.string())
-        out_buckets = buckets.T.reshape(-1) if m else np.empty(0, dtype=np.int64)
+        )
+        # column-major flatten matches buckets.T layout below
+        flat_ok = window_ok.T.reshape(-1)
+        out_buckets = buckets.T.reshape(-1)[flat_ok]
+        out_ids = out_ids.filter(pa.array(flat_ok))
         return pa.table(
             {"bucket": pa.array(out_buckets, pa.int64()), "clip_id": out_ids},
             schema=BAND_SCHEMA,

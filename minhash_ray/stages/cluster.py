@@ -189,18 +189,22 @@ def assign_clusters(all_ids_ds, edges_ds, cfg: PipelineConfig, num_partitions: i
 
         # broadcast as sorted numpy byte arrays: zero-copy per worker, no
         # python-dict deserialization (which would anti-scale with workers)
-        keys = np.array(list(comp.keys()), dtype="S")
-        vals = np.array(list(comp.values()), dtype="S")
+        from minhash_ray.util import bytes_key_array
+
+        keys = bytes_key_array(list(comp.keys()))
+        vals = bytes_key_array(list(comp.values()))
         order = np.argsort(keys)
         comp_ref = [ray.put({"keys": keys[order], "vals": vals[order]})]
 
         def assign_fn(batch: pa.Table) -> pa.Table:
-            from minhash_ray.util import cached_get
+            from minhash_ray.util import bytes_key_array, cached_get
 
             pack = cached_get(comp_ref[0])
             keys_s, vals_s = pack["keys"], pack["vals"]
-            ids = np.array(batch.column("clip_id").to_pylist(), dtype="S")
-            out = ids.copy()
+            ids = bytes_key_array(batch.column("clip_id"))
+            # widen to the rep width so assignment can never truncate
+            width = max(ids.dtype.itemsize, vals_s.dtype.itemsize if len(vals_s) else 1)
+            out = ids.astype(f"S{width}")
             if len(keys_s):
                 pos = np.searchsorted(keys_s, ids)
                 pos_c = np.minimum(pos, len(keys_s) - 1)

@@ -73,27 +73,26 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
     tau = cfg.tau
     audio_tau = cfg.audio_tau
 
+    audio_min_filled = cfg.audio_min_filled
+
     def verify(batch: pa.Table) -> pa.Table:
-        from minhash_ray.util import cached_get
+        from minhash_ray.functions.audio import audio_similarity
+        from minhash_ray.util import bytes_key_array, cached_get
 
         pack = cached_get(pack_ref[0])
         ids_sorted, sigs = pack["ids_sorted"], pack["sigs"]
         ids_a = batch.column("clip_id_a")
         ids_b = batch.column("clip_id_b")
-        idx_a = np.searchsorted(ids_sorted, np.array(ids_a.to_pylist(), dtype="S"))
-        idx_b = np.searchsorted(ids_sorted, np.array(ids_b.to_pylist(), dtype="S"))
+        idx_a = np.searchsorted(ids_sorted, bytes_key_array(ids_a))
+        idx_b = np.searchsorted(ids_sorted, bytes_key_array(ids_b))
         sim = estimate_similarity(sigs[idx_a], sigs[idx_b])
         sh = hamming_distance(pack["simhash"][idx_a], pack["simhash"][idx_b])
         fp = hamming_distance(pack["audio_fp"][idx_a], pack["audio_fp"][idx_b])
         audio_sigs = pack.get("audio_sigs")
         if audio_sigs is not None:
-            # exclude all-INFTY (empty payload) sketches from matching 1.0
-            asim = estimate_similarity(audio_sigs[idx_a], audio_sigs[idx_b])
-            nonempty = ~(
-                (audio_sigs[idx_a] == np.uint64(2**64 - 1)).all(axis=1)
-                & (audio_sigs[idx_b] == np.uint64(2**64 - 1)).all(axis=1)
+            asim = audio_similarity(
+                audio_sigs[idx_a], audio_sigs[idx_b], audio_min_filled
             )
-            asim = asim * nonempty
         else:
             asim = np.zeros(len(sim), dtype=np.float64)
 
@@ -102,20 +101,13 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
             # exact verification: candidate generation came from the sketch
             # bands, but the kept edge is gated on the TRUE shingle-set
             # jaccard — no estimator variance at the tau boundary (standard
-            # LSH verify step; the estimator value is still reported)
-            offs = pack["shingle_offsets"]
-            jacc = np.empty(len(sim), dtype=np.float64)
-            for i in range(len(sim)):
-                a0, a1 = offs[idx_a[i]], offs[idx_a[i] + 1]
-                b0, b1 = offs[idx_b[i]], offs[idx_b[i] + 1]
-                na, nb = a1 - a0, b1 - b0
-                if na == 0 or nb == 0:
-                    jacc[i] = 0.0
-                    continue
-                inter = len(
-                    np.intersect1d(shingles[a0:a1], shingles[b0:b1], assume_unique=True)
-                )
-                jacc[i] = inter / (na + nb - inter)
+            # LSH verify step; the estimator value is still reported).
+            # Fully vectorized (no per-pair python loop).
+            from minhash_ray.functions.minhash import exact_jaccard_for_pairs
+
+            jacc = exact_jaccard_for_pairs(
+                shingles, pack["shingle_offsets"], idx_a, idx_b
+            )
             keep = (jacc >= tau) | (asim >= audio_tau)
             return _edges_table(
                 ids_a, ids_b, sim, sh, fp, "minhash", keep, audio_sim=asim, jaccard=jacc
@@ -180,8 +172,11 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
     # the pack is pure numpy (no python dict): workers get zero-copy plasma
     # views with no per-process deserialization cost — a dict index costs
     # ~1 s per worker process and therefore ANTI-scales with worker count.
-    # ids are kept as a sorted fixed-width byte array; lookup = searchsorted.
-    ids = np.array(t.column("clip_id").to_pylist(), dtype="S")
+    # ids are kept as a sorted fixed-width UTF-8 byte array; lookup =
+    # searchsorted (byte order == code-point order, non-ASCII safe).
+    from minhash_ray.util import bytes_key_array
+
+    ids = bytes_key_array(t.column("clip_id"))
     order = np.argsort(ids)
     pack = {
         "ids_sorted": ids[order],
@@ -258,71 +253,158 @@ def verify_broadcast(pairs_ds, sig_ds, cfg: PipelineConfig, concurrency: int = 4
     )
 
 
+def _list_flat_offsets(col) -> tuple[np.ndarray, np.ndarray]:
+    """list<u64> column → (flat uint64, offsets int64), slice-safe."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.ascontiguousarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.uint64)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offs - offs[0]
+
+
+def _pack_u64_column(col) -> pa.Array:
+    """list<u64> / fixed_size_list<u64> column → large_binary (8 B per
+    element).  Acero hash joins reject list-typed payload columns, so
+    sketch and shingle vectors ride through ``Dataset.join`` as opaque
+    byte strings and are reinterpreted (zero-copy) after the join."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        width = col.type.list_size
+        n = len(col)
+        flat = np.ascontiguousarray(
+            col.flatten().to_numpy(zero_copy_only=False), dtype=np.uint64
+        )
+        offs = np.arange(n + 1, dtype=np.int64) * width
+    else:
+        flat, offs = _list_flat_offsets(col)
+        n = len(offs) - 1
+    byte_offsets = (offs * 8).astype(np.int64)
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(byte_offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(flat).view(np.uint8).tobytes())],
+    )
+
+
+def _unpack_u64_column(col) -> tuple[np.ndarray, np.ndarray]:
+    """large_binary column of packed u64 vectors → (flat uint64, elem
+    offsets int64).  Zero-copy on the data buffer when aligned."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    raw_off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    start, end = int(raw_off[0]), int(raw_off[-1])
+    seg = data[start:end]
+    if start % 8:
+        seg = seg.copy()
+    flat = seg.view(np.uint64)
+    return flat, (raw_off - start) // 8
+
+
 def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 32):
-    """Scale path: attach signatures by two partitioned hash joins."""
+    """Scale path: attach per-side signature state by two partitioned hash
+    joins, then apply the SAME edge semantics as the broadcast path — when
+    ``cfg.exact_verify`` the per-row sorted-unique shingle sets ride
+    through the joins as list<u64> columns and text edges gate on the TRUE
+    shingle-set Jaccard >= tau, so a corpus crossing
+    ``broadcast_verify_max_rows`` never changes cluster semantics.  Audio
+    edges use the same hygiene-filtered OPH similarity as broadcast.
+
+    Columns are renamed explicitly per side BEFORE each join (sig_a/sig_b,
+    ...), never resolved positionally from join suffixes — resilient to
+    Ray join column-ordering/suffix changes.
+    """
     from minhash_ray.util import clamp_partitions
 
     num_partitions = clamp_partitions(num_partitions)
-    cols = ["clip_id", "signature", "simhash", "audio_fp"]
-    have_audio = "audio_sig" in sig_ds.schema().names
+    schema_names = sig_ds.schema().names
+    have_audio = "audio_sig" in schema_names
+    exact = cfg.exact_verify and "shingles" in schema_names
+
+    src_cols = ["signature", "simhash", "audio_fp"]
+    packed_cols = {"signature"}
     if have_audio:
-        cols.append("audio_sig")
-    slim = sig_ds.select_columns(cols)
+        src_cols.append("audio_sig")
+        packed_cols.add("audio_sig")
+    if exact:
+        src_cols.append("shingles")
+        packed_cols.add("shingles")
+
+    def make_side(suffix: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            data = {"clip_id": batch.column("clip_id")}
+            for c in src_cols:
+                col = batch.column(c)
+                # u64 vectors ride as large_binary: Acero joins reject
+                # list-typed payload columns
+                data[f"{c}_{suffix}"] = _pack_u64_column(col) if c in packed_cols else col
+            return pa.table(data)
+
+        return sig_ds.map_batches(rename, batch_format="pyarrow")
 
     with_a = pairs_ds.join(
-        slim,
+        make_side("a"),
         join_type="inner",
         on=("clip_id_a",),
         right_on=("clip_id",),
-        right_suffix="_sa",
         num_partitions=num_partitions,
     )
     with_ab = with_a.join(
-        slim,
+        make_side("b"),
         join_type="inner",
         on=("clip_id_b",),
         right_on=("clip_id",),
-        right_suffix="_sb",
         num_partitions=num_partitions,
     )
 
     num_perm = cfg.num_perm
     audio_num_perm = cfg.audio_num_perm
-    tau = cfg.tau - cfg.verify_margin
+    est_threshold = cfg.tau - cfg.verify_margin
+    tau = cfg.tau
     audio_tau = cfg.audio_tau
+    audio_min_filled = cfg.audio_min_filled
 
     def compute(batch: pa.Table) -> pa.Table:
+        from minhash_ray.functions.audio import audio_similarity
+        from minhash_ray.functions.minhash import exact_jaccard_for_pairs
+
         def mat(name, width):
-            col = batch.column(name)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
+            flat, _ = _unpack_u64_column(batch.column(name))
+            return flat.reshape(-1, width)
 
         def vec(name):
             return np.ascontiguousarray(batch.column(name).to_numpy(), dtype=np.uint64)
 
-        # join suffixes: first join keeps right cols with _sa only on clash;
-        # resolve by position — the first 'signature' is side A
-        names = batch.column_names
-        sig_cols = [c for c in names if c.startswith("signature")]
-        simh_cols = [c for c in names if c.startswith("simhash")]
-        fp_cols = [c for c in names if c.startswith("audio_fp")]
-        audio_cols = [c for c in names if c.startswith("audio_sig")]
-        sim = estimate_similarity(mat(sig_cols[0], num_perm), mat(sig_cols[1], num_perm))
-        sh = hamming_distance(vec(simh_cols[0]), vec(simh_cols[1]))
-        fp = hamming_distance(vec(fp_cols[0]), vec(fp_cols[1]))
-        if len(audio_cols) == 2:
-            aa = mat(audio_cols[0], audio_num_perm)
-            ab = mat(audio_cols[1], audio_num_perm)
-            asim = estimate_similarity(aa, ab)
-            nonempty = ~(
-                (aa == np.uint64(2**64 - 1)).all(axis=1)
-                & (ab == np.uint64(2**64 - 1)).all(axis=1)
+        sim = estimate_similarity(mat("signature_a", num_perm), mat("signature_b", num_perm))
+        sh = hamming_distance(vec("simhash_a"), vec("simhash_b"))
+        fp = hamming_distance(vec("audio_fp_a"), vec("audio_fp_b"))
+        if have_audio:
+            asim = audio_similarity(
+                mat("audio_sig_a", audio_num_perm),
+                mat("audio_sig_b", audio_num_perm),
+                audio_min_filled,
             )
-            asim = asim * nonempty
         else:
             asim = np.zeros(len(sim), dtype=np.float64)
-        keep = (sim >= tau) | (asim >= audio_tau)
+        if exact:
+            fa, oa = _unpack_u64_column(batch.column("shingles_a"))
+            fb, ob = _unpack_u64_column(batch.column("shingles_b"))
+            n = batch.num_rows
+            flat = np.concatenate([fa, fb])
+            offs = np.concatenate([oa, len(fa) + ob[1:]])
+            jacc = exact_jaccard_for_pairs(
+                flat, offs, np.arange(n, dtype=np.int64), n + np.arange(n, dtype=np.int64)
+            )
+            keep = (jacc >= tau) | (asim >= audio_tau)
+            return _edges_table(
+                batch.column("clip_id_a"), batch.column("clip_id_b"), sim, sh, fp,
+                "minhash", keep, audio_sim=asim, jaccard=jacc,
+            )
+        keep = (sim >= est_threshold) | (asim >= audio_tau)
         return _edges_table(
             batch.column("clip_id_a"), batch.column("clip_id_b"), sim, sh, fp,
             "minhash", keep, audio_sim=asim,
@@ -367,19 +449,21 @@ def exact_edges(validated_ds, num_partitions: int = 8, driver_max_rows: int = 50
         # only hashes with >1 member can produce star edges — broadcast the
         # small dup-rep map as sorted numpy arrays (zero-copy per worker)
         sizes = df.groupby("content_hash")["clip_id"].size()
+        from minhash_ray.util import bytes_key_array
+
         dup = reps[sizes > 1]
-        keys = np.array(dup.index.to_numpy(), dtype="S")
-        vals = np.array(dup.to_numpy(), dtype="S")
+        keys = bytes_key_array(dup.index.tolist())
+        vals = bytes_key_array(dup.tolist())
         order = np.argsort(keys)
         rep_ref = [ray.put({"keys": keys[order], "vals": vals[order]})]
 
         def star_fn(batch: pa.Table) -> pa.Table:
-            from minhash_ray.util import cached_get
+            from minhash_ray.util import bytes_key_array, cached_get
 
             rep = cached_get(rep_ref[0])
             keys_s, vals_s = rep["keys"], rep["vals"]
-            ids = np.array(batch.column("clip_id").to_pylist(), dtype="S")
-            hashes = np.array(batch.column("content_hash").to_pylist(), dtype="S")
+            ids = bytes_key_array(batch.column("clip_id"))
+            hashes = bytes_key_array(batch.column("content_hash"))
             if len(keys_s) == 0:
                 return _edges_table(
                     pa.array([], pa.string()), pa.array([], pa.string()),

@@ -66,7 +66,8 @@ class CheckpointManager:
         ]
         return rd.read_parquet(files)
 
-    def save(self, stage: str, ds, input_stage: str | None = None, extra: dict | None = None):
+    def save(self, stage: str, ds, input_stage: str | None = None, extra: dict | None = None,
+             schema=None):
         """Execute ``ds`` into a checkpoint, atomically publish, return a
         Dataset reading from the published files (so downstream consumes the
         immutable version, not the recomputation)."""
@@ -84,6 +85,29 @@ class CheckpointManager:
                     parts.append(
                         {"file": f, "rows": pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows}
                     )
+            if not parts:
+                # Ray's write_parquet emits no files for an empty dataset; a
+                # checkpoint must still be loadable (a corpus with zero dup
+                # edges publishes an empty 'edges' stage), so write one
+                # schema-bearing empty part file.  The schema comes from the
+                # caller (stage contracts are static) or, failing that, the
+                # dataset itself (None for a fully-empty execution).
+                import pyarrow as pa
+
+                arrow_schema = schema
+                if arrow_schema is None:
+                    ds_schema = ds.schema()
+                    arrow_schema = getattr(ds_schema, "base_schema", None)
+                    if not isinstance(arrow_schema, pa.Schema) and ds_schema is not None:
+                        arrow_schema = pa.schema(list(zip(ds_schema.names, ds_schema.types)))
+                if not isinstance(arrow_schema, pa.Schema):
+                    raise ValueError(
+                        f"checkpoint stage {stage!r} is empty and no schema is "
+                        "known; pass schema= to save()"
+                    )
+                fname = "part-empty.parquet"
+                pq.write_table(arrow_schema.empty_table(), os.path.join(tmp, fname))
+                parts.append({"file": fname, "rows": 0})
             manifest = {
                 "status": "complete",
                 "stage": stage,

@@ -28,6 +28,32 @@ def clamp_concurrency(requested: int) -> int:
     return max(1, min(requested, max(1, cpus // 2)))
 
 
+def bytes_key_array(col) -> "np.ndarray":
+    """String column (Arrow Array/ChunkedArray or list of str) → numpy
+    fixed-width bytes (``'S'``) array via UTF-8.
+
+    ``np.array(list_of_str, dtype='S')`` encodes with the ASCII codec and
+    raises ``UnicodeEncodeError`` on any non-ASCII id; casting through
+    Arrow ``binary`` yields UTF-8 bytes whose sort order matches Python
+    ``str``/Arrow ``pc.less`` comparisons (UTF-8 byte order == code-point
+    order), so ``np.searchsorted`` lookups stay consistent with the rest
+    of the engine."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, (list, tuple)):
+        if not col:
+            return np.empty(0, dtype="S1")
+        return np.array([s.encode("utf-8") for s in col], dtype="S")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype="S1")
+    obj = pc.cast(col, pa.binary()).to_numpy(zero_copy_only=False)
+    return obj.astype("S")   # bytes objects copy verbatim (no codec involved)
+
+
 _BROADCAST_CACHE: dict = {}
 
 
