@@ -128,10 +128,12 @@ def substring_pairs(sf_dir: str):
     (suffix-automaton channel)."""
     import pyarrow as pa
 
+    import ray.data as rd
+
     from minhash_ray.functions.substring import lcs_ratio
     from minhash_ray.pipelines.dedup_text import minhash_dup_pairs
 
-    pairs = minhash_dup_pairs(sf_dir)
+    pairs = rd.from_arrow(minhash_dup_pairs(sf_dir))
     import duckdb
 
     texts = dict(
@@ -165,8 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": dedup_text.exact_dedup,          # SQL-checked
         "simhash_fingerprints": dedup_text.simhash_fingerprints,   # rows-only
         "minhash_dup_pairs": dedup_text.minhash_dup_pairs,   # rows-only
-        "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,     # rows-only
-        "rolling_fingerprints": dedup_text.rolling_fingerprints,   # rows-only
+        # exact prefix-filtered similarity self-join — SQL-checked
+        "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
+        "rolling_fingerprints": dedup_text.rolling_fingerprints,   # SQL-checked
         # --- similarity search ---
         "ann_topk": ann.ann_topk,                            # SQL-checked
         "embedding_pairs_exact": ann.embedding_pairs_exact,  # SQL-checked
@@ -197,6 +200,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _rolling_fp_sql(window: int = 16, seed: int = 42) -> str:
+    """DuckDB replica of the engine's rolling char-w-gram fingerprint: the
+    same byte-xor-seed + mod-2^64 polynomial (FNV prime) fold, computed in
+    HUGEINT with an explicit mod at every step, min-folded per doc (the
+    1-perm MinHash semantics of minhash_ray.pipelines.dedup_text.
+    rolling_fingerprints).  Valid while the corpus text is ASCII (byte ==
+    char); the engine side hashes UTF-8 bytes."""
+    expr = f"CAST(xor(ascii(substr(norm, i, 1)), {seed}) AS HUGEINT)"
+    for j in range(1, window):
+        expr = (
+            f"((({expr}) * 1099511628211 + xor(ascii(substr(norm, i+{j}, 1)), {seed}))"
+            " % 18446744073709551616)"
+        )
+    return (
+        "WITH norms AS ("
+        "  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm"
+        "  FROM documents"
+        "), stats AS ("
+        f"  SELECT doc_id, norm, greatest(length(norm) - {window - 1}, 0) AS n_grams"
+        "  FROM norms"
+        "), mins AS ("
+        f"  SELECT s.doc_id, min({expr}) AS m"
+        "  FROM stats s, UNNEST(range(1, s.n_grams + 1)) AS r(i)"
+        "  GROUP BY s.doc_id"
+        ") "
+        "SELECT st.doc_id, CAST(st.n_grams AS BIGINT) AS n_grams, "
+        "CAST(CASE WHEN m IS NULL THEN 0 WHEN m >= 9223372036854775808::HUGEINT "
+        "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS min_gram_hash "
+        "FROM stats st LEFT JOIN mins USING(doc_id)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     n_tokens = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -211,11 +246,38 @@ def oracle_sql() -> dict[str, str]:
             " AS n_punct FROM documents"
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "rolling_fingerprints": _rolling_fp_sql(),
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"
         ),
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        # exact token-trigram set Jaccard >= 0.3, all pairs (the Ray side
+        # uses AllPairs prefix filtering over 64-bit shingle hashes; the
+        # hash is injective on the corpus so set sizes agree, and both
+        # sides compute jaccard as int64/int64 IEEE double division)
+        "ngram_jaccard_pairs": (
+            "WITH toks AS ("
+            "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+            "         THEN CAST([] AS VARCHAR[])"
+            "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+            "  FROM documents"
+            "), grams AS ("
+            "  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g"
+            "  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)"
+            "  WHERE len(t) >= 3"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c"
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id"
+            "  GROUP BY da, db"
+            ") "
+            "SELECT i.da AS doc_id_a, i.db AS doc_id_b, "
+            "CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard "
+            "FROM inter i JOIN sizes sa ON i.da = sa.doc_id "
+            "JOIN sizes sb ON i.db = sb.doc_id "
+            "WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.3"
+        ),
         "embedding_pairs_exact": (
             "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

@@ -154,68 +154,174 @@ def minhash_dup_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions
     out = edges.map_batches(to_doc_ids, batch_format="pyarrow")
 
     # the local pair-dedupe strategy tolerates cross-batch duplicates for
-    # clustering; a user-facing pair list should be unique — doc-scale
-    # output, so one block + one vectorized drop_duplicates
-    def dedupe(batch):
-        return batch.drop_duplicates(subset=["doc_id_a", "doc_id_b"]).sort_values(
-            ["doc_id_a", "doc_id_b"]
+    # clustering; a user-facing pair list should be unique and ordered.
+    # The verified pair list is metadata-scale (edges, not corpus), so it
+    # streams to the driver and one vectorized lexsort+mask dedupes it —
+    # no repartition(1) single-block serialization, no pandas.
+    t = pa.concat_tables(
+        list(out.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
+    )
+    a = t.column("doc_id_a").to_numpy()
+    b = t.column("doc_id_b").to_numpy()
+    s = t.column("sim").to_numpy()
+    order = np.lexsort((b, a))
+    a, b, s = a[order], b[order], s[order]
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table(
+        {
+            "doc_id_a": pa.array(a[first], pa.int64()),
+            "doc_id_b": pa.array(b[first], pa.int64()),
+            "sim": pa.array(s[first], pa.float64()),
+        }
+    )
+
+
+def _doc_shingle_sets(sf_dir: str, cfg: PipelineConfig):
+    """documents → {doc_id, shingles (sorted-unique list<u64>), n}."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        shingles, counts = shingles_for_config(texts, cfg)
+        n = batch.num_rows
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        o = np.lexsort((shingles, row_ids))
+        rs, ss = row_ids[o], shingles[o]
+        uniq = np.ones(len(rs), dtype=bool)
+        if len(rs) > 1:
+            uniq[1:] = (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1])
+        rs_u, ss_u = rs[uniq], ss[uniq]
+        ucounts = np.bincount(rs_u, minlength=n).astype(np.int64)
+        col = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(ucounts)]), pa.int32()),
+            pa.array(ss_u, pa.uint64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": col,
+                "n": pa.array(ucounts, pa.int64()),
+            }
         )
 
-    return out.repartition(1).map_batches(dedupe, batch_format="pandas", batch_size=None)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: float = 0.3):
-    """Exact n-gram-set Jaccard for LSH candidate pairs — the brute-force
-    verification channel (true set Jaccard, not the sketch estimate).
+    """EXACT token-trigram-set Jaccard similarity self-join: ALL doc pairs
+    with true Jaccard >= threshold, via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. 2007 "Scaling up all pairs similarity search"; Xiao et
+    al. 2008): with each doc's sorted-unique shingle set, any pair at
+    J >= t must share an element among the first ``n - ceil(t*n) + 1``
+    shingles of BOTH sets under the global order, so only those prefix
+    shingles are indexed (a groupby-bucket shuffle), and candidates are
+    verified against the true sets.  Exact — unlike the MinHash-LSH path
+    above — and SQL-expressible, so it carries a DuckDB oracle.
+    """
+    import ray.data as rd
 
-    Broadcasts per-doc shingle sets (document corpora at test scale); the
-    sketch-estimate path above is the scale path."""
+    from minhash_ray.stages.candidates import candidate_pairs
+    from minhash_ray.stages.verify import _list_flat_offsets
+
+    sets_ds = _doc_shingle_sets(sf_dir, cfg).materialize()
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from minhash_ray.functions.minhash import _seg_arange
+
+        flat, offs = _list_flat_offsets(batch.column("shingles"))
+        counts = np.diff(offs)
+        L = np.clip(
+            counts - np.ceil(threshold * counts).astype(np.int64) + 1, 0, counts
+        ).astype(np.int64)
+        gather = np.repeat(offs[:-1], L) + _seg_arange(L)
+        buckets = (flat[gather] >> np.uint64(1)).astype(np.int64)
+        ids = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        out_ids = ids.take(pa.array(np.repeat(np.arange(batch.num_rows), L)))
+        return pa.table({"bucket": pa.array(buckets, pa.int64()), "clip_id": out_ids})
+
+    band_rows = sets_ds.map_batches(prefix_rows, batch_format="pyarrow")
+    # exactness requires every within-bucket pair: no salting, no pair caps
+    exact_cfg = cfg.with_(salt_hot_bands=False, band_group_cap=1_000_000_000)
+    pairs = candidate_pairs(band_rows, exact_cfg, num_partitions=8).materialize()
+
+    # verification against the true sets: broadcast flat+offsets pack
+    # (doc corpora; at extreme scale swap for the join-attach verifier as
+    # in stages/verify.verify_shuffle)
     import ray
 
     t = pa.concat_tables(
-        list(
-            _docs(sf_dir, ["doc_id", "text"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-        )
+        list(sets_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
     )
-    texts = t.column("text")
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    shingles, counts = shingles_for_config(texts, cfg)
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    doc_ids = t.column("doc_id").to_pylist()
-    sets = {
-        doc_ids[i]: frozenset(shingles[offsets[i] : offsets[i + 1]].tolist())
-        for i in range(len(doc_ids))
-    }
-    sets_ref = [ray.put(sets)]
+    ids_np = np.asarray(t.column("doc_id").to_numpy(), dtype=np.int64)
+    order = np.argsort(ids_np)
+    flat_all, offs_all = _list_flat_offsets(
+        t.column("shingles").combine_chunks()
+        if isinstance(t.column("shingles"), pa.ChunkedArray)
+        else t.column("shingles")
+    )
+    counts_all = np.diff(offs_all)[order]
+    sc = counts_all
+    seg_local = (
+        np.arange(int(sc.sum()), dtype=np.int64) - np.repeat(np.cumsum(sc) - sc, sc)
+        if sc.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    gather = np.repeat(offs_all[:-1][order], sc) + seg_local
+    pack_ref = [ray.put({
+        "ids": ids_np[order],
+        "flat": np.ascontiguousarray(flat_all[gather]),
+        "offs": np.concatenate([[0], np.cumsum(sc)]).astype(np.int64),
+    })]
 
-    pairs = minhash_dup_pairs(sf_dir, cfg.with_(verify_margin=0.5))  # loose: all candidates
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    class ExactJaccard:
-        def __init__(self):
-            self.sets = ray.get(sets_ref[0])
+        from minhash_ray.functions.minhash import exact_jaccard_for_pairs
+        from minhash_ray.util import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_j = []
-            for a, b in zip(
-                batch.column("doc_id_a").to_pylist(), batch.column("doc_id_b").to_pylist()
-            ):
-                sa, sb = self.sets[a], self.sets[b]
-                union = sa | sb
-                out_j.append(len(sa & sb) / len(union) if union else 1.0)
-            t = pa.table(
-                {
-                    "doc_id_a": batch.column("doc_id_a"),
-                    "doc_id_b": batch.column("doc_id_b"),
-                    "jaccard": pa.array(out_j, pa.float64()),
-                }
-            )
-            mask = pa.array(np.array(out_j) >= threshold)
-            return t.filter(mask)
+        pack = cached_get(pack_ref[0])
+        a = pc.cast(batch.column("clip_id_a"), pa.int64()).to_numpy()
+        b = pc.cast(batch.column("clip_id_b"), pa.int64()).to_numpy()
+        idx_a = np.searchsorted(pack["ids"], a)
+        idx_b = np.searchsorted(pack["ids"], b)
+        jacc = exact_jaccard_for_pairs(pack["flat"], pack["offs"], idx_a, idx_b)
+        keep = jacc >= threshold
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a[keep], pa.int64()),
+                "doc_id_b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(jacc[keep], pa.float64()),
+            }
+        )
 
-    return pairs.map_batches(ExactJaccard, batch_format="pyarrow", concurrency=2)
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+
+    # pair lists are metadata-scale: driver-side vectorized dedupe + sort
+    vt = pa.concat_tables(
+        list(verified.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
+    )
+    a = vt.column("doc_id_a").to_numpy()
+    b = vt.column("doc_id_b").to_numpy()
+    j = vt.column("jaccard").to_numpy()
+    o = np.lexsort((b, a))
+    a, b, j = a[o], b[o], j[o]
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table(
+        {
+            "doc_id_a": pa.array(a[first], pa.int64()),
+            "doc_id_b": pa.array(b[first], pa.int64()),
+            "jaccard": pa.array(j[first], pa.float64()),
+        }
+    )
 
 
 def rolling_fingerprints(sf_dir: str, window: int = 16):

@@ -66,6 +66,8 @@ def orders_by_segment(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
+    from minhash_ray.util import int_lookup_pack
+
     cust = pa.concat_tables(
         list(
             _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
@@ -73,19 +75,21 @@ def orders_by_segment(sf_dir: str):
             )
         )
     )
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = [ray.put(seg_of)]
+    # broadcast as sorted numpy arrays + searchsorted, never a python dict
+    # (dict deserialization anti-scales with worker count)
+    ref = [ray.put(int_lookup_pack(
+        cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_pylist()
+    ))]
 
     def attach_segment(batch: pa.Table) -> pa.Table:
-        from minhash_ray.util import cached_get
+        from minhash_ray.util import cached_get, int_lookup_take
 
-        seg_map = cached_get(ref[0])
-        keys = batch.column("o_custkey").to_pylist()
-        seg = [seg_map.get(k) for k in keys]
+        pack = cached_get(ref[0])
+        seg = int_lookup_take(pack, batch.column("o_custkey").to_numpy())
         total = _cents(batch.column("o_totalprice").to_numpy())
         t = pa.table(
             {
-                "c_mktsegment": pa.array(seg, pa.string()),
+                "c_mktsegment": seg,
                 "total_cents": pa.array(total, pa.int64()),
             }
         )
@@ -131,19 +135,19 @@ def supplier_regions(sf_dir: str):
     region = pa.concat_tables(
         list(_t(sf_dir, "region").iter_batches(batch_size=4096, batch_format="pyarrow"))
     )
+    from minhash_ray.util import int_lookup_pack
+
     r_of = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    n_to_r = {
-        nk: r_of[rk]
-        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    }
-    ref = [ray.put(n_to_r)]
+    nat_keys = nation["n_nationkey"].to_numpy()
+    nat_vals = [r_of[rk] for rk in nation["n_regionkey"].to_pylist()]
+    ref = [ray.put(int_lookup_pack(nat_keys, nat_vals))]
 
     def attach_region(batch: pa.Table) -> pa.Table:
-        from minhash_ray.util import cached_get
+        from minhash_ray.util import cached_get, int_lookup_take
 
-        n_map = cached_get(ref[0])
-        names = [n_map.get(k) for k in batch.column("s_nationkey").to_pylist()]
-        return pa.table({"r_name": pa.array(names, pa.string())})
+        pack = cached_get(ref[0])
+        names = int_lookup_take(pack, batch.column("s_nationkey").to_numpy())
+        return pa.table({"r_name": names})
 
     return (
         _t(sf_dir, "supplier", ["s_nationkey"])
@@ -254,21 +258,20 @@ def nation_revenue(sf_dir: str, num_partitions: int = 8):
     nation = pa.concat_tables(
         list(_t(sf_dir, "nation").iter_batches(batch_size=4096, batch_format="pyarrow"))
     )
+    from minhash_ray.util import int_lookup_pack
+
     n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    cust_nation = {
-        ck: n_name[nk]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    ref = [ray.put(cust_nation)]
+    cust_vals = [n_name[nk] for nk in cust["c_nationkey"].to_pylist()]
+    ref = [ray.put(int_lookup_pack(cust["c_custkey"].to_numpy(), cust_vals))]
 
     def attach(batch: pa.Table) -> pa.Table:
-        from minhash_ray.util import cached_get
+        from minhash_ray.util import cached_get, int_lookup_take
 
-        cmap = cached_get(ref[0])
-        names = [cmap.get(k) for k in batch.column("o_custkey").to_pylist()]
+        pack = cached_get(ref[0])
+        names = int_lookup_take(pack, batch.column("o_custkey").to_numpy())
         t = pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
+                "n_name": names,
                 "revenue_cents": batch.column("revenue_cents"),
             }
         )

@@ -138,11 +138,9 @@ def _pairs_from_join(joined, out_cols=("clip_id_a", "clip_id_b"), local_dedupe: 
             schema=PAIRS_SCHEMA,
         )
         if local_dedupe and out.num_rows:
-            import pandas as pd
-
-            df = out.to_pandas()
-            df = df.drop_duplicates()
-            out = pa.Table.from_pandas(df, schema=PAIRS_SCHEMA, preserve_index=False)
+            # Arrow-native distinct (group_by with no aggregates = unique
+            # key rows) — no pandas round-trip in the shuffle tail
+            out = out.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
         return out
 
     return joined.map_batches(keep_ordered, batch_format="pyarrow")
@@ -217,11 +215,9 @@ def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
         lo = pc_.if_else(pc_.less(A, B), A, B)
         hi = pc_.if_else(pc_.less(A, B), B, A)
         out = pa.table({"clip_id_a": lo, "clip_id_b": hi}, schema=PAIRS_SCHEMA)
-        # local dedupe (pairs from different bands in this partition)
-        import pandas as pd
-
-        df = out.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, schema=PAIRS_SCHEMA, preserve_index=False)
+        # local dedupe (pairs from different bands in this partition),
+        # Arrow-native: group_by with no aggregates = unique key rows
+        return out.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
 
     tasks = [reduce_partition.remote(p, n_partitions, *refs) for p in range(n_partitions)]
     return rd.from_arrow_refs(tasks)

@@ -24,7 +24,6 @@ import numpy as np
 import pyarrow as pa
 
 from minhash_ray.config import PipelineConfig
-from minhash_ray.state.unionfind import UnionFind
 
 ASSIGN_SCHEMA = pa.schema([("clip_id", pa.string()), ("cluster_id", pa.string())])
 

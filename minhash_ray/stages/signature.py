@@ -8,7 +8,7 @@ identical table from the config seed in every worker), and every batch is a
 vectorized numpy fold (reference ``basic_insert`` min-update semantics,
 src/utils/utils.c:3-33, collapsed to one segmented min per row).
 
-Run it as ``ds.map_batches(SignatureStage, fn_constructor_kwargs=...,
+Run it as ``ds.map_batches(ValidateSignatureStage, fn_constructor_kwargs=...,
 concurrency=N, batch_size=B, batch_format="pyarrow")``.
 """
 
@@ -22,20 +22,6 @@ from minhash_ray.functions.hashing import HashTables
 from minhash_ray.functions.minhash import signatures_from_shingles
 from minhash_ray.functions.shingles import shingles_for_config
 from minhash_ray.functions.simhash import simhash_from_shingles
-
-
-def signatures_schema(num_perm: int, audio_num_perm: int) -> pa.Schema:
-    return pa.schema(
-        [
-            ("clip_id", pa.string()),
-            ("signature", pa.list_(pa.uint64(), num_perm)),
-            ("simhash", pa.uint64()),
-            ("audio_fp", pa.uint64()),
-            ("audio_sig", pa.list_(pa.uint64(), audio_num_perm)),
-            ("content_hash", pa.string()),
-            ("n_shingles", pa.int64()),
-        ]
-    )
 
 
 def full_signatures_schema(num_perm: int, audio_num_perm: int) -> pa.Schema:
@@ -159,51 +145,6 @@ class ValidateSignatureStage:
             },
             schema=self.schema,
         )
-
-
-class SignatureStage:
-    """Callable class for ``map_batches`` actor pools — coefficient tables
-    and config are actor state, built once."""
-
-    def __init__(self, cfg: PipelineConfig):
-        self.cfg = cfg
-        self.tables = HashTables.from_config(cfg)
-        self.schema = signatures_schema(cfg.num_perm, cfg.audio_num_perm)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("transcript")
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        shingles, counts = shingles_for_config(texts, self.cfg)
-        sigs = signatures_from_shingles(shingles, counts, self.tables)
-        simhash = simhash_from_shingles(shingles, counts)
-
-        sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.reshape(-1), pa.uint64()), self.cfg.num_perm
-        )
-        n = batch.num_rows
-        names = batch.column_names
-        empty_audio = pa.FixedSizeListArray.from_arrays(
-            pa.array(
-                np.full(n * self.cfg.audio_num_perm, 2**64 - 1, dtype=np.uint64),
-                pa.uint64(),
-            ),
-            self.cfg.audio_num_perm,
-        )
-        cols = {
-            "clip_id": batch.column("clip_id"),
-            "signature": sig_col,
-            "simhash": pa.array(simhash, pa.uint64()),
-            "audio_fp": batch.column("audio_fp")
-            if "audio_fp" in names
-            else pa.array(np.zeros(n, dtype=np.uint64), pa.uint64()),
-            "audio_sig": batch.column("audio_sig") if "audio_sig" in names else empty_audio,
-            "content_hash": batch.column("content_hash")
-            if "content_hash" in names
-            else pa.array([""] * n, pa.string()),
-            "n_shingles": pa.array(counts.astype(np.int64), pa.int64()),
-        }
-        return pa.table(cols, schema=self.schema)
 
 
 def signature_matrix(table: pa.Table, num_perm: int) -> np.ndarray:

@@ -54,6 +54,48 @@ def bytes_key_array(col) -> "np.ndarray":
     return obj.astype("S")   # bytes objects copy verbatim (no codec involved)
 
 
+def int_lookup_pack(keys, values) -> dict:
+    """Build a broadcastable int64-key → string-value lookup: sorted numpy
+    key array + int32 codes + a small value vocabulary.
+
+    Replaces python-dict broadcasts in join-lookup stages: a dict costs
+    ~1 s deserialization per worker process (anti-scales with worker
+    count); numpy arrays are zero-copy plasma views and the lookup is one
+    ``searchsorted`` per batch (same pattern as the cluster-assignment
+    pack, stages/cluster.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    keys = np.asarray(keys, dtype=np.int64)
+    order = np.argsort(keys)
+    dict_arr = pa.array(list(values), pa.string()).dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    return {
+        "keys": keys[order],
+        "codes": codes[order],
+        "vocab": dict_arr.dictionary.to_pylist(),   # small domain, stays python
+    }
+
+
+def int_lookup_take(pack: dict, query) -> "pa.Array":
+    """Vectorized lookup into an ``int_lookup_pack``: returns a string
+    Arrow array with nulls where the key is absent."""
+    import numpy as np
+    import pyarrow as pa
+
+    query = np.asarray(query, dtype=np.int64)
+    keys = pack["keys"]
+    if len(keys) == 0:
+        return pa.array([None] * len(query), pa.string())
+    pos = np.searchsorted(keys, query)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    found = keys[pos_c] == query
+    codes = pack["codes"][pos_c]
+    vocab = pa.array(pack["vocab"], pa.string())
+    indices = pa.array(codes, pa.int32(), mask=~found)
+    return vocab.take(indices)
+
+
 _BROADCAST_CACHE: dict = {}
 
 
