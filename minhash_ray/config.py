@@ -44,12 +44,16 @@ class PipelineConfig:
     rows_per_band: int = 4               # R; B * R must equal num_perm
     band_group_cap: int = 256            # all-pairs emission cap per band bucket
     salt_hot_bands: bool = True          # detect over-cap buckets and salt their keys
-    salt_buckets: int = 8                # S sub-buckets for a hot band key
+                                         # (sub-bucket count derives from band_group_cap)
     hot_band_threshold: int = 1024       # bucket size above which salting kicks in
 
     # --- candidate channels ---
     use_simhash_channel: bool = True     # add SimHash chunk-LSH candidates
-    simhash_max_hamming: int = 3         # accept simhash candidates within this distance
+    simhash_max_hamming: int = 3         # guaranteed recall distance of the simhash
+                                         # channel: fingerprints are split into
+                                         # (d+1) chunks, so any pair within Hamming
+                                         # distance d shares a chunk (pigeonhole)
+                                         # and becomes a candidate
     use_exact_channel: bool = True       # content-hash exact-duplicate channel
 
     # --- verification ---
@@ -60,8 +64,12 @@ class PipelineConfig:
                                          # true pairs at j ~= tau are rejected ~50% of
                                          # the time.  Edges carry `sim`, so consumers
                                          # can re-filter at exactly tau.
-    substring_check: bool = False        # suffix-automaton LCS channel on verified pairs
-    substring_min_ratio: float = 0.0     # report-only unless > 0
+    substring_check: bool = False        # compute suffix-automaton LCS ratio for
+                                         # text edges that pass the jaccard gate
+                                         # (reported in the edges `lcs_ratio` column)
+                                         # and additionally require
+                                         # lcs_ratio >= substring_min_ratio
+    substring_min_ratio: float = 0.0     # LCS gate threshold (0.0 = report-only)
     exact_verify: bool = True            # broadcast-verify gates edges on the TRUE
                                          # shingle-set jaccard (standard LSH verify
                                          # step); the sketch estimator is always

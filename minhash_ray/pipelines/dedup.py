@@ -106,8 +106,11 @@ def run_dedup(
             batch_format="pyarrow",
         )
         if cfg.use_simhash_channel:
+            # d+1 chunks guarantee any pair within Hamming distance
+            # cfg.simhash_max_hamming shares a chunk (pigeonhole)
             sim_rows = signatures.map_batches(
-                make_simhash_band_fn(), batch_format="pyarrow"
+                make_simhash_band_fn(cfg.simhash_max_hamming + 1),
+                batch_format="pyarrow",
             )
             band_rows = band_rows.union(sim_rows)
         if cfg.use_audio_channel:

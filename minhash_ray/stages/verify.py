@@ -37,17 +37,20 @@ EDGES_SCHEMA = pa.schema(
         ("audio_sim", pa.float64()),
         ("simhash_dist", pa.int64()),
         ("audio_fp_dist", pa.int64()),
+        ("lcs_ratio", pa.float64()),    # suffix-automaton LCS ratio (-1 = not computed)
         ("channel", pa.string()),
     ]
 )
 
 
 def _edges_table(ids_a, ids_b, sim, sh_dist, fp_dist, channel: str, keep_mask,
-                 audio_sim=None, jaccard=None) -> pa.Table:
+                 audio_sim=None, jaccard=None, lcs=None) -> pa.Table:
     if audio_sim is None:
         audio_sim = np.zeros(len(sim), dtype=np.float64)
     if jaccard is None:
         jaccard = np.full(len(sim), 1.0 if channel == "exact" else -1.0, dtype=np.float64)
+    if lcs is None:
+        lcs = np.full(len(sim), 1.0 if channel == "exact" else -1.0, dtype=np.float64)
     t = pa.table(
         {
             "clip_id_a": ids_a,
@@ -57,11 +60,24 @@ def _edges_table(ids_a, ids_b, sim, sh_dist, fp_dist, channel: str, keep_mask,
             "audio_sim": pa.array(audio_sim, pa.float64()),
             "simhash_dist": pa.array(sh_dist, pa.int64()),
             "audio_fp_dist": pa.array(fp_dist, pa.int64()),
+            "lcs_ratio": pa.array(lcs, pa.float64()),
             "channel": pa.array([channel] * len(sim), pa.string()),
         },
         schema=EDGES_SCHEMA,
     )
     return t.filter(pa.array(keep_mask)) if keep_mask is not None else t
+
+
+def _lcs_gate(texts_a, texts_b, text_keep: np.ndarray, min_ratio: float):
+    """Suffix-automaton LCS ratio for text-kept candidate rows only (the
+    post-jaccard survivor set — metadata-scale), returning (lcs vector
+    with -1 where not computed, updated text_keep)."""
+    from minhash_ray.functions.substring import lcs_ratio
+
+    lcs = np.full(len(text_keep), -1.0, dtype=np.float64)
+    for i in np.flatnonzero(text_keep):
+        lcs[i] = lcs_ratio(texts_a[i], texts_b[i])
+    return lcs, text_keep & (lcs >= min_ratio)
 
 
 def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
@@ -72,6 +88,7 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
     threshold = cfg.tau - cfg.verify_margin
     tau = cfg.tau
     audio_tau = cfg.audio_tau
+    substring_min_ratio = cfg.substring_min_ratio
 
     audio_min_filled = cfg.audio_min_filled
 
@@ -108,13 +125,22 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
             jacc = exact_jaccard_for_pairs(
                 shingles, pack["shingle_offsets"], idx_a, idx_b
             )
-            keep = (jacc >= tau) | (asim >= audio_tau)
-            return _edges_table(
-                ids_a, ids_b, sim, sh, fp, "minhash", keep, audio_sim=asim, jaccard=jacc
+            text_keep = jacc >= tau
+        else:
+            jacc = None
+            text_keep = sim >= threshold
+        lcs = None
+        texts = pack.get("transcripts")
+        if texts is not None:
+            # substring_check: LCS computed only for post-jaccard survivors
+            lcs, text_keep = _lcs_gate(
+                texts[idx_a], texts[idx_b], text_keep, substring_min_ratio
             )
-
-        keep = (sim >= threshold) | (asim >= audio_tau)
-        return _edges_table(ids_a, ids_b, sim, sh, fp, "minhash", keep, audio_sim=asim)
+        keep = text_keep | (asim >= audio_tau)
+        return _edges_table(
+            ids_a, ids_b, sim, sh, fp, "minhash", keep,
+            audio_sim=asim, jaccard=jacc, lcs=lcs,
+        )
 
     return verify
 
@@ -159,9 +185,10 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
         cols.append("content_hash")
     have_shingles = cfg.exact_verify and "shingles" in schema_names
     have_transcript = cfg.exact_verify and not have_shingles and "transcript" in schema_names
+    want_lcs = cfg.substring_check and "transcript" in schema_names
     if have_shingles:
         cols.append("shingles")
-    elif have_transcript:
+    if (have_transcript or want_lcs) and "transcript" not in cols:
         cols.append("transcript")
     tables = []
     for batch in sig_ds.select_columns(cols).iter_batches(
@@ -235,6 +262,12 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
         else:
             pack["shingles"] = np.empty(0, dtype=np.uint64)
         pack["shingle_offsets"] = np.concatenate([[0], np.cumsum(sc)]).astype(np.int64)
+    if want_lcs:
+        # raw transcripts for the opt-in LCS gate (object array: only the
+        # post-jaccard survivor rows are ever touched)
+        pack["transcripts"] = np.array(
+            t.column("transcript").to_pylist(), dtype=object
+        )[order]
     refs = [ray.put(pack)]
     if with_content:
         exact_tbl = driver_exact_edges_table(
@@ -324,6 +357,7 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
     schema_names = sig_ds.schema().names
     have_audio = "audio_sig" in schema_names
     exact = cfg.exact_verify and "shingles" in schema_names
+    want_lcs = cfg.substring_check and "transcript" in schema_names
 
     src_cols = ["signature", "simhash", "audio_fp"]
     packed_cols = {"signature"}
@@ -333,6 +367,8 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
     if exact:
         src_cols.append("shingles")
         packed_cols.add("shingles")
+    if want_lcs:
+        src_cols.append("transcript")
 
     def make_side(suffix: str):
         def rename(batch: pa.Table) -> pa.Table:
@@ -367,6 +403,7 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
     tau = cfg.tau
     audio_tau = cfg.audio_tau
     audio_min_filled = cfg.audio_min_filled
+    substring_min_ratio = cfg.substring_min_ratio
 
     def compute(batch: pa.Table) -> pa.Table:
         from minhash_ray.functions.audio import audio_similarity
@@ -399,15 +436,19 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
             jacc = exact_jaccard_for_pairs(
                 flat, offs, np.arange(n, dtype=np.int64), n + np.arange(n, dtype=np.int64)
             )
-            keep = (jacc >= tau) | (asim >= audio_tau)
-            return _edges_table(
-                batch.column("clip_id_a"), batch.column("clip_id_b"), sim, sh, fp,
-                "minhash", keep, audio_sim=asim, jaccard=jacc,
-            )
-        keep = (sim >= est_threshold) | (asim >= audio_tau)
+            text_keep = jacc >= tau
+        else:
+            jacc = None
+            text_keep = sim >= est_threshold
+        lcs = None
+        if want_lcs:
+            texts_a = np.array(batch.column("transcript_a").to_pylist(), dtype=object)
+            texts_b = np.array(batch.column("transcript_b").to_pylist(), dtype=object)
+            lcs, text_keep = _lcs_gate(texts_a, texts_b, text_keep, substring_min_ratio)
+        keep = text_keep | (asim >= audio_tau)
         return _edges_table(
             batch.column("clip_id_a"), batch.column("clip_id_b"), sim, sh, fp,
-            "minhash", keep, audio_sim=asim,
+            "minhash", keep, audio_sim=asim, jaccard=jacc, lcs=lcs,
         )
 
     return with_ab.map_batches(compute, batch_format="pyarrow")

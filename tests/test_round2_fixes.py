@@ -266,3 +266,85 @@ def test_shuffle_verify_path_is_bit_identical_to_broadcast(ray_session, small_fi
         return dict(zip(t["clip_id"].to_pylist(), t["cluster_id"].to_pylist()))
 
     assert assign_map(res_b) == assign_map(res_s)
+
+
+# ---------------------------------------------------------------------------
+# config-knob wiring: substring_check LCS gate, simhash_max_hamming chunks
+
+
+def _swap_halves_fixture(tmp_path):
+    """Two docs sharing almost all token trigrams (X+Y vs Y+X) — high
+    jaccard but LCS ratio ~0.5 — plus an exact-duplicate control pair."""
+    rng = np.random.default_rng(21)
+    X = " ".join(f"xtok{i:03d}" for i in range(30))
+    Y = " ".join(f"ytok{i:03d}" for i in range(30))
+    rows = [
+        _clip("sw_0001", X + " " + Y, rng.bytes(40)),
+        _clip("sw_0002", Y + " " + X, rng.bytes(40)),
+        _clip("sw_0003", "a completely different utterance altogether here now", rng.bytes(40)),
+    ]
+    return _write_clips(tmp_path, rows, name="swap")
+
+
+def test_substring_check_gates_reordered_text(ray_session, tmp_path):
+    import ray.data as rd
+
+    p = _swap_halves_fixture(tmp_path)
+    base = PipelineConfig(signature_concurrency=1)
+
+    res_off = run_dedup(rd.read_parquet(p), base, num_partitions=2)
+    t = _collect(res_off.assignments)
+    cl = dict(zip(t["clip_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert cl["sw_0001"] == cl["sw_0002"]            # jaccard alone links them
+    e = _collect(res_off.edges)
+    assert (np.asarray(e["lcs_ratio"].to_numpy()) == -1.0).all()   # not computed
+
+    cfg_on = base.with_(substring_check=True, substring_min_ratio=0.9)
+    res_on = run_dedup(rd.read_parquet(p), cfg_on, num_partitions=2)
+    t2 = _collect(res_on.assignments)
+    cl2 = dict(zip(t2["clip_id"].to_pylist(), t2["cluster_id"].to_pylist()))
+    assert cl2["sw_0001"] != cl2["sw_0002"]          # LCS gate rejects the edge
+
+    # report-only mode: edges keep the pair but carry the measured ratio
+    cfg_rep = base.with_(substring_check=True, substring_min_ratio=0.0)
+    res_rep = run_dedup(rd.read_parquet(p), cfg_rep, num_partitions=2)
+    e3 = _collect(res_rep.edges)
+    by_pair = {
+        (a, b): r for a, b, r in zip(
+            e3["clip_id_a"].to_pylist(), e3["clip_id_b"].to_pylist(),
+            e3["lcs_ratio"].to_pylist(),
+        )
+    }
+    r = by_pair[("sw_0001", "sw_0002")]
+    assert 0.3 < r < 0.7, r
+
+    # the shuffle (at-scale) path applies the same gate
+    res_shuf = run_dedup(
+        rd.read_parquet(p),
+        cfg_on.with_(broadcast_verify_max_rows=0),
+        num_partitions=2,
+    )
+    t4 = _collect(res_shuf.assignments)
+    cl4 = dict(zip(t4["clip_id"].to_pylist(), t4["cluster_id"].to_pylist()))
+    assert cl4 == cl2
+
+
+def test_simhash_max_hamming_drives_chunk_count(ray_session, tmp_path):
+    """simhash_max_hamming=d → d+1 chunk band rows per doc (pigeonhole
+    guarantee wiring)."""
+    import ray.data as rd
+
+    from minhash_ray.stages.banding import make_simhash_band_fn
+
+    rng = np.random.default_rng(8)
+    rows = [
+        _clip(f"sh_{i:04d}", f"some words about topic number {i} and more filler", rng.bytes(2000))
+        for i in range(4)
+    ]
+    p = _write_clips(tmp_path, rows, name="shh")
+    cfg = PipelineConfig(signature_concurrency=1)
+    res = run_dedup(rd.read_parquet(p), cfg, num_partitions=2)
+    sig = res.signatures
+    for d in (1, 3, 7):
+        out = _collect(sig.map_batches(make_simhash_band_fn(d + 1), batch_format="pyarrow"))
+        assert out.num_rows == 4 * (d + 1)
