@@ -38,6 +38,11 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--num-partitions", type=int, default=32)
     ap.add_argument("--no-audio-channel", action="store_true")
+    ap.add_argument("--append", action="store_true",
+                    help="treat --input as a NEW clips partition and merge it "
+                         "into the existing --checkpoint corpus (old clips are "
+                         "not re-sketched; signature/edge checkpoints are "
+                         "extended by atomic part appends)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (omit under ray job submit)")
     args = ap.parse_args(argv)
@@ -54,7 +59,7 @@ def main(argv=None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from minhash_ray.config import PipelineConfig
-    from minhash_ray.pipelines.dedup import dedup_metrics, run_dedup
+    from minhash_ray.pipelines.dedup import append_clips, dedup_metrics, run_dedup
     from minhash_ray.sources.clips import read_clips
 
     cfg = PipelineConfig(
@@ -68,12 +73,22 @@ def main(argv=None) -> int:
     )
 
     t0 = time.time()
-    res = run_dedup(
-        read_clips(args.input),
-        cfg,
-        ckpt_root=args.checkpoint,
-        num_partitions=args.num_partitions,
-    )
+    if args.append:
+        if not args.checkpoint:
+            ap.error("--append requires --checkpoint")
+        res = append_clips(
+            read_clips(args.input),
+            cfg,
+            ckpt_root=args.checkpoint,
+            num_partitions=args.num_partitions,
+        )
+    else:
+        res = run_dedup(
+            read_clips(args.input),
+            cfg,
+            ckpt_root=args.checkpoint,
+            num_partitions=args.num_partitions,
+        )
     os.makedirs(args.output, exist_ok=True)
     res.assignments.write_parquet(os.path.join(args.output, "assignments"))
     res.edges.write_parquet(os.path.join(args.output, "edges"))
@@ -87,7 +102,12 @@ def main(argv=None) -> int:
         "output": args.output,
     }
     if args.truth:
-        clips_path = args.input if args.input.endswith(".parquet") else None
+        # append mode: --input is only the new partition, so text-based
+        # precision (which needs every clip's transcript) is unavailable —
+        # fall back to planted-truth membership precision
+        clips_path = (
+            args.input if args.input.endswith(".parquet") and not args.append else None
+        )
         m = dedup_metrics(res.assignments, args.truth, cfg, clips_path=clips_path)
         out.update({k: round(v, 4) if isinstance(v, float) else v for k, v in m.items()})
     print(json.dumps(out))

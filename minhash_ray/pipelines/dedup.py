@@ -185,6 +185,175 @@ def run_dedup(
     return DedupResult(validated, signatures, edges, assignments)
 
 
+def append_clips(
+    new_clips,
+    cfg: PipelineConfig | None = None,
+    ckpt_root: str | None = None,
+    num_partitions: int = 32,
+) -> DedupResult:
+    """Incremental update mode: merge a NEW clips partition into an
+    existing checkpointed corpus without re-sketching old clips — the
+    reference's insert-while-query workload (infinite writers against
+    live readers, test/fcds/test_fixed_queries_infinite_write.c:90-99)
+    re-expressed over checkpoints: the published signature/edge tables
+    are the "query sketch", the append is the next insert generation,
+    and the merge is the same min-fold/edge-union algebra
+    (src/utils/utils.c:36-46).
+
+    Scale shape: only the new partition runs the heavy decode+sketch
+    stage; old signatures are extended by atomic part-file appends (never
+    rewritten); banding re-reads only slim signature columns; the pair
+    shuffle is restricted to buckets the new partition touches; old-old
+    edges come verbatim from the edges checkpoint.  Verified-edge union
+    plus min-id clustering make the result equal to a single-shot run
+    (the LSH candidate set for untouched old-old buckets is unchanged).
+
+    Preconditions: a complete signatures+edges checkpoint under
+    ``ckpt_root`` for this config, and new clip_ids disjoint from old.
+    """
+    import ray
+
+    import ray.data as rd
+
+    from minhash_ray.stages.signature import ValidateSignatureStage, full_signatures_schema
+    from minhash_ray.stages.verify import EDGES_SCHEMA
+    from minhash_ray.util import bytes_key_array, cluster_cpus
+
+    cfg = cfg or PipelineConfig()
+    if not ckpt_root:
+        raise ValueError("append mode requires a checkpoint root")
+    ckpt = CheckpointManager(ckpt_root, cfg)
+    ckpt.clear_stale_temps()
+    for stage in ("signatures", "edges"):
+        if not ckpt.is_complete(stage):
+            raise ValueError(f"append mode needs a complete {stage!r} checkpoint")
+
+    if isinstance(new_clips, str):
+        new_clips = read_clips(new_clips)
+
+    # --- sketch ONLY the new partition ---
+    concurrency = cfg.signature_concurrency or max(2, cluster_cpus() - 2)
+    new_sigs = new_clips.map_batches(
+        ValidateSignatureStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=concurrency,
+    ).materialize()
+
+    # new-side metadata (the new partition is the small side by design)
+    new_ids: list[str] = []
+    for b in new_sigs.select_columns(["clip_id"]).iter_batches(
+        batch_size=1_048_576, batch_format="pyarrow"
+    ):
+        new_ids.extend(b.column("clip_id").to_pylist())
+    new_ids_sorted = np.sort(bytes_key_array(new_ids))
+    new_ids_ref = [ray.put(new_ids_sorted)]
+
+    # publish: extend the signatures checkpoint by part-file append
+    signatures = ckpt.append_parts(
+        "signatures", new_sigs,
+        schema=full_signatures_schema(cfg.num_perm, cfg.audio_num_perm),
+        extra={"last_append_rows": len(new_ids)},
+    )
+
+    # --- banding over the merged table, restricted to buckets the new
+    # partition touches (old-only buckets cannot yield new pairs) ---
+    from minhash_ray.stages.banding import (
+        make_audio_band_fn,
+        make_minhash_band_fn,
+        make_simhash_band_fn,
+    )
+
+    def band_rows_of(ds):
+        rows = ds.map_batches(
+            make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm),
+            batch_format="pyarrow",
+        )
+        if cfg.use_simhash_channel:
+            rows = rows.union(ds.map_batches(
+                make_simhash_band_fn(cfg.simhash_max_hamming + 1),
+                batch_format="pyarrow",
+            ))
+        if cfg.use_audio_channel:
+            rows = rows.union(ds.map_batches(
+                make_audio_band_fn(
+                    cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm,
+                    min_filled=cfg.audio_min_filled,
+                ),
+                batch_format="pyarrow",
+            ))
+        return rows
+
+    new_buckets: list[np.ndarray] = []
+    for b in band_rows_of(new_sigs).select_columns(["bucket"]).iter_batches(
+        batch_size=1_048_576, batch_format="pyarrow"
+    ):
+        new_buckets.append(np.unique(b.column("bucket").to_numpy()))
+    touched = (
+        np.unique(np.concatenate(new_buckets)) if new_buckets
+        else np.empty(0, dtype=np.int64)
+    )
+    touched_ref = [ray.put(touched)]
+
+    def keep_touched(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        tb = cached_get(touched_ref[0])
+        buckets = batch.column("bucket").to_numpy()
+        if len(tb) == 0:
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(tb, buckets), len(tb) - 1)
+        return batch.filter(pa.array(tb[pos] == buckets))
+
+    from minhash_ray.stages.candidates import candidate_pairs
+
+    band_rows = band_rows_of(signatures).map_batches(keep_touched, batch_format="pyarrow")
+    pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions)
+
+    def keep_new_pairs(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        ids = cached_get(new_ids_ref[0])
+        if len(ids) == 0:
+            return batch.slice(0, 0)
+
+        def member(col):
+            v = bytes_key_array(batch.column(col))
+            pos = np.minimum(np.searchsorted(ids, v), len(ids) - 1)
+            return ids[pos] == v
+
+        return batch.filter(pa.array(member("clip_id_a") | member("clip_id_b")))
+
+    # old-old pairs were adjudicated by the previous run; verify only
+    # pairs that involve a new clip
+    pairs = pairs.map_batches(keep_new_pairs, batch_format="pyarrow").materialize()
+
+    n_total = signatures.count()
+    new_edges = verify_pairs(
+        pairs, signatures, cfg, n_clips=n_total, num_partitions=num_partitions
+    )
+    if cfg.use_exact_channel:
+        exact_new = exact_edges(
+            signatures,
+            num_partitions=max(2, num_partitions // 4),
+            driver_max_rows=cfg.driver_agg_max_rows,
+            n_rows=n_total,
+        ).map_batches(keep_new_pairs, batch_format="pyarrow")
+        new_edges = new_edges.union(exact_new)
+
+    edges = ckpt.append_parts("edges", new_edges, schema=EDGES_SCHEMA)
+
+    # --- recluster over the union (cheap: edges are metadata-scale) ---
+    assignments = assign_clusters(signatures, edges, cfg, num_partitions=num_partitions)
+    from minhash_ray.stages.cluster import ASSIGN_SCHEMA
+
+    assignments = ckpt.save(
+        "assignments", assignments, input_stage="edges", schema=ASSIGN_SCHEMA
+    )
+    return DedupResult(signatures, signatures, edges, assignments)
+
+
 def dedup_metrics(
     assignments,
     truth_path: str,

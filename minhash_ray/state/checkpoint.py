@@ -131,6 +131,48 @@ class CheckpointManager:
                 shutil.rmtree(tmp, ignore_errors=True)
         return self.load(stage)
 
+    def append_parts(self, stage: str, ds, schema=None, extra: dict | None = None):
+        """Incrementally extend a published checkpoint with new part files —
+        the append-mode analogue of the reference's insert-while-query
+        contract (an ever-growing sketch, test/fcds/
+        test_fixed_queries_infinite_write.c:90-99): existing parts are
+        never rewritten; new parts land under a unique prefix via atomic
+        per-file renames, then the manifest is atomically replaced.
+        Readers concurrently see either the old or the new manifest, both
+        of which list only complete files."""
+        final = self.stage_dir(stage)
+        m = self.manifest(stage)
+        if not self.is_complete(stage):
+            raise ValueError(f"cannot append to incomplete checkpoint stage {stage!r}")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        nonce = uuid.uuid4().hex[:8]
+        try:
+            ds.write_parquet(tmp)
+            import pyarrow.parquet as pq
+
+            new_parts = []
+            for i, f in enumerate(sorted(os.listdir(tmp))):
+                if not f.endswith(".parquet"):
+                    continue
+                rows = pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+                name = f"append-{nonce}-{i:05d}.parquet"
+                os.rename(os.path.join(tmp, f), os.path.join(final, name))
+                new_parts.append({"file": name, "rows": rows})
+            m["partitions"] = m.get("partitions", []) + new_parts
+            m["rows"] = sum(p["rows"] for p in m["partitions"])
+            m["appended_at"] = time.time()
+            if extra:
+                m.update(extra)
+            mpath = os.path.join(final, MANIFEST)
+            mtmp = f"{mpath}.tmp-{nonce}"
+            with open(mtmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.rename(mtmp, mpath)                     # atomic manifest swap
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return self.load(stage)
+
     def clear_stale_temps(self) -> None:
         base = self._base()
         for name in os.listdir(base):
