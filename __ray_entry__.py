@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": audio_resample,
         # --- language ID heuristic (rows-only: model-style scoring) ---
         "lang_id": text.lang_id,
+        # --- seeded sampling op (rows-only: Ray RNG) ---
+        "doc_sample": text.doc_sample,
         # --- flagship clips pipelines (rows-only: sketch/LSH semantics) ---
         "clips_dedup_assignments": clips_dedup_assignments,
         "clips_dedup_edges": clips_dedup_edges,

@@ -77,8 +77,12 @@ def run_bench() -> dict:
     ).count()
 
     cfg = PipelineConfig()
+    stage_times: dict = {}
     t0 = time.time()
-    res = run_dedup(rd.read_parquet(clips_path), cfg, num_partitions=max(8, NCPUS))
+    res = run_dedup(
+        rd.read_parquet(clips_path), cfg, num_partitions=max(8, NCPUS),
+        stage_times=stage_times,
+    )
     n_clips = res.assignments.count()
     headline = time.time() - t0
     if os.environ.get("GRAFT_STATS"):
@@ -105,6 +109,7 @@ def run_bench() -> dict:
             "value": round(headline, 3),
             "unit": "sec",
             "queries": {},
+            "stages": stage_times,
             "sf": _sf_of(SF_DIR),
             "num_cpus": NCPUS,
             "clips": n_clips,
@@ -116,6 +121,25 @@ def run_bench() -> dict:
         }
         ray.shutdown()
         return out
+
+    # --- num_perm sweep: the reference's sketch-size sweep protocol
+    # (run_tests_prob_sketch_size.sh:10 — {64..2048}) scaled to the engine:
+    # same corpus subset, three sketch sizes, end-to-end sec each ---
+    sweep: dict = {}
+    sweep_rows = int(os.environ.get("GRAFT_SWEEP_ROWS", "10000"))
+    for k in (64, 128, 256):
+        kcfg = PipelineConfig(num_perm=k, bands=k // 4, rows_per_band=4)
+        tk = time.time()
+        kres = run_dedup(
+            rd.read_parquet(clips_path).limit(sweep_rows), kcfg,
+            num_partitions=max(8, NCPUS),
+        )
+        kn = kres.assignments.count()
+        sweep[str(k)] = {
+            "sec": round(time.time() - tk, 3),
+            "clips": kn,
+            "clips_per_sec": round(kn / (time.time() - tk), 1),
+        }
 
     queries = {
         "minhash_dup_pairs_docs": timed(dedup_text.minhash_dup_pairs),
@@ -134,6 +158,8 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
+        "stages": stage_times,
+        "sweep": sweep,
         "sf": _sf_of(SF_DIR),
         "num_cpus": NCPUS,
         "clips": n_clips,

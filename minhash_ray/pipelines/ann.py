@@ -158,6 +158,32 @@ class _HyperplaneBucketer:
         )
 
 
+def _pack_f64_rows(mat: np.ndarray) -> pa.Array:
+    """(n, d) float64 matrix → large_binary column (Acero joins reject
+    list payload columns; vectors ride as opaque byte strings)."""
+    n, d = mat.shape
+    offs = (np.arange(n + 1, dtype=np.int64) * (d * 8))
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(mat).view(np.uint8).tobytes())],
+    )
+
+
+def _unpack_f64_rows(col, dim: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    raw_off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    start, end = int(raw_off[0]), int(raw_off[-1])
+    seg = data[start:end]
+    if start % 8:
+        seg = seg.copy()
+    return seg.view(np.float64).reshape(-1, dim)
+
+
 def embedding_dup_pairs(
     sf_dir: str,
     threshold: float = 0.9,
@@ -165,28 +191,29 @@ def embedding_dup_pairs(
     n_chunks: int = 4,
     seed: int = 42,
     num_partitions: int = 8,
+    broadcast_max_rows: int = 2_000_000,
 ):
     """Near-duplicate embedding pairs (cosine >= threshold, vec_id_a <
     vec_id_b) via hyperplane-LSH candidates + exact cosine verification.
 
     Two vectors at angle θ disagree on a random hyperplane with prob θ/π;
     with 8-bit chunks a cos≥0.9 pair (θ≤26°) shares a chunk with prob
-    ~1-(1-(1-θ/π)^8)^4 ≈ 0.97, and near-identical pairs ~always."""
+    ~1-(1-(1-θ/π)^8)^4 ≈ 0.97, and near-identical pairs ~always.
+
+    Verification auto-switches like the clips pipeline: ≤
+    ``broadcast_max_rows`` vectors, the normalized matrix is broadcast
+    once; beyond it, normalized vectors are attached to the candidate
+    pairs by two partitioned hash joins (packed as binary through the
+    join) — no full-matrix materialization anywhere."""
     import ray
 
-    emb = _emb(sf_dir).materialize()
-    # broadcast the (small-side) full matrix for exact verification;
-    # at huge scale swap for the shuffle-join verifier as in stages/verify
-    t = pa.concat_tables(list(emb.iter_batches(batch_size=65536, batch_format="pyarrow")))
-    mat = _matrix(t)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    ids_list = t.column("vec_id").to_pylist()
-    index = {v: i for i, v in enumerate(ids_list)}
-    pack_ref = [ray.put({"mat": mat, "index": index})]
+    from minhash_ray.util import clamp_partitions
 
-    dim = mat.shape[1]
+    emb = _emb(sf_dir).materialize()
+    n_vecs = emb.count()
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+
     buckets = emb.map_batches(
         _HyperplaneBucketer,
         fn_constructor_kwargs={
@@ -195,8 +222,6 @@ def embedding_dup_pairs(
         batch_format="pyarrow",
         concurrency=2,
     )
-    from minhash_ray.util import clamp_partitions
-
     joined = buckets.join(
         buckets,
         join_type="inner",
@@ -217,28 +242,81 @@ def embedding_dup_pairs(
         ["vec_id_a", "vec_id_b"]
     )
 
-    class Verify:
-        def __init__(self):
-            pack = ray.get(pack_ref[0])
-            self.mat, self.index = pack["mat"], pack["index"]
+    if n_vecs <= broadcast_max_rows:
+        # broadcast path: one normalized matrix + sorted-id index, shipped once
+        t = pa.concat_tables(
+            list(emb.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        )
+        mat = _matrix(t)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids_np = np.asarray(t.column("vec_id").to_numpy(), dtype=np.int64)
+        order = np.argsort(ids_np)
+        pack_ref = [ray.put({"mat": np.ascontiguousarray(mat[order]), "ids": ids_np[order]})]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = np.fromiter(
-                (self.index[v] for v in batch.column("vec_id_a").to_pylist()),
-                dtype=np.int64, count=batch.num_rows,
-            )
-            b = np.fromiter(
-                (self.index[v] for v in batch.column("vec_id_b").to_pylist()),
-                dtype=np.int64, count=batch.num_rows,
-            )
-            cos = (self.mat[a] * self.mat[b]).sum(axis=1)
-            keep = cos >= threshold
-            return pa.table(
-                {
-                    "vec_id_a": batch.column("vec_id_a").filter(pa.array(keep)),
-                    "vec_id_b": batch.column("vec_id_b").filter(pa.array(keep)),
-                    "cos": pa.array(cos[keep], pa.float64()),
-                }
-            )
+        class Verify:
+            def __init__(self):
+                pack = ray.get(pack_ref[0])
+                self.mat, self.ids = pack["mat"], pack["ids"]
 
-    return uniq.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = np.searchsorted(self.ids, batch.column("vec_id_a").to_numpy())
+                b = np.searchsorted(self.ids, batch.column("vec_id_b").to_numpy())
+                cos = (self.mat[a] * self.mat[b]).sum(axis=1)
+                keep = cos >= threshold
+                return pa.table(
+                    {
+                        "vec_id_a": batch.column("vec_id_a").filter(pa.array(keep)),
+                        "vec_id_b": batch.column("vec_id_b").filter(pa.array(keep)),
+                        "cos": pa.array(cos[keep], pa.float64()),
+                    }
+                )
+
+        return uniq.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+
+    # join path (the 10^9-vector regime): attach normalized vectors per side
+    def normalize(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "nvec": _pack_f64_rows(np.ascontiguousarray(m / norms[:, None])),
+            }
+        )
+
+    norm_ds = emb.map_batches(normalize, batch_format="pyarrow")
+
+    def side(suffix):
+        return norm_ds.map_batches(
+            lambda b, s=suffix: pa.table(
+                {"vec_id": b.column("vec_id"), f"nvec_{s}": b.column("nvec")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    with_a = uniq.join(
+        side("a"), join_type="inner", on=("vec_id_a",), right_on=("vec_id",),
+        num_partitions=clamp_partitions(num_partitions),
+    )
+    with_ab = with_a.join(
+        side("b"), join_type="inner", on=("vec_id_b",), right_on=("vec_id",),
+        num_partitions=clamp_partitions(num_partitions),
+    )
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        va = _unpack_f64_rows(batch.column("nvec_a"), dim)
+        vb = _unpack_f64_rows(batch.column("nvec_b"), dim)
+        cos = (va * vb).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_id_a": batch.column("vec_id_a").filter(pa.array(keep)),
+                "vec_id_b": batch.column("vec_id_b").filter(pa.array(keep)),
+                "cos": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(verify_join, batch_format="pyarrow")

@@ -44,14 +44,32 @@ def run_dedup(
     ckpt_root: str | None = None,
     resume: bool = True,
     num_partitions: int = 32,
+    stage_times: dict | None = None,
 ) -> DedupResult:
     """Run the full near-dup pipeline.
 
     ``clips``: a Dataset or a path readable by ``read_clips``.
     ``ckpt_root``: when set, stages V/S/E/C publish checkpoints there and a
     resumed run reuses any stage whose manifest is complete for this config.
+    ``stage_times``: when a dict is passed, per-stage wall times (sec) are
+    recorded into it at the pipeline's materialization barriers (signatures
+    / candidates / verify / cluster) — the engine analogue of the
+    reference's per-phase timing printouts (test/fcds/
+    test_fcds_prob_ops.c:275-282); the clustering stage is then executed
+    eagerly so its time is observable.
     """
+    import time as _time
+
     import ray.data as rd
+
+    _t0 = _time.perf_counter()
+
+    def _mark(name):
+        nonlocal _t0
+        if stage_times is not None:
+            now = _time.perf_counter()
+            stage_times[name] = round(now - _t0, 3)
+            _t0 = now
 
     cfg = cfg or PipelineConfig()
     if isinstance(clips, str):
@@ -94,6 +112,7 @@ def run_dedup(
             )
         else:
             signatures = signatures.materialize()   # consumed 3× (bands, count, verify)
+    _mark("signatures")
     validated = signatures                          # superset of the stage-V contract
 
     # --- stages B+G+P: banding → salted bucket shuffle → verify ---
@@ -130,6 +149,7 @@ def run_dedup(
         # CPU-reservation deadlock on small clusters
         pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
         n_clips = signatures.count()
+        _mark("candidates")
 
         if n_clips <= cfg.broadcast_verify_max_rows:
             # one driver pass builds the broadcast pack AND the exact-dup
@@ -167,6 +187,7 @@ def run_dedup(
             edges = ckpt.save("edges", edges, input_stage="signatures", schema=EDGES_SCHEMA)
         else:
             edges = edges.materialize()     # consumed twice (count + components)
+    _mark("verify")
 
     # --- stage C: connected components → canonical assignments ---
     if ckpt and resume and ckpt.is_complete("assignments"):
@@ -181,6 +202,9 @@ def run_dedup(
             assignments = ckpt.save(
                 "assignments", assignments, input_stage="edges", schema=ASSIGN_SCHEMA
             )
+        elif stage_times is not None:
+            assignments = assignments.materialize()
+    _mark("cluster")
 
     return DedupResult(validated, signatures, edges, assignments)
 

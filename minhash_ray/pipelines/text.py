@@ -132,3 +132,32 @@ def lang_id(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangIdStage, batch_format="pyarrow", concurrency=2
     )
+
+
+def doc_sample(sf_dir: str, fraction: float = 0.1, seed: int = 42):
+    """Seeded sampling operator (``ds.random_sample``, SURVEY §2.6): a
+    deterministic random sample of documents with quality columns — the
+    spot-check input for recall/precision audits (sample → re-verify by
+    exact methods).  Deterministic for a fixed seed + input layout; no SQL
+    oracle (the sampling RNG is Ray's)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empties = pc.equal(pc.utf8_trim_whitespace(text), "").to_numpy(zero_copy_only=False)
+        n_tok[empties] = 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars_measured": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .random_sample(fraction, seed=seed)
+        .map_batches(fn, batch_format="pyarrow")
+    )

@@ -183,3 +183,50 @@ def test_substring_kernel():
     assert longest_common_substring_len("aaaa", "aa") == 2
     assert lcs_ratio("hello world", "hello world") == 1.0
     assert lcs_ratio("abc", "xyz") == 0.0
+
+
+def test_embedding_lsh_join_verifier_matches_broadcast(ray_session, tmp_path):
+    """Force the join-attach (at-scale) verification path with
+    broadcast_max_rows=0: same pairs, same cosines as the broadcast path."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((150, 24))
+    dup = base[:30] + rng.standard_normal((30, 24)) * 0.05
+    mat = np.vstack([base, dup]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat), dtype=np.int64), pa.int64()),
+            "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(mat), dtype=np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "emb2"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    from minhash_ray.pipelines.ann import embedding_dup_pairs
+
+    bc = _pdf(embedding_dup_pairs(str(d), threshold=0.9))
+    jn = _pdf(embedding_dup_pairs(str(d), threshold=0.9, broadcast_max_rows=0))
+    key = ["vec_id_a", "vec_id_b"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    jn = jn.sort_values(key).reset_index(drop=True)
+    assert bc.equals(jn)
+    planted = {(i, 150 + i) for i in range(30)}
+    found = set(zip(jn.vec_id_a, jn.vec_id_b))
+    assert len(found & planted) / len(planted) >= 0.95
+
+
+def test_doc_sample_deterministic(ray_session, sf_dir):
+    from minhash_ray.pipelines.text import doc_sample
+
+    s1 = _pdf(doc_sample(sf_dir)).sort_values("doc_id").reset_index(drop=True)
+    s2 = _pdf(doc_sample(sf_dir)).sort_values("doc_id").reset_index(drop=True)
+    assert s1.equals(s2)
+    assert list(s1.columns) == ["doc_id", "n_chars_measured", "n_tokens"]
+    n_docs = len(_pdf(doc_sample(sf_dir, fraction=1.0)))
+    assert 0 < len(s1) < n_docs
+    # a different seed draws a different sample
+    s3 = _pdf(doc_sample(sf_dir, seed=7)).sort_values("doc_id").reset_index(drop=True)
+    assert not s1.equals(s3)
