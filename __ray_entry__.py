@@ -28,12 +28,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _clips_ds(sf_dir: str):
-    import ray.data as rd
-
+    from minhash_ray.sources.clips import read_clips
     from minhash_ray.sources.synth import clips_dir_for
 
     d = clips_dir_for(sf_dir)
-    return rd.read_parquet(os.path.join(d, "clips.parquet")), d
+    return read_clips(os.path.join(d, "clips.parquet")), d
 
 
 def entry() -> Any:

@@ -76,11 +76,13 @@ def run_bench() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).count()
 
+    from minhash_ray.sources.clips import read_clips
+
     cfg = PipelineConfig()
     stage_times: dict = {}
     t0 = time.time()
     res = run_dedup(
-        rd.read_parquet(clips_path), cfg, num_partitions=max(8, NCPUS),
+        read_clips(clips_path), cfg, num_partitions=max(8, NCPUS),
         stage_times=stage_times,
     )
     n_clips = res.assignments.count()
@@ -131,7 +133,7 @@ def run_bench() -> dict:
         kcfg = PipelineConfig(num_perm=k, bands=k // 4, rows_per_band=4)
         tk = time.time()
         kres = run_dedup(
-            rd.read_parquet(clips_path).limit(sweep_rows), kcfg,
+            read_clips(clips_path).limit(sweep_rows), kcfg,
             num_partitions=max(8, NCPUS),
         )
         kn = kres.assignments.count()

@@ -149,6 +149,102 @@ def audio_similarity(a: np.ndarray, b: np.ndarray, min_filled: int = 0) -> np.nd
     return sim * enough
 
 
+def byte_oph_signatures_batch(
+    payloads: list[bytes], k: int, w: int, seed: int
+) -> np.ndarray:
+    """Batch form of :func:`byte_oph_signature` — bit-identical output,
+    one set of vector ops per BATCH instead of ~15 numpy calls per row:
+    payloads are concatenated, gram hashes computed over the whole buffer,
+    cross-row-boundary grams masked out, content-defined sampling applied
+    with the same per-row no-sample fallback, and all (row, slot) minima
+    found with ONE global argsort + reduceat over a combined key.
+
+    Returns (n_rows, k) uint64; rows shorter than w stay all-INFTY.
+    """
+    from minhash_ray.functions.hashing import FNV_PRIME
+
+    n = len(payloads)
+    INF = U64(2**64 - 1)
+    out = np.full((n, k), INF, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    seed64 = U64(seed & (2**64 - 1))
+    P = U64(FNV_PRIME)
+    shift = U64(64 - int(k).bit_length() + 1)
+
+    # chunk rows so the uint64 working set stays cache-resident: the gram
+    # fold is memory-bound, and streaming a whole batch's payloads (100s
+    # of MB widened 8x) through RAM is slower than the same math over
+    # L2/L3-sized chunks
+    CHUNK_BYTES = 2_000_000
+    r0 = 0
+    while r0 < n:
+        r1 = r0
+        acc = 0
+        while r1 < n and (acc + lens[r1] <= CHUNK_BYTES or r1 == r0):
+            acc += int(lens[r1])
+            r1 += 1
+        c_lens = lens[r0:r1]
+        total = int(c_lens.sum())
+        if total < w:
+            r0 = r1
+            continue
+        data = np.frombuffer(b"".join(payloads[r0:r1]), dtype=np.uint8).astype(np.uint64)
+        data ^= seed64
+        h = data[: total - w + 1].copy()
+        for j in range(1, w):
+            h *= P
+            h += data[j : total - w + 1 + j]
+        m = r1 - r0
+        ends = np.cumsum(c_lens)
+        g_counts = np.maximum(c_lens - (w - 1), 0)
+        # a gram starting at position ends[r]-j (j in 1..w-1) crosses the
+        # row boundary at ends[r] — mask exactly those, never gather the
+        # full per-row index arrays
+        valid = np.ones(len(h), dtype=bool)
+        inv = (ends[:, None] - np.arange(1, w, dtype=np.int64)[None, :]).reshape(-1)
+        inv = inv[(inv >= 0) & (inv < len(h))]
+        valid[inv] = False
+        # content-defined sampling straight on the masked hash vector;
+        # only sampled positions (~1/16) are ever materialized
+        samp_pos = np.flatnonzero(((h & U64(0xF)) == U64(0)) & valid)
+        row_ids = np.searchsorted(ends, samp_pos, side="right")
+        # per-row all-grams fallback for rows with no sampled gram
+        hits = np.bincount(row_ids, minlength=m)
+        fb = np.flatnonzero((hits == 0) & (g_counts > 0))
+        if len(fb):
+            fb_counts = g_counts[fb]
+            fb_starts = (ends - c_lens)[fb]
+            fb_pos = np.repeat(fb_starts, fb_counts) + _seg_arange(fb_counts)
+            samp_pos = np.concatenate([samp_pos, fb_pos])
+            row_ids = np.concatenate([row_ids, np.repeat(fb, fb_counts)])
+        if len(samp_pos) == 0:
+            r0 = r1
+            continue
+        grams = h[samp_pos]
+        bucket = np.minimum((grams >> shift).astype(np.int64), k - 1)
+        key = row_ids * np.int64(k) + bucket
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        g_s = grams[order]
+        starts = np.flatnonzero(np.diff(key_s, prepend=key_s[0] - 1))
+        mins = np.minimum.reduceat(g_s, starts)
+        out[r0:r1].reshape(-1)[key_s[starts]] = mins
+        r0 = r1
+    return out
+
+
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
 def byte_ngram_hashes(payload: bytes, w: int, seed: int) -> np.ndarray:
     """uint64 hashes of all byte w-grams of a payload (the audio analogue of
     transcript shingles; feeds the same MinHash kernels)."""

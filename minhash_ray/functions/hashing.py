@@ -48,8 +48,13 @@ def pairwise_hash_matrix(x: np.ndarray, a: np.ndarray, b: np.ndarray, modulus: i
     """
     x = np.ascontiguousarray(x, dtype=np.uint64)
     M = U64(modulus)
-    h = (a[None, :] * x[:, None]) % M          # uint64 wraparound == C semantics
-    h = (h + b[None, :]) % M
+    # one (n, k) allocation + in-place ops: the matrix is the dominant
+    # memory traffic of the signature stage, and 4 temporaries of it per
+    # batch put 30 concurrent workers into mmap contention
+    h = np.multiply(a[None, :], x[:, None])    # uint64 wraparound == C semantics
+    h %= M
+    h += b[None, :]
+    h %= M
     return h
 
 

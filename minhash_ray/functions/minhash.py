@@ -26,7 +26,7 @@ _INFTY = U64(INFTY)
 
 # Cap on the (n_shingles, num_perm) hash-matrix size per internal chunk so a
 # signature batch never allocates more than ~64 MiB for the matrix.
-_MAX_MATRIX_CELLS = 8_000_000
+_MAX_MATRIX_CELLS = 250_000
 
 
 def signatures_from_shingles(

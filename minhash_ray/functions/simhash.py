@@ -42,9 +42,13 @@ def simhash_from_shingles(shingles: np.ndarray, counts: np.ndarray) -> np.ndarra
             r0 = r1
             continue
         seg = shingles[starts[r0]:ends[r1 - 1]]
-        # ±1 votes per bit; int32 accumulators (row shingle counts < 2^31)
-        bits = ((seg[:, None] >> _SHIFTS[None, :]) & _ONE).astype(np.int32)
-        votes = bits * 2 - 1                               # (chunk, 64) in {-1, +1}
+        # ±1 votes per bit; int32 accumulators (row shingle counts < 2^31);
+        # in-place vote transform — one (chunk, 64) buffer, no temporaries
+        bits = seg[:, None] >> _SHIFTS[None, :]
+        bits &= _ONE
+        votes = bits.astype(np.int32)
+        votes *= 2
+        votes -= 1                                         # (chunk, 64) in {-1, +1}
         local_counts = counts[r0:r1]
         nonempty = local_counts > 0
         seg_starts = (starts[r0:r1] - starts[r0])[nonempty]

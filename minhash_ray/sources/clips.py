@@ -54,6 +54,15 @@ def read_clips(path: str, columns: list[str] | None = None, **read_kwargs):
             f"{path} looks like a Lance dataset but pylance is not installed; "
             "re-export as parquet or install lance"
         )
+    if "override_num_blocks" not in read_kwargs:
+        # keep read blocks ≫ parallelism: Ray's default gives a SINGLE read
+        # task for a single parquet file (then splits post-read), which
+        # serializes the scan and starves the signature actor pool — on a
+        # 32-CPU node that alone doubled the wall time of the heaviest
+        # stage.  Row-group granularity bounds the effective parallelism.
+        from minhash_ray.util import cluster_cpus
+
+        read_kwargs["override_num_blocks"] = max(32, 2 * cluster_cpus())
     return rd.read_parquet(path, columns=columns, **read_kwargs)
 
 

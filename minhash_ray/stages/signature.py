@@ -68,35 +68,35 @@ class ValidateSignatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from minhash_ray.functions.audio import (
             UnsupportedCodecError,
-            byte_oph_signature,
+            byte_oph_signatures_batch,
             decode_pcm,
             energy_delta_fingerprint,
         )
 
         cfg = self.cfg
         n = batch.num_rows
-        payloads = batch.column("bytes").to_pylist()
+        payloads = [p or b"" for p in batch.column("bytes").to_pylist()]
         codecs = batch.column("codec").to_pylist()
         texts_col = batch.column("transcript")
         if isinstance(texts_col, pa.ChunkedArray):
             texts_col = texts_col.combine_chunks()
         transcripts = texts_col.to_pylist()
 
+        # OPH byte sketches for the whole batch in one vectorized pass
+        audio_sig = byte_oph_signatures_batch(
+            payloads, cfg.audio_num_perm, cfg.audio_ngram, cfg.seed
+        )
         audio_fp = np.zeros(n, dtype=np.uint64)
-        audio_sig = np.empty((n, cfg.audio_num_perm), dtype=np.uint64)
         n_samples = np.zeros(n, dtype=np.int64)
         decode_ok = np.zeros(n, dtype=bool)
         content_hash = [""] * n
         for i in range(n):
-            payload = payloads[i] or b""
+            payload = payloads[i]
             h = self._md5()
             h.update((transcripts[i] or "").encode("utf-8"))
             h.update(b"\x00")
             h.update(payload)
             content_hash[i] = h.hexdigest()
-            audio_sig[i] = byte_oph_signature(
-                payload, cfg.audio_num_perm, cfg.audio_ngram, cfg.seed
-            )
             try:
                 wave = decode_pcm(payload, codecs[i])
                 n_samples[i] = len(wave)

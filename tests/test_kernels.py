@@ -151,3 +151,28 @@ def test_hash_uint64_wraparound_parity():
     for e in [2**64 - 1, 2**63 + 12345, 2**32 + 7]:
         o.insert(e)
     assert np.array_equal(sigs[0], o.as_array())
+
+
+def test_byte_oph_batch_matches_per_row():
+    """byte_oph_signatures_batch must be bit-identical to the per-row
+    kernel for every payload shape (empty, < w, no-sampled-grams fallback,
+    large)."""
+    import numpy as np
+
+    from minhash_ray.functions.audio import byte_oph_signature, byte_oph_signatures_batch
+
+    rng = np.random.default_rng(17)
+    payloads = [
+        b"",
+        b"ab",                       # shorter than w=4
+        b"abcd",                     # exactly one gram
+        bytes(rng.integers(0, 256, size=7, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, size=333, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, size=20000, dtype=np.uint8)),
+        b"\x00" * 100,               # constant bytes
+    ]
+    for k in (8, 64):
+        batch = byte_oph_signatures_batch(payloads, k, 4, 42)
+        for i, p in enumerate(payloads):
+            ref = byte_oph_signature(p, k, 4, 42)
+            assert np.array_equal(batch[i], ref), (i, k)
