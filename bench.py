@@ -181,9 +181,13 @@ def run_scaling() -> dict:
 
     Uses a larger clips table than the headline run (default 100k rows,
     override with GRAFT_SCALING_ROWS): at small inputs fixed per-stage
-    latencies dominate and the comparison measures startup, not scaling.
+    latencies (driver pack build, shuffle barriers, actor spin-up — ~10 s
+    regardless of CPU count) dominate and the comparison measures startup,
+    not scaling.  Round 2 made the compute stages ~1.7x faster, which
+    makes the fixed remainder proportionally heavier — the scaling corpus
+    grows with engine speed so per-clip compute stays dominant.
     """
-    scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "50000"))
+    scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "100000"))
     # realistic clip durations (avg ~3.6 s audio): the scaling measurement
     # must be dominated by per-clip compute, not per-stage latency
     dur = (1200, 6000)
@@ -215,10 +219,14 @@ def run_scaling() -> dict:
                 best = r
         return best
 
-    # default pair 4→16: num_cpus=32 on a 32-core box oversubscribes (the
-    # driver, raylet and object-store threads contend with workers) and
-    # throughput regresses vs 16 — see BASELINE.md scaling notes
-    pair = os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
+    # default pair 2→8.  Two constraints bound the usable window on one
+    # shared-memory box (see BASELINE.md scaling notes): num_cpus=32
+    # oversubscribes (Ray's own threads contend with workers), and ≥14
+    # concurrent workers saturate the box's ~19 GB/s aggregate DRAM
+    # bandwidth (measured), so a 16-CPU leg measures the memory bus, not
+    # the engine — a real 4-node cluster brings 4x the bandwidth.  2→8
+    # stays inside the near-linear bandwidth region (3.4→13+ GB/s).
+    pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
     lo_n, hi_n = int(pair[0]), int(pair[1])
     lo = one(lo_n)
     hi = one(hi_n)

@@ -100,16 +100,17 @@ def byte_oph_signature(payload: bytes, k: int, w: int, seed: int) -> np.ndarray:
     feature channels.
     """
     sig = np.full(k, np.uint64(2**64 - 1), dtype=np.uint64)
-    grams = byte_ngram_hashes(payload, w, seed)
-    if len(grams) == 0:
+    h32 = byte_ngram_hashes32(payload, w, seed)
+    if len(h32) == 0:
         return sig
-    # content-defined sampling (keep grams whose hash has 4 low zero bits,
-    # ~1/16): shift-invariant — identical byte content selects identical
-    # grams regardless of position — and cuts the sort bandwidth 16x.
-    # Winnowing-style selection (Schleimer et al. 2003, SIGMOD).
-    sampled = grams[(grams & U64(0xF)) == U64(0)]
+    # content-defined sampling (keep grams whose 32-bit hash has 4 low
+    # zero bits, ~1/16): shift-invariant — identical byte content selects
+    # identical grams regardless of position — and cuts the sort bandwidth
+    # 16x.  Winnowing-style selection (Schleimer et al. 2003, SIGMOD).
+    sampled = h32[(h32 & np.uint32(0xF)) == 0]
     if len(sampled):
-        grams = sampled
+        h32 = sampled
+    grams = _finalize_gram64(h32, seed)
     shift = U64(64 - int(k).bit_length() + 1)
     bucket = (grams >> shift).astype(np.int64)
     bucket = np.minimum(bucket, k - 1)
@@ -120,6 +121,38 @@ def byte_oph_signature(payload: bytes, k: int, w: int, seed: int) -> np.ndarray:
     mins = np.minimum.reduceat(g_sorted, starts)
     sig[b_sorted[starts]] = mins
     return sig
+
+
+_FNV32_PRIME = np.uint32(0x01000193)
+
+
+def byte_ngram_hashes32(payload: bytes, w: int, seed: int) -> np.ndarray:
+    """uint32 rolling-fold hashes of all byte w-grams.
+
+    The fold runs in uint32 deliberately: the full-buffer gram fold is the
+    single largest memory stream of the signature stage, and a uint64 fold
+    widens every payload byte 8x (the stage became DRAM-bandwidth-bound
+    under a full actor pool).  Sampled grams are finalized to 64 bits with
+    splitmix64 afterwards (:func:`_finalize_gram64`)."""
+    data = np.frombuffer(payload, dtype=np.uint8)
+    if len(data) < w:
+        return np.empty(0, dtype=np.uint32)
+    d32 = data.astype(np.uint32)
+    d32 ^= np.uint32(seed & 0xFFFFFFFF)
+    h = d32[: len(d32) - w + 1].copy()
+    for j in range(1, w):
+        h *= _FNV32_PRIME
+        h += d32[j : len(d32) - w + 1 + j]
+    return h
+
+
+def _finalize_gram64(h32: np.ndarray, seed: int) -> np.ndarray:
+    """Spread sampled 32-bit gram hashes over 64 bits (splitmix64 with the
+    full seed folded into the high half) — only ~1/16 of grams pay this."""
+    from minhash_ray.stages.banding import splitmix64
+
+    x = h32.astype(np.uint64) ^ (U64(seed & (2**64 - 1)) << U64(32))
+    return splitmix64(x)
 
 
 def audio_similarity(a: np.ndarray, b: np.ndarray, min_filled: int = 0) -> np.ndarray:
@@ -161,22 +194,20 @@ def byte_oph_signatures_batch(
 
     Returns (n_rows, k) uint64; rows shorter than w stay all-INFTY.
     """
-    from minhash_ray.functions.hashing import FNV_PRIME
-
     n = len(payloads)
     INF = U64(2**64 - 1)
     out = np.full((n, k), INF, dtype=np.uint64)
     if n == 0:
         return out
     lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
-    seed64 = U64(seed & (2**64 - 1))
-    P = U64(FNV_PRIME)
+    seed32 = np.uint32(seed & 0xFFFFFFFF)
     shift = U64(64 - int(k).bit_length() + 1)
 
-    # chunk rows so the uint64 working set stays cache-resident: the gram
-    # fold is memory-bound, and streaming a whole batch's payloads (100s
-    # of MB widened 8x) through RAM is slower than the same math over
-    # L2/L3-sized chunks
+    # chunk rows so the working set stays cache-resident: the gram fold is
+    # memory-bound, and streaming a whole batch's payloads (100s of MB
+    # widened) through RAM is slower than the same math over L2/L3-sized
+    # chunks.  The fold itself runs in uint32 (4x widen instead of 8x —
+    # see byte_ngram_hashes32); only sampled grams are finalized to 64 bit.
     CHUNK_BYTES = 2_000_000
     r0 = 0
     while r0 < n:
@@ -190,12 +221,12 @@ def byte_oph_signatures_batch(
         if total < w:
             r0 = r1
             continue
-        data = np.frombuffer(b"".join(payloads[r0:r1]), dtype=np.uint8).astype(np.uint64)
-        data ^= seed64
-        h = data[: total - w + 1].copy()
+        d32 = np.frombuffer(b"".join(payloads[r0:r1]), dtype=np.uint8).astype(np.uint32)
+        d32 ^= seed32
+        h = d32[: total - w + 1].copy()
         for j in range(1, w):
-            h *= P
-            h += data[j : total - w + 1 + j]
+            h *= _FNV32_PRIME
+            h += d32[j : total - w + 1 + j]
         m = r1 - r0
         ends = np.cumsum(c_lens)
         g_counts = np.maximum(c_lens - (w - 1), 0)
@@ -208,7 +239,7 @@ def byte_oph_signatures_batch(
         valid[inv] = False
         # content-defined sampling straight on the masked hash vector;
         # only sampled positions (~1/16) are ever materialized
-        samp_pos = np.flatnonzero(((h & U64(0xF)) == U64(0)) & valid)
+        samp_pos = np.flatnonzero(((h & np.uint32(0xF)) == 0) & valid)
         row_ids = np.searchsorted(ends, samp_pos, side="right")
         # per-row all-grams fallback for rows with no sampled gram
         hits = np.bincount(row_ids, minlength=m)
@@ -222,7 +253,7 @@ def byte_oph_signatures_batch(
         if len(samp_pos) == 0:
             r0 = r1
             continue
-        grams = h[samp_pos]
+        grams = _finalize_gram64(h[samp_pos], seed)
         bucket = np.minimum((grams >> shift).astype(np.int64), k - 1)
         key = row_ids * np.int64(k) + bucket
         order = np.argsort(key, kind="stable")
@@ -243,22 +274,6 @@ def _seg_arange(counts: np.ndarray) -> np.ndarray:
     out = np.arange(total, dtype=np.int64)
     out -= np.repeat(ends - counts, counts)
     return out
-
-
-def byte_ngram_hashes(payload: bytes, w: int, seed: int) -> np.ndarray:
-    """uint64 hashes of all byte w-grams of a payload (the audio analogue of
-    transcript shingles; feeds the same MinHash kernels)."""
-    from minhash_ray.functions.hashing import FNV_PRIME
-
-    data = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
-    if len(data) < w:
-        return np.empty(0, dtype=np.uint64)
-    data = data ^ U64(seed & (2**64 - 1))
-    P = U64(FNV_PRIME)
-    h = data[: len(data) - w + 1].copy()
-    for j in range(1, w):
-        h = h * P + data[j : len(data) - w + 1 + j]
-    return h
 
 
 def synth_waveform(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:

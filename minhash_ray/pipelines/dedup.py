@@ -95,7 +95,13 @@ def run_dedup(
     else:
         from minhash_ray.util import cluster_cpus
 
-        concurrency = cfg.signature_concurrency or max(2, cluster_cpus() - 2)
+        # leave headroom for read tasks: a pool taking EVERY cpu deadlocks
+        # a tiny cluster (observed at num_cpus=2: the 2-actor pool starved
+        # the parquet read forever)
+        cpus = cluster_cpus()
+        concurrency = cfg.signature_concurrency or (
+            max(2, cpus - 2) if cpus >= 4 else 1
+        )
         signatures = clips.map_batches(
             ValidateSignatureStage,
             fn_constructor_kwargs={"cfg": cfg},
@@ -157,10 +163,12 @@ def run_dedup(
             from minhash_ray.stages.verify import build_broadcast_pack, make_broadcast_verifier
 
             pack_ref, exact_tbl = build_broadcast_pack(signatures, cfg, with_content=True)
+            # 8k-pair batches: the exact-jaccard lexsort is superlinear in
+            # batch mass, and coarse 64k batches leave cores idle
             edges = pairs.map_batches(
                 make_broadcast_verifier(pack_ref, cfg),
                 batch_format="pyarrow",
-                batch_size=65536,
+                batch_size=8192,
             )
             if cfg.use_exact_channel and exact_tbl.num_rows:
                 import ray.data as _rd
@@ -256,7 +264,8 @@ def append_clips(
         new_clips = read_clips(new_clips)
 
     # --- sketch ONLY the new partition ---
-    concurrency = cfg.signature_concurrency or max(2, cluster_cpus() - 2)
+    cpus = cluster_cpus()
+    concurrency = cfg.signature_concurrency or (max(2, cpus - 2) if cpus >= 4 else 1)
     new_sigs = new_clips.map_batches(
         ValidateSignatureStage,
         fn_constructor_kwargs={"cfg": cfg},

@@ -174,7 +174,11 @@ def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
                              "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
         t = pa.concat_tables(tables)
         bucket = t.column("bucket").to_numpy()
-        salt = t.column("salt").to_numpy()
+        salt = (
+            t.column("salt").to_numpy()
+            if "salt" in t.column_names
+            else np.zeros(len(bucket), dtype=np.int64)
+        )
         key = bucket * np.int64(1000003) + salt          # combined run key (wraps)
         mine = (key % n_parts + n_parts) % n_parts == part
         key = key[mine]
@@ -248,9 +252,17 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
         )
     hot_ref = [ray.put(hot)] if hot else None
 
-    salted = band_ds.map_batches(
-        make_salt_fn(hot_ref, cfg.band_group_cap), batch_format="pyarrow"
-    ).materialize()
+    if hot:
+        salted = band_ds.map_batches(
+            make_salt_fn(hot_ref, cfg.band_group_cap), batch_format="pyarrow"
+        ).materialize()
+        join_key = ("bucket", "salt")
+    else:
+        # no hot buckets → salt is identically 0: skip the extra pass +
+        # materialization entirely (the reducers treat a missing salt
+        # column as 0, the join keys on bucket alone)
+        salted = band_ds
+        join_key = ("bucket",)
 
     backend = cfg.candidate_backend
     if backend == "auto":
@@ -265,7 +277,7 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
         joined = salted.join(
             salted,
             join_type="inner",
-            on=("bucket", "salt"),
+            on=join_key,
             right_suffix="_r",
             num_partitions=num_partitions,
         )

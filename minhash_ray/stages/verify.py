@@ -97,11 +97,11 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
         from minhash_ray.util import bytes_key_array, cached_get
 
         pack = cached_get(pack_ref[0])
-        ids_sorted, sigs = pack["ids_sorted"], pack["sigs"]
+        ids_sorted, sigs, perm = pack["ids_sorted"], pack["sigs"], pack["perm"]
         ids_a = batch.column("clip_id_a")
         ids_b = batch.column("clip_id_b")
-        idx_a = np.searchsorted(ids_sorted, bytes_key_array(ids_a))
-        idx_b = np.searchsorted(ids_sorted, bytes_key_array(ids_b))
+        idx_a = perm[np.searchsorted(ids_sorted, bytes_key_array(ids_a))]
+        idx_b = perm[np.searchsorted(ids_sorted, bytes_key_array(ids_b))]
         sim = estimate_similarity(sigs[idx_a], sigs[idx_b])
         sh = hamming_distance(pack["simhash"][idx_a], pack["simhash"][idx_b])
         fp = hamming_distance(pack["audio_fp"][idx_a], pack["audio_fp"][idx_b])
@@ -199,40 +199,43 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
     # the pack is pure numpy (no python dict): workers get zero-copy plasma
     # views with no per-process deserialization cost — a dict index costs
     # ~1 s per worker process and therefore ANTI-scales with worker count.
-    # ids are kept as a sorted fixed-width UTF-8 byte array; lookup =
-    # searchsorted (byte order == code-point order, non-ASCII safe).
+    # ids are kept as a sorted fixed-width UTF-8 byte array plus a
+    # permutation back to row order; lookup = perm[searchsorted(...)].
+    # Only the id array is permuted — the big matrices and shingle
+    # segments stay in row order, so the driver never pays the gathers
+    # (the pack build is serial driver time and caps scaling).
     from minhash_ray.util import bytes_key_array
 
     ids = bytes_key_array(t.column("clip_id"))
-    order = np.argsort(ids)
+    order = np.argsort(ids).astype(np.int64)
     pack = {
         "ids_sorted": ids[order],
-        "sigs": signature_matrix(t, cfg.num_perm)[order],
-        "simhash": np.ascontiguousarray(t.column("simhash").to_numpy(), dtype=np.uint64)[order],
-        "audio_fp": np.ascontiguousarray(t.column("audio_fp").to_numpy(), dtype=np.uint64)[order],
+        "perm": order,
+        "sigs": signature_matrix(t, cfg.num_perm),
+        "simhash": np.ascontiguousarray(t.column("simhash").to_numpy(), dtype=np.uint64),
+        "audio_fp": np.ascontiguousarray(t.column("audio_fp").to_numpy(), dtype=np.uint64),
     }
     if have_audio:
         col = t.column("audio_sig")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         pack["audio_sigs"] = (
-            col.flatten().to_numpy(zero_copy_only=False).reshape(-1, cfg.audio_num_perm)[order]
+            col.flatten().to_numpy(zero_copy_only=False).reshape(-1, cfg.audio_num_perm)
         )
     if have_shingles or have_transcript:
-        # per-row sorted-unique shingle sets for exact verification, laid
-        # out flat + offsets in the same sorted-id order as the matrices.
-        # Normally read straight from the (parallel-computed) `shingles`
-        # column; the transcript fallback recomputes driver-side.
+        # per-row sorted-unique shingle sets for exact verification, flat +
+        # offsets in ROW order (the perm handles id lookup).  Normally read
+        # straight from the (parallel-computed) `shingles` column; the
+        # transcript fallback recomputes driver-side.
         if have_shingles:
             col = t.column("shingles")
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            ss = np.ascontiguousarray(
+            raw_offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            pack["shingles"] = np.ascontiguousarray(
                 col.flatten().to_numpy(zero_copy_only=False), dtype=np.uint64
             )
-            raw_offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            ucounts = np.diff(raw_offs)
-            uoffs = raw_offs
+            pack["shingle_offsets"] = raw_offs - raw_offs[0]
         else:
             from minhash_ray.functions.shingles import shingles_for_config
 
@@ -249,25 +252,15 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
                 uniq_mask[1:] = (rs[1:] != rs[:-1]) | (ss_all[1:] != ss_all[:-1])
             rs, ss = rs[uniq_mask], ss_all[uniq_mask]
             ucounts = np.bincount(rs, minlength=n_rows)
-            uoffs = np.concatenate([[0], np.cumsum(ucounts)])
-        # permute the variable-length segments into sorted-id order
-        sc = ucounts[order]
-        total = int(sc.sum())
-        if total:
-            seg_local = np.arange(total, dtype=np.int64) - np.repeat(
-                np.cumsum(sc) - sc, sc
+            pack["shingles"] = np.ascontiguousarray(ss)
+            pack["shingle_offsets"] = np.concatenate([[0], np.cumsum(ucounts)]).astype(
+                np.int64
             )
-            gather = np.repeat(uoffs[order], sc) + seg_local
-            pack["shingles"] = np.ascontiguousarray(ss[gather])
-        else:
-            pack["shingles"] = np.empty(0, dtype=np.uint64)
-        pack["shingle_offsets"] = np.concatenate([[0], np.cumsum(sc)]).astype(np.int64)
     if want_lcs:
         # raw transcripts for the opt-in LCS gate (object array: only the
-        # post-jaccard survivor rows are ever touched)
-        pack["transcripts"] = np.array(
-            t.column("transcript").to_pylist(), dtype=object
-        )[order]
+        # post-jaccard survivor rows are ever touched; row order, perm'd
+        # at lookup)
+        pack["transcripts"] = np.array(t.column("transcript").to_pylist(), dtype=object)
     refs = [ray.put(pack)]
     if with_content:
         exact_tbl = driver_exact_edges_table(
@@ -282,7 +275,7 @@ def verify_broadcast(pairs_ds, sig_ds, cfg: PipelineConfig, concurrency: int = 4
     return pairs_ds.map_batches(
         make_broadcast_verifier(pack_ref, cfg),
         batch_format="pyarrow",
-        batch_size=65536,
+        batch_size=8192,
     )
 
 

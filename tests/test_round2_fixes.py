@@ -348,3 +348,71 @@ def test_simhash_max_hamming_drives_chunk_count(ray_session, tmp_path):
     for d in (1, 3, 7):
         out = _collect(sig.map_batches(make_simhash_band_fn(d + 1), batch_format="pyarrow"))
         assert out.num_rows == 4 * (d + 1)
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket salting (exercised explicitly: fixtures never cross the
+# default hot threshold, and cold corpora now skip the salt pass entirely)
+
+
+def test_hot_bucket_salting_preserves_connectivity(ray_session, tmp_path):
+    """200 clips sharing one transcript (one hot band bucket per band) with
+    distinct audio: salting splits the bucket into sub-buckets, the
+    representative pass restores cross-salt connectivity, and all copies
+    land in ONE cluster."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    shared = "the exact same transcript repeated across many many clips today"
+    rows = [
+        _clip(f"hot_{i:05d}", shared, rng.bytes(3000)) for i in range(200)
+    ] + [
+        _clip("cold_99999", "a lone unrelated transcript sits here quietly",
+              rng.bytes(3000))
+    ]
+    p = _write_clips(tmp_path, rows, name="hot")
+    cfg = PipelineConfig(
+        signature_concurrency=1,
+        hot_band_threshold=64,
+        band_group_cap=32,
+        use_exact_channel=False,     # force the salted text channel to do the work
+        use_audio_channel=False,
+    )
+    res = run_dedup(rd.read_parquet(p), cfg, num_partitions=2)
+    t = _collect(res.assignments)
+    cl = dict(zip(t["clip_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    hot_clusters = {cl[f"hot_{i:05d}"] for i in range(200)}
+    assert hot_clusters == {"hot_00000"}, len(hot_clusters)
+    assert cl["cold_99999"] == "cold_99999"
+
+
+# ---------------------------------------------------------------------------
+# checkpoint retention (reference garbage_collector_list analogue,
+# src/fcds/minhash-fcds.c:401-433 — drop unreferenced versions)
+
+
+def test_checkpoint_prune_other_configs(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from minhash_ray.stages.cluster import ASSIGN_SCHEMA
+    from minhash_ray.state.checkpoint import CheckpointManager
+
+    root = str(tmp_path / "ck")
+    cfg_a = PipelineConfig()
+    cfg_b = PipelineConfig(shingle_w=4)
+    ds = rd.from_arrow(
+        pa.table({"clip_id": ["a"], "cluster_id": ["a"]}, schema=ASSIGN_SCHEMA)
+    )
+    mgr_a = CheckpointManager(root, cfg_a)
+    mgr_a.save("assignments", ds, input_stage="edges", schema=ASSIGN_SCHEMA)
+    mgr_b = CheckpointManager(root, cfg_b)
+    mgr_b.save("assignments", ds, input_stage="edges", schema=ASSIGN_SCHEMA)
+    assert mgr_a.is_complete("assignments") and mgr_b.is_complete("assignments")
+
+    # retention: keep only the current config's versions
+    mgr_b.prune_other_configs()
+    assert mgr_b.is_complete("assignments")
+    assert sorted(os.listdir(root)) == [cfg_b.config_hash()]
+    assert not mgr_a.is_complete("assignments")   # existing handle: pruned
