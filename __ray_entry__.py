@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": lambda sf: ann.embedding_dup_pairs(
             sf, threshold=0.3, n_planes=16, n_chunks=8
         ),                                                   # rows-only
+        # IVF coarse-quantizer ANN (rows-only: approximate by design; the
+        # full-probe == brute-force identity is asserted in pytest)
+        "ann_topk_ivf": ann.ann_topk_ivf,
         # --- relational engine surface (SQL-checked) ---
         "lineitem_agg": relational.lineitem_agg,
         "orders_by_segment": relational.orders_by_segment,

@@ -126,6 +126,135 @@ def embedding_pairs_exact(sf_dir: str, threshold: float = 0.35):
     )
 
 
+def build_ivf_index(
+    sf_dir: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    kmeans_iters: int = 8,
+    sample: int = 8192,
+):
+    """IVF coarse index (Sivic & Zisserman 2003 "Video Google"; the FAISS
+    IVF design): seeded Lloyd k-means on a driver-side sample gives
+    ``n_centroids`` unit centroids; one ``map_batches`` pass assigns every
+    vector to its nearest cell and packs its normalized form — the
+    returned Dataset {vec_id, cell, nvec} IS the index (at scale: write it
+    as cell-partitioned parquet and prune at the read per query).
+
+    Returns (index_ds, centroids (n_centroids, dim) float64, dim).
+    """
+    import ray
+
+    emb = _emb(sf_dir).materialize()
+
+    # sample for k-means (driver-side: centroids are metadata-scale)
+    st = pa.concat_tables(
+        list(emb.limit(sample).iter_batches(batch_size=8192, batch_format="pyarrow"))
+    )
+    m = _matrix(st)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(m))
+    cents = m[rng.choice(len(m), size=n_centroids, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(m @ cents.T, axis=1)           # cosine on unit vectors
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cents = np.ascontiguousarray(cents)
+    cent_ref = [ray.put(cents)]
+    dim = cents.shape[1]
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        c = cached_get(cent_ref[0])
+        v = _matrix(batch)
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0] = 1.0
+        v = np.ascontiguousarray(v / norms[:, None])
+        cell = np.argmax(v @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cell": pa.array(cell, pa.int64()),
+                "nvec": _pack_f64_rows(v),
+            }
+        )
+
+    index = emb.map_batches(assign_cells, batch_format="pyarrow").materialize()
+    return index, cents, dim
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    index=None,
+):
+    """Approximate top-k via the IVF index: score ONLY vectors whose cell
+    is among the ``n_probe`` centroids nearest to the query — the scale
+    path that touches ~n_probe/n_centroids of the corpus per query (vs the
+    brute-force ``ann_topk`` baseline).  Pass a prebuilt ``index`` from
+    :func:`build_ivf_index` to amortize the index over many queries.
+    Returns (vec_id, rank) like ``ann_topk``."""
+    import duckdb
+
+    if index is None:
+        index = build_ivf_index(sf_dir, n_centroids=n_centroids, seed=seed)
+    index_ds, cents, dim = index
+
+    q = duckdb.connect().execute(
+        f"select embedding from '{os.path.join(sf_dir, 'embeddings.parquet')}' "
+        f"where vec_id = {int(query_vec_id)}"
+    ).fetchone()[0]
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe = np.argsort(-(cents @ qn))[: min(n_probe, len(cents))]
+    probe_set = np.sort(probe.astype(np.int64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        pos = np.minimum(np.searchsorted(probe_set, cell), len(probe_set) - 1)
+        mask = probe_set[pos] == cell
+        ids = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
+        mask &= ids != query_vec_id
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
+        v = _unpack_f64_rows(batch.column("nvec"), dim)[mask]
+        cos = v @ qn
+        ids = ids[mask]
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cos": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    partials = index_ds.map_batches(score, batch_format="pyarrow")
+    t = pa.concat_tables(list(partials.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    ids = t.column("vec_id").to_numpy()
+    cos = t.column("cos").to_numpy()
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
 class _HyperplaneBucketer:
     """Actor-pool stage: the random hyperplane matrix is actor state."""
 

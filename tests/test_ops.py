@@ -230,3 +230,38 @@ def test_doc_sample_deterministic(ray_session, sf_dir):
     # a different seed draws a different sample
     s3 = _pdf(doc_sample(sf_dir, seed=7)).sort_values("doc_id").reset_index(drop=True)
     assert not s1.equals(s3)
+
+
+def test_ivf_topk_recall_on_clustered_embeddings(ray_session, tmp_path):
+    """IVF index + probed query: on clustered data (where IVF is the right
+    tool) recall@k vs brute force must be high, and the full-probe setting
+    must equal brute force exactly."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.ann import ann_topk, ann_topk_ivf, build_ivf_index
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((30, 24)) * 4
+    pts = np.concatenate(
+        [c + rng.standard_normal((25, 24)) for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(len(pts), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(r) for r in pts], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(pts), dtype=np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "ivf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    exact = _pdf(ann_topk(str(d), query_vec_id=3, k=10))
+    index = build_ivf_index(str(d), n_centroids=16, seed=1)
+    approx = _pdf(ann_topk_ivf(str(d), query_vec_id=3, k=10, n_probe=4, index=index))
+    recall = len(set(approx.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.9, recall
+    # probing every cell == exact brute force
+    full = _pdf(ann_topk_ivf(str(d), query_vec_id=3, k=10, n_probe=16, index=index))
+    assert full.vec_id.tolist() == exact.vec_id.tolist()
