@@ -164,11 +164,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": text.lang_stats,
         # --- dedup over documents ---
         "exact_dedup_docs": dedup_text.exact_dedup,          # SQL-checked
-        "simhash_fingerprints": dedup_text.simhash_fingerprints,   # rows-only
+        "simhash_fingerprints": dedup_text.simhash_fingerprints,   # SQL-checked
         "minhash_dup_pairs": dedup_text.minhash_dup_pairs,   # rows-only
         # exact prefix-filtered similarity self-join — SQL-checked
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
         "rolling_fingerprints": dedup_text.rolling_fingerprints,   # SQL-checked
+        # the CORE sketch algebra, oracle-checked: (doc_id, perm, slot)
+        # minhash values replayed bit-for-bit by a DuckDB HUGEINT oracle
+        "doc_minhash_slots": dedup_text.doc_minhash_slots,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,                            # SQL-checked
         "embedding_pairs_exact": ann.embedding_pairs_exact,  # SQL-checked
@@ -202,6 +205,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frame_features": audio_frame_features,
         "substring_pairs": substring_pairs,
     }
+
+
+def _minhash_slots_sql(n_perms: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of the ENTIRE reference sketch hash chain for the
+    ``doc_minhash_slots`` query: FNV-1a 64 token hash (list_reduce fold in
+    HUGEINT with xor on the low byte), polynomial w-gram combine, and the
+    reference pairwise family ``((a·x mod 2^64) mod M + b) mod M``
+    (src/utils/hash.c:6-9) min-folded per permutation
+    (src/utils/utils.c:3-33) — the seeded coefficient table is embedded
+    as literals, so the core sketch algebra is oracle-checked end-to-end,
+    with INFTY (zero-shingle docs) reinterpreted as -1."""
+    from minhash_ray.functions.hashing import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        make_pairwise_coefficients,
+    )
+
+    m64 = 1 << 64
+    m_mod = 2**31 - 1
+    init = FNV_OFFSET ^ seed
+    a, b = make_pairwise_coefficients(seed, 128, m_mod)
+    coeff_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_perms))
+    p = FNV_PRIME
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), grams AS ("
+        "  SELECT doc_id,"
+        f"    ((th[i] * {p} + th[i+1]) % {m64} * {p} + th[i+2]) % {m64} AS g"
+        "  FROM thash, UNNEST(range(1, len(th) - 1)) AS r(i)"
+        "  WHERE len(th) >= 3"
+        f"), perms(perm, a, b) AS (VALUES {coeff_rows}),"
+        "slots AS ("
+        "  SELECT g.doc_id AS doc_id, p.perm AS perm,"
+        f"    min((((p.a * g.g) % {m64}) % {m_mod} + p.b) % {m_mod}) AS slot"
+        "  FROM grams g CROSS JOIN perms p GROUP BY g.doc_id, p.perm"
+        ") "
+        "SELECT d.doc_id AS doc_id, CAST(p.perm AS BIGINT) AS perm, "
+        "CAST(COALESCE(s.slot, -1) AS BIGINT) AS slot "
+        "FROM documents d CROSS JOIN perms p "
+        "LEFT JOIN slots s ON s.doc_id = d.doc_id AND s.perm = p.perm"
+    )
+
+
+def _simhash_sql(seed: int = 42) -> str:
+    """DuckDB replay of the SimHash channel (Charikar 2002 sign-of-vote
+    over the token-trigram MULTISET): shares the token-hash/gram chain of
+    ``_minhash_slots_sql``, expands 64 bit positions from a literal
+    power-of-two table, votes ±1 per gram per bit, reassembles the
+    fingerprint in HUGEINT and reinterprets to int64.  Zero-shingle docs
+    get simhash 0 (matching ``simhash_from_shingles``)."""
+    from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+
+    m64 = 1 << 64
+    init = FNV_OFFSET ^ seed
+    p = FNV_PRIME
+    bit_rows = ", ".join(f"({i}, {1 << i})" for i in range(64))
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), grams AS ("
+        "  SELECT doc_id,"
+        f"    ((th[i] * {p} + th[i+1]) % {m64} * {p} + th[i+2]) % {m64} AS g"
+        "  FROM thash, UNNEST(range(1, len(th) - 1)) AS r(i)"
+        "  WHERE len(th) >= 3"
+        f"), bits(bit, pw) AS (VALUES {bit_rows}),"
+        "votes AS ("
+        "  SELECT g.doc_id AS doc_id, b.pw AS pw,"
+        "    sum(CASE WHEN (g.g // b.pw) % 2 = 1 THEN 1 ELSE -1 END) AS v"
+        "  FROM grams g CROSS JOIN bits b GROUP BY g.doc_id, b.pw"
+        "), sims AS ("
+        "  SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(pw AS HUGEINT) ELSE 0 END) AS sh"
+        "  FROM votes GROUP BY doc_id"
+        ") "
+        "SELECT d.doc_id AS doc_id, "
+        "CAST(CASE WHEN COALESCE(s.sh, 0) >= 9223372036854775808::HUGEINT "
+        "THEN COALESCE(s.sh, 0) - 18446744073709551616 "
+        "ELSE COALESCE(s.sh, 0) END AS BIGINT) AS simhash "
+        "FROM documents d LEFT JOIN sims s ON s.doc_id = d.doc_id"
+    )
 
 
 def _rolling_fp_sql(window: int = 16, seed: int = 42) -> str:
@@ -251,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
         "rolling_fingerprints": _rolling_fp_sql(),
+        "doc_minhash_slots": _minhash_slots_sql(),
+        "simhash_fingerprints": _simhash_sql(),
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"

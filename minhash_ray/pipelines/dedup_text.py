@@ -324,6 +324,41 @@ def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: f
     )
 
 
+def doc_minhash_slots(sf_dir: str, cfg: PipelineConfig = DOC_CFG, n_perms: int = 8):
+    """The CORE REFERENCE SKETCH SEMANTICS as a SQL-checkable relation:
+    (doc_id, perm, slot) where slot is the MinHash value of permutation
+    ``perm`` over the doc's token-trigram shingles — i.e. ``basic_insert``
+    min-fold of ``pairwise_func`` hashes (reference src/utils/utils.c:3-33,
+    src/utils/hash.c:6-9), exploded long-form for the first ``n_perms``
+    permutations.  The DuckDB oracle replays the ENTIRE hash chain
+    (FNV-1a token hash → polynomial w-gram combine → ``((a·x mod 2^64)
+    mod M + b) mod M`` with the seeded coefficient table embedded as
+    literals) in HUGEINT arithmetic — the sketch algebra is therefore
+    oracle-checked end-to-end, not just pytest-checked.
+
+    Slots are int64-reinterpreted (INFTY → -1 for zero-shingle docs).
+    """
+    sigs = doc_signatures(sf_dir, cfg)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("signature")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, cfg.num_perm)
+        sub = np.ascontiguousarray(mat[:, :n_perms]).astype(np.int64)  # reinterpret
+        ids = np.asarray(batch.column("doc_id").to_numpy(), dtype=np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_perms), pa.int64()),
+                "perm": pa.array(np.tile(np.arange(n_perms, dtype=np.int64), n), pa.int64()),
+                "slot": pa.array(sub.reshape(-1), pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(explode, batch_format="pyarrow")
+
+
 def rolling_fingerprints(sf_dir: str, window: int = 16):
     """doc_id, n_grams, min_gram_hash — rolling-hash document fingerprint
     (byte w-gram channel; the min over a doc's rolling hashes is a 1-perm

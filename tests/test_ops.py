@@ -40,6 +40,8 @@ SQL_QUERIES = [
     "exact_dedup_docs", "ann_topk", "embedding_pairs_exact", "lineitem_agg",
     "orders_by_segment", "top_customers", "supplier_regions",
     "events_by_type", "filtered_lineitem", "part_brand_stats",
+    "ngram_jaccard_pairs", "rolling_fingerprints",
+    "doc_minhash_slots", "simhash_fingerprints",
 ]
 
 
@@ -58,10 +60,10 @@ def test_rows_only_queries_have_stable_schema(ray_session, sf_dir):
     import __ray_entry__ as E
 
     expected_cols = {
-        "simhash_fingerprints": ["doc_id", "simhash"],
-        "rolling_fingerprints": ["doc_id", "n_grams", "min_gram_hash"],
         "lang_id": ["doc_id", "lang_pred"],
         "minhash_dup_pairs": ["doc_id_a", "doc_id_b", "sim"],
+        "ann_topk_ivf": ["vec_id", "rank"],
+        "doc_sample": ["doc_id", "n_chars_measured", "n_tokens"],
     }
     for name, cols in expected_cols.items():
         df = _pdf(E.queries()[name](sf_dir))
