@@ -165,7 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup over documents ---
         "exact_dedup_docs": dedup_text.exact_dedup,          # SQL-checked
         "simhash_fingerprints": dedup_text.simhash_fingerprints,   # SQL-checked
-        "minhash_dup_pairs": dedup_text.minhash_dup_pairs,   # rows-only
+        # the full LSH pipeline, oracle-checked: sketch + banding +
+        # candidate join + estimator gate replayed in DuckDB
+        "minhash_dup_pairs": dedup_text.minhash_dup_pairs,
         # exact prefix-filtered similarity self-join — SQL-checked
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
         "rolling_fingerprints": dedup_text.rolling_fingerprints,   # SQL-checked
@@ -257,6 +259,102 @@ def _minhash_slots_sql(n_perms: int = 8, seed: int = 42) -> str:
         "CAST(COALESCE(s.slot, -1) AS BIGINT) AS slot "
         "FROM documents d CROSS JOIN perms p "
         "LEFT JOIN slots s ON s.doc_id = d.doc_id AND s.perm = p.perm"
+    )
+
+
+def _xor64(x: str, y: str) -> str:
+    """64-bit xor of two HUGEINT expressions via 32-bit halves (DuckDB's
+    xor() is BIGINT-only)."""
+    return (
+        f"(CAST(xor(CAST(({x}) % 4294967296 AS BIGINT),"
+        f" CAST(({y}) % 4294967296 AS BIGINT)) AS HUGEINT)"
+        f" + CAST(xor(CAST(({x}) // 4294967296 AS BIGINT),"
+        f" CAST(({y}) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296)"
+    )
+
+
+def _modmul64(x: str, k: int) -> str:
+    """(x * k) mod 2^64 without INT128 overflow: split k into 32-bit
+    halves (x*k_lo <= 2^96 and x*k_hi <= 2^96 both fit HUGEINT)."""
+    lo, hi = k % (1 << 32), k >> 32
+    return (
+        f"((({x}) * {lo} + ((({x}) * {hi}) % 4294967296) * 4294967296)"
+        f" % 18446744073709551616)"
+    )
+
+
+def _lsh_pairs_sql(seed: int = 42) -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH near-dup pipeline for the
+    ``minhash_dup_pairs`` query: the full 128-permutation sketch (same
+    chain as ``_minhash_slots_sql``), 32-band/4-row bucket keys including
+    the splitmix64 finalizer (emulated with 32-bit-half xor and
+    overflow-safe modular multiplies), the bucket self-join candidate
+    step, and the fraction-of-equal-slots estimator gate at
+    tau - verify_margin — the whole flagship semantics adversarially
+    verified by an independent engine.  Valid while no bucket exceeds
+    band_group_cap and no bucket is hot (true at test scale; the engine's
+    salting/cap paths are covered by dedicated pytest instead)."""
+    from minhash_ray.functions.hashing import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        make_pairwise_coefficients,
+    )
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    m64 = 1 << 64
+    m_mod = DOC_CFG.modulus
+    init = FNV_OFFSET ^ seed
+    p = FNV_PRIME
+    ns = 0x9E3779B97F4A7C15
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    num_perm, bands, rows = DOC_CFG.num_perm, DOC_CFG.bands, DOC_CFG.rows_per_band
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    a, b = make_pairwise_coefficients(seed, num_perm, m_mod)
+    coeff_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
+    fold = f"((({ns} + band) * {p} + sl[{rows}*band + 1]) % {m64})"
+    for r in range(2, rows + 1):
+        fold = f"(({fold}) * {p} + sl[{rows}*band + {r}]) % {m64}"
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), grams AS ("
+        f"  SELECT doc_id, ((th[i] * {p} + th[i+1]) % {m64} * {p} + th[i+2]) % {m64} AS g"
+        "  FROM thash, UNNEST(range(1, len(th) - 1)) AS r(i) WHERE len(th) >= 3"
+        f"), perms(perm, pa, pb) AS (VALUES {coeff_rows}),"
+        "slots AS ("
+        "  SELECT g.doc_id AS doc_id, p.perm AS perm,"
+        f"    min((((p.pa * g.g) % {m64}) % {m_mod} + p.pb) % {m_mod}) AS slot"
+        "  FROM grams g CROSS JOIN perms p GROUP BY g.doc_id, p.perm"
+        "), sigl AS (SELECT doc_id, list(slot ORDER BY perm) AS sl FROM slots GROUP BY doc_id),"
+        f"bands0 AS (SELECT doc_id, band, {fold} AS x0"
+        f"           FROM sigl, UNNEST(range(0, {bands})) AS rb(band)),"
+        f"sm1 AS (SELECT doc_id, ((x0 + 11400714819323198485) % {m64}) AS x1 FROM bands0),"
+        f"sm2 AS (SELECT doc_id, {_modmul64(_xor64('x1', 'x1 // 1073741824'), k1)} AS x2 FROM sm1),"
+        f"sm3 AS (SELECT doc_id, {_modmul64(_xor64('x2', 'x2 // 134217728'), k2)} AS x3 FROM sm2),"
+        f"buckets AS (SELECT doc_id, ({_xor64('x3', 'x3 // 2147483648')}) // 2 AS bucket FROM sm3),"
+        "cands AS ("
+        "  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db"
+        "  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id"
+        "), sims AS ("
+        "  SELECT c.da AS da, c.db AS db,"
+        f"    CAST(sum(CASE WHEN sa.slot = sb.slot THEN 1 ELSE 0 END) AS DOUBLE) / {num_perm} AS sim"
+        "  FROM cands c"
+        "  JOIN slots sa ON sa.doc_id = c.da"
+        "  JOIN slots sb ON sb.doc_id = c.db AND sb.perm = sa.perm"
+        "  GROUP BY c.da, c.db"
+        ") "
+        f"SELECT da AS doc_id_a, db AS doc_id_b, sim FROM sims WHERE sim >= {threshold}"
     )
 
 
@@ -358,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprints": _rolling_fp_sql(),
         "doc_minhash_slots": _minhash_slots_sql(),
         "simhash_fingerprints": _simhash_sql(),
+        "minhash_dup_pairs": _lsh_pairs_sql(),
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"

@@ -41,7 +41,7 @@ SQL_QUERIES = [
     "orders_by_segment", "top_customers", "supplier_regions",
     "events_by_type", "filtered_lineitem", "part_brand_stats",
     "ngram_jaccard_pairs", "rolling_fingerprints",
-    "doc_minhash_slots", "simhash_fingerprints",
+    "doc_minhash_slots", "simhash_fingerprints", "minhash_dup_pairs",
 ]
 
 
