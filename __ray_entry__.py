@@ -196,7 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
-        # --- language ID heuristic (rows-only: model-style scoring) ---
+        # --- language ID heuristic (SQL-checked: profile-gram presence) ---
         "lang_id": text.lang_id,
         # --- seeded sampling op (rows-only: Ray RNG) ---
         "doc_sample": text.doc_sample,
@@ -407,6 +407,43 @@ def _simhash_sql(seed: int = 42) -> str:
     )
 
 
+def _lang_id_sql() -> str:
+    """DuckDB replica of the language-ID heuristic (LangIdStage): CJK
+    codepoint check on the first 200 chars, then per-language profile-gram
+    presence counts with the stage's first-wins tie rule (a later language
+    needs a STRICTLY greater score to displace an earlier one)."""
+    from minhash_ray.pipelines.text import _LANG_PROFILES
+
+    def esc(s):
+        return s.replace("'", "''")
+
+    scores = {
+        lang: " + ".join(
+            f"(CASE WHEN position('{esc(g)}' IN lt) > 0 THEN 1 ELSE 0 END)"
+            for g in _LANG_PROFILES[lang]
+        )
+        for lang in ("en", "es", "fr")
+    }
+    return (
+        "WITH base AS ("
+        "  SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents"
+        "), sc AS ("
+        "  SELECT doc_id, lt,"
+        f"    {scores['en']} AS s_en,"
+        f"    {scores['es']} AS s_es,"
+        f"    {scores['fr']} AS s_fr"
+        "  FROM base"
+        ") "
+        "SELECT doc_id, CASE "
+        "WHEN regexp_matches(substr(lt, 1, 200), '[\\x{2E80}-\\x{10FFFF}]') THEN 'zh' "
+        "WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_es > 0 AND s_es > s_en AND s_es >= s_fr THEN 'es' "
+        "WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_es THEN 'fr' "
+        "ELSE 'unknown' END AS lang_pred "
+        "FROM sc"
+    )
+
+
 def _rolling_fp_sql(window: int = 16, seed: int = 42) -> str:
     """DuckDB replica of the engine's rolling char-w-gram fingerprint: the
     same byte-xor-seed + mod-2^64 polynomial (FNV prime) fold, computed in
@@ -457,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_slots": _minhash_slots_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),
+        "lang_id": _lang_id_sql(),
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"

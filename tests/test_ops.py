@@ -42,6 +42,7 @@ SQL_QUERIES = [
     "events_by_type", "filtered_lineitem", "part_brand_stats",
     "ngram_jaccard_pairs", "rolling_fingerprints",
     "doc_minhash_slots", "simhash_fingerprints", "minhash_dup_pairs",
+    "lang_id",
 ]
 
 
@@ -60,8 +61,6 @@ def test_rows_only_queries_have_stable_schema(ray_session, sf_dir):
     import __ray_entry__ as E
 
     expected_cols = {
-        "lang_id": ["doc_id", "lang_pred"],
-        "minhash_dup_pairs": ["doc_id_a", "doc_id_b", "sim"],
         "ann_topk_ivf": ["vec_id", "rank"],
         "doc_sample": ["doc_id", "n_chars_measured", "n_tokens"],
     }
