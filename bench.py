@@ -143,6 +143,24 @@ def run_bench() -> dict:
             "clips_per_sec": round(kn / (time.time() - tk), 1),
         }
 
+    # --- batch-size sweep: the engine analog of the reference's
+    # threshold-b sweep (run_test_threshold.sh:9 — b trades local
+    # staleness vs contention; here batch_size trades per-batch overhead
+    # vs pipelining granularity in the signature actor pool) ---
+    batch_sweep: dict = {}
+    for bsz in (256, 1024, 4096):
+        bcfg = PipelineConfig(batch_size=bsz)
+        tb = time.time()
+        bres = run_dedup(
+            read_clips(clips_path).limit(sweep_rows), bcfg,
+            num_partitions=max(8, NCPUS),
+        )
+        bn = bres.assignments.count()
+        batch_sweep[str(bsz)] = {
+            "sec": round(time.time() - tb, 3),
+            "clips_per_sec": round(bn / (time.time() - tb), 1),
+        }
+
     queries = {
         "minhash_dup_pairs_docs": timed(dedup_text.minhash_dup_pairs),
         "exact_dedup_docs": timed(dedup_text.exact_dedup),
@@ -162,6 +180,7 @@ def run_bench() -> dict:
         "queries": queries,
         "stages": stage_times,
         "sweep": sweep,
+        "batch_sweep": batch_sweep,
         "sf": _sf_of(SF_DIR),
         "num_cpus": NCPUS,
         "clips": n_clips,
