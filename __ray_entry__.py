@@ -124,29 +124,40 @@ def audio_resample(sf_dir: str):
 
 def substring_pairs(sf_dir: str):
     """Longest-common-substring ratio for MinHash candidate doc pairs
-    (suffix-automaton channel)."""
+    (suffix-automaton channel).  Texts are broadcast ONCE as a sorted-id
+    numpy pack (no python dict: zero-copy plasma views per worker) and the
+    per-pair LCS — inherently a per-pair kernel — runs distributed in
+    ``map_batches`` over the pair list."""
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
+    import ray
     import ray.data as rd
 
-    from minhash_ray.functions.substring import lcs_ratio
     from minhash_ray.pipelines.dedup_text import minhash_dup_pairs
 
     pairs = rd.from_arrow(minhash_dup_pairs(sf_dir))
-    import duckdb
-
-    texts = dict(
-        duckdb.connect()
-        .execute(f"select doc_id, text from '{os.path.join(sf_dir, 'documents.parquet')}'")
-        .fetchall()
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    ids = np.asarray(t.column("doc_id").to_numpy(), dtype=np.int64)
+    order = np.argsort(ids)
+    pack_ref = [ray.put({
+        "ids": ids[order],
+        "texts": np.array(t.column("text").to_pylist(), dtype=object)[order],
+    })]
 
     def add_lcs(batch: pa.Table) -> pa.Table:
+        from minhash_ray.functions.substring import lcs_ratio
+        from minhash_ray.util import cached_get
+
+        pack = cached_get(pack_ref[0])
+        idx_a = np.searchsorted(pack["ids"], batch.column("doc_id_a").to_numpy())
+        idx_b = np.searchsorted(pack["ids"], batch.column("doc_id_b").to_numpy())
         ratios = [
-            lcs_ratio(texts.get(a, ""), texts.get(b, ""))
-            for a, b in zip(
-                batch.column("doc_id_a").to_pylist(), batch.column("doc_id_b").to_pylist()
-            )
+            lcs_ratio(pack["texts"][i] or "", pack["texts"][j] or "")
+            for i, j in zip(idx_a, idx_b)
         ]
         return batch.append_column("lcs_ratio", pa.array(ratios, pa.float64()))
 

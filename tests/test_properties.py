@@ -69,3 +69,64 @@ def test_insert_is_idempotent_and_order_independent(elems):
     doubled = np.concatenate([arr, arr[::-1]])
     twice = signatures_from_shingles(doubled, np.array([len(doubled)]), TABLES)[0]
     assert np.array_equal(once, twice)
+
+
+# --- round-2 kernels ------------------------------------------------------
+
+sets_strategy = st.lists(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(sets_strategy, st.data())
+def test_exact_jaccard_kernel_property(raw_sets, data):
+    from minhash_ray.functions.minhash import exact_jaccard_for_pairs
+
+    sets = [np.unique(np.array(s, dtype=np.uint64)) for s in raw_sets]
+    flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+    offs = np.concatenate([[0], np.cumsum([len(s) for s in sets])]).astype(np.int64)
+    n = len(sets)
+    idx_a = np.array(data.draw(st.lists(st.integers(0, n - 1), min_size=1, max_size=20)))
+    idx_b = np.array(data.draw(st.lists(st.integers(0, n - 1), min_size=len(idx_a), max_size=len(idx_a))))
+    got = exact_jaccard_for_pairs(flat, offs, idx_a, idx_b)
+    for k in range(len(idx_a)):
+        sa, sb = set(sets[idx_a[k]].tolist()), set(sets[idx_b[k]].tolist())
+        u = sa | sb
+        want = len(sa & sb) / len(u) if u else 0.0
+        assert abs(got[k] - want) < 1e-12
+
+
+payloads_strategy = st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=10)
+
+
+@settings(max_examples=40, deadline=None)
+@given(payloads_strategy, st.sampled_from([8, 64]))
+def test_byte_oph_batch_property(payloads, k):
+    from minhash_ray.functions.audio import byte_oph_signature, byte_oph_signatures_batch
+
+    batch = byte_oph_signatures_batch(payloads, k, 4, 42)
+    for i, p in enumerate(payloads):
+        assert np.array_equal(batch[i], byte_oph_signature(p, k, 4, 42))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=64),
+       st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=64),
+       st.integers(0, 8))
+def test_audio_similarity_bounds_and_symmetry(xs, ys, min_filled):
+    from minhash_ray.functions.audio import audio_similarity
+
+    n = min(len(xs), len(ys))
+    a = np.array(xs[:n], dtype=np.uint64)[None, :]
+    b = np.array(ys[:n], dtype=np.uint64)[None, :]
+    s_ab = audio_similarity(a, b, min_filled)[0]
+    s_ba = audio_similarity(b, a, min_filled)[0]
+    assert s_ab == s_ba
+    assert 0.0 <= s_ab <= 1.0
+    INF = np.uint64(2**64 - 1)
+    # identical fully-filled sketches score exactly 1.0
+    if (a != INF).all() and (a >= min_filled).all() and (a != INF).sum() >= min_filled:
+        assert audio_similarity(a, a, min_filled)[0] == 1.0
