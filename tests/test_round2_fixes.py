@@ -416,3 +416,47 @@ def test_checkpoint_prune_other_configs(ray_session, tmp_path):
     assert mgr_b.is_complete("assignments")
     assert sorted(os.listdir(root)) == [cfg_b.config_hash()]
     assert not mgr_a.is_complete("assignments")   # existing handle: pruned
+
+
+# ---------------------------------------------------------------------------
+# the full 10^12 configuration: every driver-side shortcut disabled
+
+
+def test_all_distributed_paths_equal_driver_paths(ray_session, small_fixture):
+    """Force the complete at-scale configuration in one run — Dataset.join
+    candidate backend, global pair dedupe, join-based verify, distributed
+    exact channel + hot-bucket counting (driver_agg_max_rows=0), and
+    min-label-propagation clustering (driver_uf_max_edges=0) — and require
+    cluster assignments identical to the default (driver-shortcut) paths."""
+    import ray.data as rd
+
+    base = PipelineConfig(signature_concurrency=2)
+    ds1 = rd.read_parquet(str(small_fixture / "clips.parquet"))
+    res_default = run_dedup(ds1, base, num_partitions=4)
+
+    scale_cfg = base.with_(
+        candidate_backend="join",
+        pair_dedupe="global",
+        broadcast_verify_max_rows=0,
+        driver_uf_max_edges=0,
+        driver_agg_max_rows=0,
+    )
+    ds2 = rd.read_parquet(str(small_fixture / "clips.parquet"))
+    res_scale = run_dedup(ds2, scale_cfg, num_partitions=4)
+
+    def assign_map(res):
+        t = _collect(res.assignments)
+        return dict(zip(t["clip_id"].to_pylist(), t["cluster_id"].to_pylist()))
+
+    assert assign_map(res_scale) == assign_map(res_default)
+
+    def uniq_edges(res):
+        t = _collect(res.edges)
+        return {
+            (a, b, ch) for a, b, ch in zip(
+                t["clip_id_a"].to_pylist(), t["clip_id_b"].to_pylist(),
+                t["channel"].to_pylist(),
+            )
+        }
+
+    assert uniq_edges(res_scale) == uniq_edges(res_default)
