@@ -164,9 +164,12 @@ def run_bench() -> dict:
     queries = {
         "minhash_dup_pairs_docs": timed(dedup_text.minhash_dup_pairs),
         "exact_dedup_docs": timed(dedup_text.exact_dedup),
+        "ngram_jaccard_pairs": timed(dedup_text.ngram_jaccard_pairs),
+        "doc_minhash_slots": timed(dedup_text.doc_minhash_slots),
         "token_counts": timed(text.token_counts),
         "text_quality": timed(text.text_quality),
         "ann_topk": timed(ann.ann_topk),
+        "ann_topk_ivf": timed(ann.ann_topk_ivf),
         "embedding_pairs_exact": timed(ann.embedding_pairs_exact),
         "lineitem_agg": timed(relational.lineitem_agg),
         "orders_by_segment": timed(relational.orders_by_segment),
