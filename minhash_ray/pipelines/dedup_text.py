@@ -291,6 +291,14 @@ def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: f
         b = pc.cast(batch.column("clip_id_b"), pa.int64()).to_numpy()
         idx_a = np.searchsorted(pack["ids"], a)
         idx_b = np.searchsorted(pack["ids"], b)
+        # PPJoin length filter (exactness-preserving): J(A,B) <= min/max of
+        # the set sizes, so size-mismatched candidates skip the expensive
+        # exact intersection entirely
+        counts = np.diff(pack["offs"])
+        ca, cb = counts[idx_a], counts[idx_b]
+        plausible = np.minimum(ca, cb) >= threshold * np.maximum(ca, cb)
+        a, b = a[plausible], b[plausible]
+        idx_a, idx_b = idx_a[plausible], idx_b[plausible]
         jacc = exact_jaccard_for_pairs(pack["flat"], pack["offs"], idx_a, idx_b)
         keep = jacc >= threshold
         return pa.table(
@@ -301,7 +309,10 @@ def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: f
             }
         )
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    # 8k-pair batches: candidate blocks are few and large (one per reducer
+    # partition), and the exact-set lexsort is superlinear in batch mass —
+    # without re-batching the verify runs on ~8 giant tasks
+    verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
 
     # pair lists are metadata-scale: driver-side vectorized dedupe + sort
     vt = pa.concat_tables(
