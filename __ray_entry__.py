@@ -79,10 +79,12 @@ def clips_signatures(sf_dir: str):
             {
                 "clip_id": batch.column("clip_id"),
                 "simhash": pa.array(
-                    batch.column("simhash").to_numpy().astype(np.int64), pa.int64()
+                    np.ascontiguousarray(batch.column("simhash").to_numpy()).view(np.int64),
+                    pa.int64(),
                 ),
                 "audio_fp": pa.array(
-                    batch.column("audio_fp").to_numpy().astype(np.int64), pa.int64()
+                    np.ascontiguousarray(batch.column("audio_fp").to_numpy()).view(np.int64),
+                    pa.int64(),
                 ),
                 "n_shingles": batch.column("n_shingles"),
             }

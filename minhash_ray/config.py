@@ -70,11 +70,14 @@ class PipelineConfig:
                                          # and additionally require
                                          # lcs_ratio >= substring_min_ratio
     substring_min_ratio: float = 0.0     # LCS gate threshold (0.0 = report-only)
-    exact_verify: bool = True            # broadcast-verify gates edges on the TRUE
-                                         # shingle-set jaccard (standard LSH verify
-                                         # step); the sketch estimator is always
-                                         # reported in the edge table.  The shuffle
-                                         # (10^12) path keeps the estimator gate.
+    exact_verify: bool = True            # gate text edges on the TRUE shingle-set
+                                         # jaccard (standard LSH verify step); the
+                                         # sketch estimator is always reported in
+                                         # the edge table.  BOTH verify paths apply
+                                         # it identically (shingle sets ride the
+                                         # shuffle joins as packed binary), proven
+                                         # bit-identical in
+                                         # test_shuffle_verify_path_is_bit_identical_to_broadcast.
 
     # --- audio fingerprint ---
     audio_fp_frames: int = 64            # energy-delta frames → 64-bit fingerprint

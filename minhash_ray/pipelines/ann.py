@@ -302,9 +302,12 @@ def _pack_f64_rows(mat: np.ndarray) -> pa.Array:
 def _unpack_f64_rows(col, dim: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    raw_off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+    # the join engine may rewrite large_binary to binary: pick the offset
+    # width from the actual type (mirrors stages/verify._unpack_u64_column)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    raw_off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset : col.offset + len(col) + 1
-    ]
+    ].astype(np.int64)
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
     start, end = int(raw_off[0]), int(raw_off[-1])
     seg = data[start:end]

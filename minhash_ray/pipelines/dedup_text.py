@@ -90,7 +90,7 @@ def simhash_fingerprints(sf_dir: str, cfg: PipelineConfig = DOC_CFG):
     sigs = doc_signatures(sf_dir, cfg)
 
     def project(batch: pa.Table) -> pa.Table:
-        sh = batch.column("simhash").to_numpy().astype(np.int64)
+        sh = np.ascontiguousarray(batch.column("simhash").to_numpy()).view(np.int64)
         return pa.table(
             {"doc_id": batch.column("doc_id"), "simhash": pa.array(sh, pa.int64())}
         )
@@ -356,7 +356,8 @@ def doc_minhash_slots(sf_dir: str, cfg: PipelineConfig = DOC_CFG, n_perms: int =
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, cfg.num_perm)
-        sub = np.ascontiguousarray(mat[:, :n_perms]).astype(np.int64)  # reinterpret
+        # true bit reinterpret (INFTY -> -1 guaranteed), not a value cast
+        sub = np.ascontiguousarray(mat[:, :n_perms]).view(np.int64)
         ids = np.asarray(batch.column("doc_id").to_numpy(), dtype=np.int64)
         n = len(ids)
         return pa.table(
@@ -384,9 +385,11 @@ def rolling_fingerprints(sf_dir: str, window: int = 16):
         ends = np.cumsum(counts)
         starts = ends - counts
         mins = np.zeros(len(counts), dtype=np.uint64)
-        for i in range(len(counts)):           # few rows per batch; segment min
-            if counts[i]:
-                mins[i] = shingles[starts[i] : ends[i]].min()
+        nz = counts > 0
+        if nz.any():
+            # segments are contiguous in row order, so the nonzero-row
+            # starts ARE the reduceat boundaries (zero rows add no elements)
+            mins[nz] = np.minimum.reduceat(shingles, starts[nz])
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
