@@ -283,6 +283,25 @@ def append_clips(
     new_ids_sorted = np.sort(bytes_key_array(new_ids))
     new_ids_ref = [ray.put(new_ids_sorted)]
 
+    # validate the disjointness precondition BEFORE mutating the checkpoint:
+    # re-appending an already-ingested partition would silently write
+    # duplicate signature rows and edges into persistent state.  Cost: one
+    # slim clip_id column scan of the old checkpoint.
+    if len(new_ids_sorted):
+        for b in ckpt.load("signatures").select_columns(["clip_id"]).iter_batches(
+            batch_size=1_048_576, batch_format="pyarrow"
+        ):
+            old = bytes_key_array(b.column("clip_id"))
+            pos = np.minimum(np.searchsorted(new_ids_sorted, old), len(new_ids_sorted) - 1)
+            hit = new_ids_sorted[pos] == old
+            if hit.any():
+                dup = old[hit][0].decode()
+                raise ValueError(
+                    f"append_clips: clip_id {dup!r} already exists in the "
+                    f"checkpoint ({int(hit.sum())} overlapping in this batch); "
+                    "new clip_ids must be disjoint from the ingested corpus"
+                )
+
     # publish: extend the signatures checkpoint by part-file append
     signatures = ckpt.append_parts(
         "signatures", new_sigs,

@@ -55,15 +55,25 @@ class CheckpointManager:
         return bool(m) and m.get("status") == "complete" and m.get("config_hash") == self.cfg_hash
 
     def load(self, stage: str):
-        """Open a published checkpoint as a Dataset (parquet part files)."""
+        """Open a published checkpoint as a Dataset.
+
+        Reads ONLY the part files listed in the manifest — the manifest
+        rename is therefore the true commit point: parts renamed into the
+        live dir by a crashed/concurrent ``append_parts`` are invisible
+        until their manifest lands (and are deleted by
+        ``clear_stale_temps`` reconciliation)."""
         import ray.data as rd
 
         d = self.stage_dir(stage)
-        files = [
-            os.path.join(d, f)
-            for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
-        ]
+        m = self.manifest(stage)
+        if m and m.get("partitions") is not None:
+            files = [os.path.join(d, p["file"]) for p in m["partitions"]]
+        else:  # pre-manifest layout fallback
+            files = [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
         return rd.read_parquet(files)
 
     def save(self, stage: str, ds, input_stage: str | None = None, extra: dict | None = None,
@@ -174,10 +184,29 @@ class CheckpointManager:
         return self.load(stage)
 
     def clear_stale_temps(self) -> None:
+        """Drop temp dirs of crashed writers and reconcile each published
+        stage dir against its manifest: part files not listed (orphans of
+        an append that died between the per-file renames and the manifest
+        swap) are deleted — they were never visible to ``load`` and a
+        retried append re-writes them under a fresh nonce."""
         base = self._base()
         for name in os.listdir(base):
+            path = os.path.join(base, name)
             if ".tmp-" in name:
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            if not os.path.isdir(path):
+                continue
+            m = self.manifest(name)
+            if not m or m.get("partitions") is None:
+                continue
+            listed = {p["file"] for p in m["partitions"]}
+            for f in os.listdir(path):
+                if f.endswith(".parquet") and f not in listed:
+                    try:
+                        os.remove(os.path.join(path, f))
+                    except OSError:
+                        pass
 
     def prune_other_configs(self) -> None:
         """Checkpoint retention (the reference's garbage_collector_list

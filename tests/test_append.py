@@ -86,3 +86,59 @@ def test_append_requires_complete_checkpoint(ray_session, small_fixture, tmp_pat
             rd.read_parquet(str(small_fixture / "clips.parquet")),
             cfg, ckpt_root=str(tmp_path / "nope"), num_partitions=2,
         )
+
+
+def test_append_rejects_overlapping_clip_ids(ray_session, small_fixture, tmp_path):
+    """Re-appending an already-ingested partition must raise BEFORE any
+    checkpoint mutation (silent duplicate rows would corrupt all later
+    runs)."""
+    import pytest
+
+    import ray.data as rd
+
+    cfg = PipelineConfig(signature_concurrency=2)
+    sub = pq.read_table(str(small_fixture / "clips.parquet")).slice(0, 60)
+    p = tmp_path / "sub.parquet"
+    pq.write_table(sub, str(p))
+    root = str(tmp_path / "ckpt")
+    run_dedup(rd.read_parquet(str(p)), cfg, ckpt_root=root, num_partitions=2)
+
+    rows_before = CheckpointManager(root, cfg).manifest("signatures")["rows"]
+    with pytest.raises(ValueError, match="already exists"):
+        append_clips(rd.read_parquet(str(p)), cfg, ckpt_root=root, num_partitions=2)
+    # the failed append left the checkpoint untouched
+    assert CheckpointManager(root, cfg).manifest("signatures")["rows"] == rows_before
+
+
+def test_load_ignores_unlisted_parts_and_reconciliation_removes_them(
+    ray_session, small_fixture, tmp_path
+):
+    """The manifest rename is the commit point: a part file renamed into
+    the live dir by a crashed append (never listed in the manifest) is
+    invisible to load() and deleted by clear_stale_temps."""
+    import os
+
+    import ray.data as rd
+
+    cfg = PipelineConfig(signature_concurrency=2)
+    sub = pq.read_table(str(small_fixture / "clips.parquet")).slice(0, 40)
+    p = tmp_path / "sub.parquet"
+    pq.write_table(sub, str(p))
+    root = str(tmp_path / "ckpt")
+    run_dedup(rd.read_parquet(str(p)), cfg, ckpt_root=root, num_partitions=2)
+
+    mgr = CheckpointManager(root, cfg)
+    rows = mgr.manifest("signatures")["rows"]
+    stage_dir = mgr.stage_dir("signatures")
+    listed = sorted(os.listdir(stage_dir))
+    # simulate a crash mid-append: an orphan part lands in the live dir
+    orphan = os.path.join(stage_dir, "append-deadbeef-00000.parquet")
+    first_part = next(f for f in listed if f.endswith(".parquet"))
+    import shutil
+
+    shutil.copyfile(os.path.join(stage_dir, first_part), orphan)
+
+    assert mgr.load("signatures").count() == rows       # orphan invisible
+    mgr.clear_stale_temps()
+    assert not os.path.exists(orphan)                   # orphan reconciled away
+    assert mgr.load("signatures").count() == rows
