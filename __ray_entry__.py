@@ -124,12 +124,17 @@ def audio_resample(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow")
 
 
-def substring_pairs(sf_dir: str):
+def substring_pairs(sf_dir: str, broadcast_max_rows: int = 2_000_000):
     """Longest-common-substring ratio for MinHash candidate doc pairs
-    (suffix-automaton channel).  Texts are broadcast ONCE as a sorted-id
-    numpy pack (no python dict: zero-copy plasma views per worker) and the
-    per-pair LCS — inherently a per-pair kernel — runs distributed in
-    ``map_batches`` over the pair list."""
+    (suffix-automaton channel).  The per-pair LCS — inherently a per-pair
+    kernel — runs distributed in ``map_batches`` over the pair list.
+
+    Text attachment auto-switches like every other verifier: corpora up to
+    ``broadcast_max_rows`` docs broadcast the texts ONCE as a sorted-id
+    numpy pack (zero-copy plasma views per worker); beyond it the two
+    transcripts ride to each pair through two partitioned hash joins —
+    nothing driver-resident (proven identical in
+    ``test_substring_join_attach_path_matches_broadcast``)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -138,11 +143,56 @@ def substring_pairs(sf_dir: str):
     import ray.data as rd
 
     from minhash_ray.pipelines.dedup_text import minhash_dup_pairs
+    from minhash_ray.util import clamp_partitions
 
     pairs = rd.from_arrow(minhash_dup_pairs(sf_dir))
-    t = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+
+    n_docs = pq.ParquetFile(doc_path).metadata.num_rows
+    if n_docs > broadcast_max_rows:
+        # scale path: attach each side's text via partitioned hash joins
+        docs = rd.read_parquet(doc_path, columns=["doc_id", "text"])
+
+        def side(suffix: str):
+            return docs.map_batches(
+                lambda b, s=suffix: pa.table(
+                    {"doc_id": b.column("doc_id"), f"text_{s}": b.column("text")}
+                ),
+                batch_format="pyarrow",
+            )
+
+        np_parts = clamp_partitions(8)
+        with_a = pairs.join(
+            side("a"), join_type="inner", on=("doc_id_a",), right_on=("doc_id",),
+            num_partitions=np_parts,
+        )
+        with_ab = with_a.join(
+            side("b"), join_type="inner", on=("doc_id_b",), right_on=("doc_id",),
+            num_partitions=np_parts,
+        )
+
+        def add_lcs_join(batch: pa.Table) -> pa.Table:
+            from minhash_ray.functions.substring import lcs_ratio
+
+            ratios = [
+                lcs_ratio(x or "", y or "")
+                for x, y in zip(
+                    batch.column("text_a").to_pylist(),
+                    batch.column("text_b").to_pylist(),
+                )
+            ]
+            return pa.table(
+                {
+                    "doc_id_a": batch.column("doc_id_a"),
+                    "doc_id_b": batch.column("doc_id_b"),
+                    "sim": batch.column("sim"),
+                    "lcs_ratio": pa.array(ratios, pa.float64()),
+                }
+            )
+
+        return with_ab.map_batches(add_lcs_join, batch_format="pyarrow")
+
+    t = pq.read_table(doc_path, columns=["doc_id", "text"])
     ids = np.asarray(t.column("doc_id").to_numpy(), dtype=np.int64)
     order = np.argsort(ids)
     pack_ref = [ray.put({

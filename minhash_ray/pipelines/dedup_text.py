@@ -154,28 +154,8 @@ def minhash_dup_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions
     out = edges.map_batches(to_doc_ids, batch_format="pyarrow")
 
     # the local pair-dedupe strategy tolerates cross-batch duplicates for
-    # clustering; a user-facing pair list should be unique and ordered.
-    # The verified pair list is metadata-scale (edges, not corpus), so it
-    # streams to the driver and one vectorized lexsort+mask dedupes it —
-    # no repartition(1) single-block serialization, no pandas.
-    t = pa.concat_tables(
-        list(out.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
-    )
-    a = t.column("doc_id_a").to_numpy()
-    b = t.column("doc_id_b").to_numpy()
-    s = t.column("sim").to_numpy()
-    order = np.lexsort((b, a))
-    a, b, s = a[order], b[order], s[order]
-    first = np.ones(len(a), dtype=bool)
-    if len(a) > 1:
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    return pa.table(
-        {
-            "doc_id_a": pa.array(a[first], pa.int64()),
-            "doc_id_b": pa.array(b[first], pa.int64()),
-            "sim": pa.array(s[first], pa.float64()),
-        }
-    )
+    # clustering; a user-facing pair list should be unique and ordered
+    return _dedupe_sorted_pairs(out, val_col="sim")
 
 
 def _doc_shingle_sets(sf_dir: str, cfg: PipelineConfig):
@@ -210,7 +190,13 @@ def _doc_shingle_sets(sf_dir: str, cfg: PipelineConfig):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: float = 0.3):
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    threshold: float = 0.3,
+    broadcast_max_rows: int = 2_000_000,
+    num_partitions: int = 8,
+):
     """EXACT token-trigram-set Jaccard similarity self-join: ALL doc pairs
     with true Jaccard >= threshold, via prefix filtering (AllPairs/PPJoin,
     Bayardo et al. 2007 "Scaling up all pairs similarity search"; Xiao et
@@ -220,6 +206,15 @@ def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: f
     shingles are indexed (a groupby-bucket shuffle), and candidates are
     verified against the true sets.  Exact — unlike the MinHash-LSH path
     above — and SQL-expressible, so it carries a DuckDB oracle.
+
+    Verification auto-switches like the clips pipeline: corpora up to
+    ``broadcast_max_rows`` docs broadcast the flat+offsets shingle pack
+    once; beyond it the shingle sets are attached to the candidate pairs
+    by two partitioned hash joins (packed as binary through the join — the
+    ``stages/verify.verify_shuffle`` pattern), so nothing ever
+    materializes the whole corpus.  Both paths apply the identical PPJoin
+    length filter + exact-Jaccard gate (proven bit-identical in
+    ``test_ngram_join_verify_path_is_bit_identical``).
     """
     import ray.data as rd
 
@@ -227,6 +222,7 @@ def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: f
     from minhash_ray.stages.verify import _list_flat_offsets
 
     sets_ds = _doc_shingle_sets(sf_dir, cfg).materialize()
+    n_docs = sets_ds.count()
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -251,9 +247,17 @@ def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: f
     exact_cfg = cfg.with_(salt_hot_bands=False, band_group_cap=1_000_000_000)
     pairs = candidate_pairs(band_rows, exact_cfg, num_partitions=8).materialize()
 
+    if n_docs > broadcast_max_rows:
+        # scale path: attach the true shingle sets to the candidate pairs
+        # by two partitioned hash joins (sets ride as packed binary — the
+        # stages/verify.verify_shuffle pattern); same length filter + exact
+        # jaccard gate as the broadcast path below, nothing driver-resident
+        verified = _ngram_verify_join(
+            pairs, sets_ds, threshold, num_partitions=num_partitions
+        )
+        return _dedupe_sorted_pairs(verified)
+
     # verification against the true sets: broadcast flat+offsets pack
-    # (doc corpora; at extreme scale swap for the join-attach verifier as
-    # in stages/verify.verify_shuffle)
     import ray
 
     t = pa.concat_tables(
@@ -313,14 +317,26 @@ def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: f
     # partition), and the exact-set lexsort is superlinear in batch mass —
     # without re-batching the verify runs on ~8 giant tasks
     verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+    return _dedupe_sorted_pairs(verified)
 
-    # pair lists are metadata-scale: driver-side vectorized dedupe + sort
-    vt = pa.concat_tables(
-        list(verified.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
-    )
+
+def _dedupe_sorted_pairs(verified, val_col: str = "jaccard") -> pa.Table:
+    """Verified pair lists are metadata-scale (edges, not corpus): stream
+    to the driver, one vectorized lexsort + mask dedupes and orders them —
+    no repartition(1) single-block serialization, no pandas."""
+    batches = list(verified.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                val_col: pa.array([], pa.float64()),
+            }
+        )
+    vt = pa.concat_tables(batches)
     a = vt.column("doc_id_a").to_numpy()
     b = vt.column("doc_id_b").to_numpy()
-    j = vt.column("jaccard").to_numpy()
+    j = vt.column(val_col).to_numpy()
     o = np.lexsort((b, a))
     a, b, j = a[o], b[o], j[o]
     first = np.ones(len(a), dtype=bool)
@@ -330,9 +346,78 @@ def ngram_jaccard_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, threshold: f
         {
             "doc_id_a": pa.array(a[first], pa.int64()),
             "doc_id_b": pa.array(b[first], pa.int64()),
-            "jaccard": pa.array(j[first], pa.float64()),
+            val_col: pa.array(j[first], pa.float64()),
         }
     )
+
+
+def _ngram_verify_join(pairs, sets_ds, threshold: float, num_partitions: int = 8):
+    """Join-attach verifier for the exact n-gram join (the 10^12-doc path):
+    candidate pairs get each side's sorted-unique shingle set attached via
+    two partitioned ``Dataset.join``s (list<u64> packed as large_binary —
+    Acero rejects list payloads), then the SAME PPJoin length filter and
+    exact-Jaccard gate as the broadcast path run per batch."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.stages.verify import _pack_u64_column, _unpack_u64_column
+    from minhash_ray.util import clamp_partitions
+
+    def int_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id_a": pc.cast(batch.column("clip_id_a"), pa.int64()),
+                "doc_id_b": pc.cast(batch.column("clip_id_b"), pa.int64()),
+            }
+        )
+
+    ipairs = pairs.map_batches(int_pairs, batch_format="pyarrow")
+
+    def side(suffix: str):
+        def pack(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    f"sh_{suffix}": _pack_u64_column(batch.column("shingles")),
+                }
+            )
+
+        return sets_ds.map_batches(pack, batch_format="pyarrow")
+
+    np_parts = clamp_partitions(num_partitions)
+    with_a = ipairs.join(
+        side("a"), join_type="inner", on=("doc_id_a",), right_on=("doc_id",),
+        num_partitions=np_parts,
+    )
+    with_ab = with_a.join(
+        side("b"), join_type="inner", on=("doc_id_b",), right_on=("doc_id",),
+        num_partitions=np_parts,
+    )
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        from minhash_ray.functions.minhash import exact_jaccard_for_pairs
+
+        fa, oa = _unpack_u64_column(batch.column("sh_a"))
+        fb, ob = _unpack_u64_column(batch.column("sh_b"))
+        ca, cb = np.diff(oa), np.diff(ob)
+        # PPJoin length filter — identical to the broadcast path
+        plausible = np.flatnonzero(
+            np.minimum(ca, cb) >= threshold * np.maximum(ca, cb)
+        )
+        n = batch.num_rows
+        flat = np.concatenate([fa, fb])
+        offs = np.concatenate([oa, len(fa) + ob[1:]])
+        jacc = exact_jaccard_for_pairs(flat, offs, plausible, n + plausible)
+        keep = jacc >= threshold
+        sel = plausible[keep]
+        return pa.table(
+            {
+                "doc_id_a": pc.take(batch.column("doc_id_a"), pa.array(sel)),
+                "doc_id_b": pc.take(batch.column("doc_id_b"), pa.array(sel)),
+                "jaccard": pa.array(jacc[keep], pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(verify_join, batch_format="pyarrow", batch_size=8192)
 
 
 def doc_minhash_slots(sf_dir: str, cfg: PipelineConfig = DOC_CFG, n_perms: int = 8):
