@@ -46,6 +46,12 @@ class PipelineConfig:
     salt_hot_bands: bool = True          # detect over-cap buckets and salt their keys
                                          # (sub-bucket count derives from band_group_cap)
     hot_band_threshold: int = 1024       # bucket size above which salting kicks in
+    max_hot_buckets: int = 4_000_000     # cap on the driver-resident hot-bucket list;
+                                         # beyond it (pathological all-boilerplate
+                                         # corpora) candidate generation degrades to
+                                         # GLOBAL salting: every bucket is salted and
+                                         # connectivity is restored via a star over
+                                         # per-(bucket,salt) representatives
 
     # --- candidate channels ---
     use_simhash_channel: bool = True     # add SimHash chunk-LSH candidates

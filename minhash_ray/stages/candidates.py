@@ -54,14 +54,22 @@ def _hash_clip_ids(ids: pa.Array) -> np.ndarray:
 
 
 def find_hot_buckets(band_ds, threshold: int, driver_max_rows: int = 50_000_000,
-                     n_rows: int | None = None) -> dict[int, int]:
-    """bucket → row count for buckets above threshold.
+                     n_rows: int | None = None,
+                     max_hot_buckets: int = 4_000_000) -> dict[int, int] | None:
+    """bucket → row count for buckets above threshold, or ``None`` when the
+    hot list itself would not be metadata-scale (> ``max_hot_buckets`` —
+    e.g. a pathological everything-is-boilerplate corpus): the caller then
+    degrades to GLOBAL salting (every bucket salted, connectivity restored
+    by the representative pass) instead of holding an O(corpus) dict on
+    the driver.
 
     Metadata-scale reduction: below ``driver_max_rows`` the bucket column
     (8 B/row) streams to the driver and is counted with one vectorized
     ``np.unique`` (Ray's aggregate operators carry seconds of fixed
     overhead that dwarf the actual count at this size); beyond it, the
-    distributed groupby-count path takes over."""
+    distributed groupby-count path takes over — its hot output likewise
+    STREAMS to the driver (``iter_batches``, never ``take_all``) under the
+    same cap."""
     if n_rows is None:
         n_rows = band_ds.count()
     if n_rows <= driver_max_rows:
@@ -79,6 +87,8 @@ def find_hot_buckets(band_ds, threshold: int, driver_max_rows: int = 50_000_000,
         uniq, inv = np.unique(all_v, return_inverse=True)
         totals = np.bincount(inv, weights=all_c).astype(np.int64)
         hot_mask = totals > threshold
+        if int(hot_mask.sum()) > max_hot_buckets:
+            return None
         return {int(v): int(c) for v, c in zip(uniq[hot_mask], totals[hot_mask])}
 
     counts = band_ds.groupby("bucket").count()
@@ -87,10 +97,35 @@ def find_hot_buckets(band_ds, threshold: int, driver_max_rows: int = 50_000_000,
         lambda t: t.filter(pc.greater(t.column(cname), threshold)),
         batch_format="pyarrow",
     )
-    out = {}
-    for row in hot.take_all():
-        out[int(row["bucket"])] = int(row[cname])
+    out: dict[int, int] = {}
+    for batch in hot.iter_batches(batch_size=1_048_576, batch_format="pyarrow"):
+        if len(out) + batch.num_rows > max_hot_buckets:
+            return None
+        out.update(
+            zip(
+                batch.column("bucket").to_numpy().tolist(),
+                batch.column(cname).to_numpy().tolist(),
+            )
+        )
     return out
+
+
+def make_global_salt_fn(n_sub: int):
+    """Degrade-path salting (see ``find_hot_buckets`` returning None):
+    EVERY row is salted into ``n_sub`` sub-buckets by clip-id hash.  Cold
+    buckets lose their direct within-bucket pairs, but the representative
+    star pass restores connectivity per bucket — the standard salted-LSH
+    connectivity-for-blowup trade, applied globally."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        id_hash = _hash_clip_ids(ids)
+        salt = (id_hash % U64(max(n_sub, 1))).astype(np.int64) + 1
+        return batch.append_column("salt", pa.array(salt, pa.int64()))
+
+    return add_salt
 
 
 def make_salt_fn(hot_ref, cap: int):
@@ -245,14 +280,28 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
         min(num_partitions, max(2, n_band_rows // 500_000 + 1))
     )
 
+    global_salt = False
     hot = {}
     if cfg.salt_hot_bands:
         hot = find_hot_buckets(
-            band_ds, cfg.hot_band_threshold, driver_max_rows=cfg.driver_agg_max_rows
+            band_ds, cfg.hot_band_threshold, driver_max_rows=cfg.driver_agg_max_rows,
+            max_hot_buckets=cfg.max_hot_buckets,
         )
+        if hot is None:                     # hot list not metadata-scale
+            global_salt = True
+            hot = {}
     hot_ref = [ray.put(hot)] if hot else None
 
-    if hot:
+    if global_salt:
+        # degrade path: salt EVERYTHING (no per-bucket counts needed —
+        # n_sub bounds any group at ~cap rows since no bucket can exceed
+        # the total row count); connectivity restored by the star pass
+        n_sub = max(2, -(-n_band_rows // max(cfg.band_group_cap, 1)))
+        salted = band_ds.map_batches(
+            make_global_salt_fn(n_sub), batch_format="pyarrow"
+        ).materialize()
+        join_key = ("bucket", "salt")
+    elif hot:
         salted = band_ds.map_batches(
             make_salt_fn(hot_ref, cfg.band_group_cap), batch_format="pyarrow"
         ).materialize()
@@ -283,7 +332,38 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
         )
         pairs = _pairs_from_join(joined)
 
-    if hot:
+    if global_salt:
+        # fully-distributed star pass: min clip per (bucket, salt), then a
+        # star from each bucket's minimum representative — O(reps) edges
+        # (combinations would be quadratic in sub-buckets exactly when the
+        # degrade path triggers), connectivity preserved per bucket
+        reps = salted.groupby(["bucket", "salt"]).min("clip_id")
+        rep_col = [c for c in reps.schema().names if c.startswith("min")][0]
+        reps = reps.map_batches(
+            lambda t: pa.table(
+                {"bucket": t.column("bucket"), "clip_id": t.column(rep_col)}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        bucket_min = reps.groupby("bucket").min("clip_id")
+        bmin_col = [c for c in bucket_min.schema().names if c.startswith("min")][0]
+        star_joined = reps.join(
+            bucket_min,
+            join_type="inner",
+            on=("bucket",),
+            num_partitions=max(2, num_partitions // 8),
+        )
+
+        def star_pairs(batch: pa.Table) -> pa.Table:
+            mask = pc.less(batch.column(bmin_col), batch.column("clip_id"))
+            t = batch.filter(mask)
+            return pa.table(
+                {"clip_id_a": t.column(bmin_col), "clip_id_b": t.column("clip_id")},
+                schema=PAIRS_SCHEMA,
+            )
+
+        pairs = pairs.union(star_joined.map_batches(star_pairs, batch_format="pyarrow"))
+    elif hot:
         # representative pass: min clip per (bucket, salt) of hot buckets,
         # paired across salts → connectivity across salt sub-buckets
         hot_keys_arr = np.array(list(hot.keys()), dtype=np.int64)

@@ -43,3 +43,83 @@ def test_substring_join_attach_path_matches_broadcast(ray_session, sf_dir):
     assert len(bro) > 0
     assert list(bro.columns) == list(joined.columns)
     assert bro.equals(joined)
+
+
+def _boilerplate_clips(n: int = 96) -> pa.Table:
+    """Pathological corpus: every transcript identical (every band bucket
+    is hot), payloads distinct so only the text LSH channel links rows."""
+    rng = np.random.default_rng(7)
+    text = "the same boilerplate sentence repeated across the whole corpus forever"
+    payloads = [rng.integers(0, 255, size=400, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "clip_id": pa.array([f"c{i:05d}" for i in range(n)], pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sr_hz": pa.array([16000] * n, pa.int32()),
+            "dur_ms": pa.array([100] * n, pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * n, pa.string()),
+            "transcript": pa.array([text] * n, pa.string()),
+        }
+    )
+
+
+def _n_clusters(res) -> int:
+    t = pa.concat_tables(
+        list(res.assignments.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    return len(set(t.column("cluster_id").to_pylist()))
+
+
+def test_hot_buckets_distributed_path_streams(ray_session):
+    """driver_agg_max_rows=0 forces the distributed groupby-count hot path
+    (now streamed via iter_batches); an all-identical corpus must still
+    collapse to one cluster."""
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup
+
+    cfg = PipelineConfig(
+        signature_concurrency=2,
+        hot_band_threshold=8,
+        band_group_cap=16,
+        driver_agg_max_rows=0,
+        use_exact_channel=False,
+        use_audio_channel=False,
+    )
+    res = run_dedup(rd.from_arrow(_boilerplate_clips()), cfg, num_partitions=4)
+    assert _n_clusters(res) == 1
+
+
+def test_hot_bucket_cap_degrades_to_global_salting(ray_session):
+    """max_hot_buckets=0 forces the global-salting degrade path (the
+    escape hatch for corpora whose hot list is not metadata-scale); the
+    representative star must preserve connectivity."""
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup
+    from minhash_ray.stages.candidates import find_hot_buckets
+
+    cfg = PipelineConfig(
+        signature_concurrency=2,
+        hot_band_threshold=8,
+        band_group_cap=16,
+        max_hot_buckets=0,
+        use_exact_channel=False,
+        use_audio_channel=False,
+    )
+    res = run_dedup(rd.from_arrow(_boilerplate_clips()), cfg, num_partitions=4)
+    assert _n_clusters(res) == 1
+
+    # the cap itself: a hot corpus with max_hot_buckets=0 reports None
+    band = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array([1] * 50, pa.int64()),
+                "clip_id": pa.array([f"c{i}" for i in range(50)], pa.string()),
+            }
+        )
+    )
+    assert find_hot_buckets(band, threshold=8, max_hot_buckets=0) is None
+    assert find_hot_buckets(band, threshold=8, max_hot_buckets=0, driver_max_rows=0) is None
