@@ -123,3 +123,27 @@ def test_hot_bucket_cap_degrades_to_global_salting(ray_session):
     )
     assert find_hot_buckets(band, threshold=8, max_hot_buckets=0) is None
     assert find_hot_buckets(band, threshold=8, max_hot_buckets=0, driver_max_rows=0) is None
+
+
+def test_poly_rolling_digest_matches_serial_fold():
+    """The vectorized power-table digest must equal the serial per-byte
+    fold h = ((seed*M + b0)*M + b1)*M + ... for every row, including empty
+    rows and sliced columns."""
+    from minhash_ray.pipelines.dedup_text import (
+        _DIGEST_PARAMS,
+        _poly_rolling_digest,
+        _string_flat_offsets,
+    )
+
+    texts = ["", "a", "hello world", "hello worlc", "x" * 1000, "élève"]
+    for arr in (pa.array(texts, pa.string()), pa.array(texts, pa.string()).slice(1)):
+        got_texts = arr.to_pylist()
+        flat, offs = _string_flat_offsets(arr)
+        for seed, mult in _DIGEST_PARAMS:
+            got = _poly_rolling_digest(flat, offs, seed, mult)
+            for i, s in enumerate(got_texts):
+                h = np.uint64(seed)
+                for b in s.encode():
+                    h = h * np.uint64(mult) + np.uint64(b)
+                assert got[i] == h, (s, seed)
+        assert len(set(got.tolist())) == len(got_texts)
