@@ -26,6 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF0001 = "/root/testdata/sf0.001"
 
+# The driver runs oracle_sql() against the sf0.01 tables.  Two oracles
+# (embedding LSH, IVF top-k) embed DATA-DERIVED literals (hyperplane dim,
+# k-means centroids, probe cells) computed deterministically from this
+# directory with the same seeded numpy procedures the engine uses — an
+# independent SQL replay of bucketing/assignment/scoring, parameterized by
+# the same index constants.  Point GRAFT_ORACLE_SF_DIR elsewhere to
+# oracle-check another scale (tests set it to sf0.001).
+ORACLE_SF_DIR = lambda: os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")  # noqa: E731
+
 
 def _clips_ds(sf_dir: str):
     from minhash_ray.sources.clips import read_clips
@@ -241,12 +250,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,                            # SQL-checked
         "embedding_pairs_exact": ann.embedding_pairs_exact,  # SQL-checked
         # LSH scale path, loose threshold so the random test embeddings
-        # yield candidates (near-dup regime is covered in pytest)
+        # yield candidates (near-dup regime is covered in pytest).
+        # SQL-checked: the hyperplane matrix is embedded as literals and
+        # DuckDB replays sign-chunk buckets + cosine verification (ids
+        # only — float cos values are order-of-summation sensitive)
         "embedding_dup_pairs": lambda sf: ann.embedding_dup_pairs(
             sf, threshold=0.3, n_planes=16, n_chunks=8
-        ),                                                   # rows-only
-        # IVF coarse-quantizer ANN (rows-only: approximate by design; the
-        # full-probe == brute-force identity is asserted in pytest)
+        ).select_columns(["vec_id_a", "vec_id_b"]),
+        # IVF coarse-quantizer ANN — SQL-checked: the seeded k-means
+        # centroids + probe cells are embedded as literals, DuckDB replays
+        # cell assignment (argmax as ORDER BY ... LIMIT 1) and probed
+        # scoring end-to-end
         "ann_topk_ivf": ann.ann_topk_ivf,
         # --- relational engine surface (SQL-checked) ---
         "lineitem_agg": relational.lineitem_agg,
@@ -539,6 +553,117 @@ def _rolling_fp_sql(window: int = 16, seed: int = 42) -> str:
     )
 
 
+def _emb_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    return len(t.column("embedding")[0])
+
+
+def _embedding_lsh_sql(threshold: float = 0.3, n_planes: int = 16, n_chunks: int = 8,
+                       seed: int = 42) -> str:
+    """DuckDB replay of the hyperplane-LSH near-dup pipeline
+    (``embedding_dup_pairs``): the seeded random hyperplane matrix is
+    embedded as literals, sign bits fold into per-chunk bucket values
+    (explicit left-to-right sums — deterministic), candidates come from a
+    (chunk, value) self-join, and verification is exact float64 cosine >=
+    threshold — the whole LSH-for-vectors semantics adversarially checked
+    by an independent engine.  Output is the id pairs (cos values are
+    summation-order-sensitive across engines and are not part of the
+    oracle contract)."""
+    import numpy as np
+
+    dim = _emb_dim(ORACLE_SF_DIR())
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))   # same ctor as _HyperplaneBucketer
+    w = n_planes // n_chunks
+    d_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*{planes[i, p]!r}" for i in range(dim)
+        )
+        + f") AS d{p}"
+        for p in range(n_planes)
+    )
+    ch_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN d{c * w + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(w)
+        )
+        + f") AS ch{c}"
+        for c in range(n_chunks)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS c, ch{c} AS val FROM ch" for c in range(n_chunks)
+    )
+    return (
+        f"WITH d AS (SELECT vec_id, {d_exprs} FROM embeddings), "
+        f"ch AS (SELECT vec_id, {ch_exprs} FROM d), "
+        f"b AS ({unions}), "
+        "cands AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
+        "FROM b x JOIN b y ON x.c = y.c AND x.val = y.val AND x.vec_id < y.vec_id), "
+        "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings) "
+        "SELECT c.a AS vec_id_a, c.b AS vec_id_b FROM cands c "
+        "JOIN ev x ON x.vec_id = c.a JOIN ev y ON y.vec_id = c.b "
+        f"WHERE list_cosine_similarity(x.v, y.v) >= {threshold}"
+    )
+
+
+def _ivf_topk_sql(query_vec_id: int = 0, k: int = 10, n_centroids: int = 16,
+                  n_probe: int = 4, seed: int = 42, sample: int = 8192) -> str:
+    """DuckDB replay of the IVF probed top-k (``ann_topk_ivf``): the
+    seeded k-means centroids (ivf_centroids — shared pure-numpy code) and
+    the query's probe cells are embedded as literals; cell assignment is
+    argmax-over-centroid-dots (norms cancel, so raw dots suffice) replayed
+    as a correlated ORDER BY ... LIMIT 1, and scoring/ranking run only
+    over the probed cells exactly like the engine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.ann import ivf_centroids
+
+    sf_dir = ORACLE_SF_DIR()
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    col = t.column("embedding").combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(n, -1)
+    sub = mat[:sample]
+    norms = np.linalg.norm(sub, axis=1)
+    norms[norms == 0] = 1.0
+    cents = ivf_centroids(sub / norms[:, None], n_centroids, seed)
+    nc = len(cents)
+    ids = np.asarray(t.column("vec_id").to_numpy(), dtype=np.int64)
+    qrow = mat[int(np.flatnonzero(ids == query_vec_id)[0])]
+    qn = qrow / np.linalg.norm(qrow)
+    probe = np.sort(np.argsort(-(cents @ qn))[: min(n_probe, nc)])
+    probe_lits = ", ".join(str(int(c)) for c in probe)
+    d_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*{cents[c, i]!r}"
+            for i in range(cents.shape[1])
+        )
+        + f") AS d{c}"
+        for c in range(nc)
+    )
+    vals = ", ".join(f"({c}, d{c})" for c in range(nc))
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, {d_exprs} FROM embeddings), "
+        "cells AS (SELECT vec_id, embedding, "
+        f"(SELECT c FROM (VALUES {vals}) AS t(c, dd) ORDER BY dd DESC, c LIMIT 1) AS cell "
+        "FROM d), "
+        "ev AS (SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM cells), "
+        f"q AS (SELECT v FROM ev WHERE vec_id = {query_vec_id}) "
+        "SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+        "list_cosine_similarity(v, (SELECT v FROM q)) DESC, vec_id) AS BIGINT) AS rank "
+        f"FROM ev WHERE cell IN ({probe_lits}) AND vec_id <> {query_vec_id} "
+        f"ORDER BY rank LIMIT {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     n_tokens = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -594,6 +719,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"
         ),
+        "embedding_dup_pairs": _embedding_lsh_sql(),
+        "ann_topk_ivf": _ivf_topk_sql(),
         "ann_topk": (
             "SELECT vec_id, CAST(row_number() OVER ("
             "ORDER BY list_cosine_similarity(embedding, "

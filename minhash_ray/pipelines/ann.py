@@ -126,6 +126,28 @@ def embedding_pairs_exact(sf_dir: str, threshold: float = 0.35):
     )
 
 
+def ivf_centroids(
+    m: np.ndarray, n_centroids: int, seed: int, kmeans_iters: int = 8
+) -> np.ndarray:
+    """Seeded Lloyd k-means on unit rows ``m`` → unit centroids.  Pure
+    numpy and deterministic given (m, seed) — shared by the Ray index
+    build AND the DuckDB oracle (which embeds these centroids as SQL
+    literals to replay cell assignment independently)."""
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(m))
+    cents = m[rng.choice(len(m), size=n_centroids, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(m @ cents.T, axis=1)           # cosine on unit vectors
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return np.ascontiguousarray(cents)
+
+
 def build_ivf_index(
     sf_dir: str,
     n_centroids: int = 16,
@@ -154,19 +176,7 @@ def build_ivf_index(
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     m = m / norms[:, None]
-    rng = np.random.default_rng(seed)
-    n_centroids = min(n_centroids, len(m))
-    cents = m[rng.choice(len(m), size=n_centroids, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(m @ cents.T, axis=1)           # cosine on unit vectors
-        for c in range(n_centroids):
-            members = m[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cents[c] = v / n
-    cents = np.ascontiguousarray(cents)
+    cents = ivf_centroids(m, n_centroids, seed, kmeans_iters)
     cent_ref = [ray.put(cents)]
     dim = cents.shape[1]
 

@@ -42,14 +42,17 @@ SQL_QUERIES = [
     "events_by_type", "filtered_lineitem", "part_brand_stats",
     "ngram_jaccard_pairs", "rolling_fingerprints",
     "doc_minhash_slots", "simhash_fingerprints", "minhash_dup_pairs",
-    "lang_id",
+    "lang_id", "embedding_dup_pairs", "ann_topk_ivf",
 ]
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
-def test_query_matches_duckdb_oracle(ray_session, sf_dir, duck, name):
+def test_query_matches_duckdb_oracle(ray_session, sf_dir, duck, name, monkeypatch):
     import __ray_entry__ as E
 
+    # data-derived oracle literals (embedding LSH planes, IVF centroids)
+    # must come from the SAME tables the query runs over
+    monkeypatch.setenv("GRAFT_ORACLE_SF_DIR", sf_dir)
     rdf = _canon(_pdf(E.queries()[name](sf_dir)))
     odf = _canon(duck.execute(E.oracle_sql()[name]).fetchdf())
     assert list(rdf.columns) == list(odf.columns)
@@ -61,7 +64,6 @@ def test_rows_only_queries_have_stable_schema(ray_session, sf_dir):
     import __ray_entry__ as E
 
     expected_cols = {
-        "ann_topk_ivf": ["vec_id", "rank"],
         "doc_sample": ["doc_id", "n_chars_measured", "n_tokens"],
     }
     for name, cols in expected_cols.items():
