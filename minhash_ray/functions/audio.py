@@ -86,6 +86,51 @@ def energy_delta_fingerprint(waveform: np.ndarray, n_frames: int = 64) -> int:
     return int((bits << shifts).sum(dtype=np.uint64))
 
 
+def energy_delta_fingerprint_i16(w16: np.ndarray, n_frames: int = 64) -> int:
+    """Integer-domain :func:`energy_delta_fingerprint` over raw int16
+    samples — BIT-IDENTICAL output (both arithmetics are exact: frame
+    energies stay under 2^53 in the float path and under 2^63 here, and
+    the constant 1/32768² scale cancels in the comparisons) with half the
+    memory traffic: no float64 widening of the waveform."""
+    if len(w16) < n_frames + 1:
+        return 0
+    usable = len(w16) - (len(w16) % (n_frames + 1))
+    frames = w16[:usable].reshape(n_frames + 1, -1)
+    sq = np.multiply(frames, frames, dtype=np.int32)    # |s| <= 2^15 → fits
+    energy = sq.sum(axis=1, dtype=np.int64)
+    bits = (energy[:-1] > energy[1:]).astype(np.uint64)
+    shifts = np.arange(n_frames, dtype=np.uint64)
+    return int((bits << shifts).sum(dtype=np.uint64))
+
+
+_FNV32_PRIME = np.uint32(0x01000193)
+_P8 = np.uint8(167)                      # odd multiplier for the uint8 prefilter
+
+
+def _prefilter8(data: np.ndarray, w: int, seed: int) -> np.ndarray:
+    """uint8 rolling fold over all byte w-grams — the content-defined
+    SAMPLING signal.  The fold never widens: every pass reads and writes
+    1 byte per payload byte (the 32-bit full fold this replaces widened
+    the whole payload 4x, making the signature stage DRAM-bandwidth-bound
+    under a full actor pool — BASELINE.md scaling notes).  Only sampled
+    positions (~1/16) ever pay the 32-bit gram hash, via sparse gathers."""
+    x = data ^ np.uint8(seed & 0xFF)
+    h = x[: len(x) - w + 1].copy()
+    for j in range(1, w):
+        h = h * _P8 + x[j : len(x) - w + 1 + j]
+    return h
+
+
+def _gram32_at(data: np.ndarray, pos: np.ndarray, w: int, seed: int) -> np.ndarray:
+    """32-bit FNV-style gram hash at selected start positions only
+    (identical value to the former full-buffer fold at those positions)."""
+    s32 = np.uint32(seed & 0xFFFFFFFF)
+    h = data[pos].astype(np.uint32) ^ s32
+    for j in range(1, w):
+        h = h * _FNV32_PRIME + (data[pos + j].astype(np.uint32) ^ s32)
+    return h
+
+
 def byte_oph_signature(payload: bytes, k: int, w: int, seed: int) -> np.ndarray:
     """Byte-level audio MinHash signature via one-permutation hashing.
 
@@ -98,52 +143,28 @@ def byte_oph_signature(payload: bytes, k: int, w: int, seed: int) -> np.ndarray:
     payloads (exact copies, pad/trim variants); it is intentionally NOT
     robust to re-encoding or gain changes — those belong to the decoded
     feature channels.
+
+    Content-defined sampling (keep grams whose uint8 prefilter hash has 4
+    low zero bits, ~1/16) is shift-invariant — identical byte content
+    selects identical grams regardless of position (winnowing-style
+    selection, Schleimer et al. 2003, SIGMOD) — and keeps the hot loop at
+    ~1 byte of traffic per payload byte.
     """
     sig = np.full(k, np.uint64(2**64 - 1), dtype=np.uint64)
-    h32 = byte_ngram_hashes32(payload, w, seed)
-    if len(h32) == 0:
-        return sig
-    # content-defined sampling (keep grams whose 32-bit hash has 4 low
-    # zero bits, ~1/16): shift-invariant — identical byte content selects
-    # identical grams regardless of position — and cuts the sort bandwidth
-    # 16x.  Winnowing-style selection (Schleimer et al. 2003, SIGMOD).
-    sampled = h32[(h32 & np.uint32(0xF)) == 0]
-    if len(sampled):
-        h32 = sampled
-    grams = _finalize_gram64(h32, seed)
-    shift = U64(64 - int(k).bit_length() + 1)
-    bucket = (grams >> shift).astype(np.int64)
-    bucket = np.minimum(bucket, k - 1)
-    order = np.argsort(bucket, kind="stable")
-    b_sorted = bucket[order]
-    g_sorted = grams[order]
-    starts = np.flatnonzero(np.diff(b_sorted, prepend=-1))
-    mins = np.minimum.reduceat(g_sorted, starts)
-    sig[b_sorted[starts]] = mins
-    return sig
-
-
-_FNV32_PRIME = np.uint32(0x01000193)
-
-
-def byte_ngram_hashes32(payload: bytes, w: int, seed: int) -> np.ndarray:
-    """uint32 rolling-fold hashes of all byte w-grams.
-
-    The fold runs in uint32 deliberately: the full-buffer gram fold is the
-    single largest memory stream of the signature stage, and a uint64 fold
-    widens every payload byte 8x (the stage became DRAM-bandwidth-bound
-    under a full actor pool).  Sampled grams are finalized to 64 bits with
-    splitmix64 afterwards (:func:`_finalize_gram64`)."""
     data = np.frombuffer(payload, dtype=np.uint8)
     if len(data) < w:
-        return np.empty(0, dtype=np.uint32)
-    d32 = data.astype(np.uint32)
-    d32 ^= np.uint32(seed & 0xFFFFFFFF)
-    h = d32[: len(d32) - w + 1].copy()
-    for j in range(1, w):
-        h *= _FNV32_PRIME
-        h += d32[j : len(d32) - w + 1 + j]
-    return h
+        return sig
+    h8 = _prefilter8(data, w, seed)
+    pos = np.flatnonzero((h8 & np.uint8(0xF)) == 0)
+    if len(pos) == 0:                    # no sampled gram → fall back to all
+        pos = np.arange(len(h8), dtype=np.int64)
+    grams = _finalize_gram64(_gram32_at(data, pos, w, seed), seed)
+    shift = U64(64 - int(k).bit_length() + 1)
+    # g >> shift is at most 2^(bit_length(k)-1) - 1 <= k - 1, so the top
+    # bits ARE the bucket (no clamp needed) and a scatter-min fills slots
+    bucket = (grams >> shift).astype(np.int64)
+    np.minimum.at(sig, bucket, grams)
+    return sig
 
 
 def _finalize_gram64(h32: np.ndarray, seed: int) -> np.ndarray:
@@ -186,28 +207,43 @@ def byte_oph_signatures_batch(
     payloads: list[bytes], k: int, w: int, seed: int
 ) -> np.ndarray:
     """Batch form of :func:`byte_oph_signature` — bit-identical output,
-    one set of vector ops per BATCH instead of ~15 numpy calls per row:
-    payloads are concatenated, gram hashes computed over the whole buffer,
-    cross-row-boundary grams masked out, content-defined sampling applied
-    with the same per-row no-sample fallback, and all (row, slot) minima
-    found with ONE global argsort + reduceat over a combined key.
+    one set of vector ops per BATCH instead of ~10 numpy calls per row:
+    payloads are concatenated, the uint8 prefilter runs over the whole
+    buffer (~1 byte of traffic per payload byte — nothing is ever widened
+    full-length), cross-row-boundary grams are masked out, only sampled
+    positions (~1/16, same per-row no-sample fallback) pay the 32-bit gram
+    hash via sparse gathers, and all (row, slot) minima land with ONE
+    ``np.minimum.at`` scatter (no sort in the hot path).
 
     Returns (n_rows, k) uint64; rows shorter than w stay all-INFTY.
     """
     n = len(payloads)
+    if n == 0:
+        return np.full((0, k), U64(2**64 - 1), dtype=np.uint64)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    return byte_oph_signatures_flat(flat, offs, k, w, seed)
+
+
+def byte_oph_signatures_flat(
+    flat: np.ndarray, offs: np.ndarray, k: int, w: int, seed: int
+) -> np.ndarray:
+    """Core of :func:`byte_oph_signatures_batch` operating directly on a
+    varbinary column's (flat uint8 buffer, row offsets) — ZERO-COPY from
+    Arrow: the payload bytes are never materialized as python objects or
+    re-joined; chunking slices the flat buffer in place."""
+    n = len(offs) - 1
     INF = U64(2**64 - 1)
     out = np.full((n, k), INF, dtype=np.uint64)
     if n == 0:
         return out
-    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
-    seed32 = np.uint32(seed & 0xFFFFFFFF)
+    lens = np.diff(offs)
     shift = U64(64 - int(k).bit_length() + 1)
 
-    # chunk rows so the working set stays cache-resident: the gram fold is
-    # memory-bound, and streaming a whole batch's payloads (100s of MB
-    # widened) through RAM is slower than the same math over L2/L3-sized
-    # chunks.  The fold itself runs in uint32 (4x widen instead of 8x —
-    # see byte_ngram_hashes32); only sampled grams are finalized to 64 bit.
+    # chunk rows so the working set stays cache-resident: the prefilter is
+    # memory-bound, and streaming a whole batch's payloads through RAM is
+    # slower than the same math over L2/L3-sized chunks
     CHUNK_BYTES = 2_000_000
     r0 = 0
     while r0 < n:
@@ -221,25 +257,21 @@ def byte_oph_signatures_batch(
         if total < w:
             r0 = r1
             continue
-        d32 = np.frombuffer(b"".join(payloads[r0:r1]), dtype=np.uint8).astype(np.uint32)
-        d32 ^= seed32
-        h = d32[: total - w + 1].copy()
-        for j in range(1, w):
-            h *= _FNV32_PRIME
-            h += d32[j : total - w + 1 + j]
+        data = flat[offs[r0] : offs[r1]]               # zero-copy view
+        h8 = _prefilter8(data, w, seed)
         m = r1 - r0
         ends = np.cumsum(c_lens)
         g_counts = np.maximum(c_lens - (w - 1), 0)
         # a gram starting at position ends[r]-j (j in 1..w-1) crosses the
         # row boundary at ends[r] — mask exactly those, never gather the
         # full per-row index arrays
-        valid = np.ones(len(h), dtype=bool)
+        valid = np.ones(len(h8), dtype=bool)
         inv = (ends[:, None] - np.arange(1, w, dtype=np.int64)[None, :]).reshape(-1)
-        inv = inv[(inv >= 0) & (inv < len(h))]
+        inv = inv[(inv >= 0) & (inv < len(h8))]
         valid[inv] = False
-        # content-defined sampling straight on the masked hash vector;
-        # only sampled positions (~1/16) are ever materialized
-        samp_pos = np.flatnonzero(((h & np.uint32(0xF)) == 0) & valid)
+        # content-defined sampling straight on the prefilter vector; only
+        # sampled positions are ever widened/materialized
+        samp_pos = np.flatnonzero(((h8 & np.uint8(0xF)) == 0) & valid)
         row_ids = np.searchsorted(ends, samp_pos, side="right")
         # per-row all-grams fallback for rows with no sampled gram
         hits = np.bincount(row_ids, minlength=m)
@@ -253,15 +285,12 @@ def byte_oph_signatures_batch(
         if len(samp_pos) == 0:
             r0 = r1
             continue
-        grams = _finalize_gram64(h[samp_pos], seed)
-        bucket = np.minimum((grams >> shift).astype(np.int64), k - 1)
-        key = row_ids * np.int64(k) + bucket
-        order = np.argsort(key, kind="stable")
-        key_s = key[order]
-        g_s = grams[order]
-        starts = np.flatnonzero(np.diff(key_s, prepend=key_s[0] - 1))
-        mins = np.minimum.reduceat(g_s, starts)
-        out[r0:r1].reshape(-1)[key_s[starts]] = mins
+        grams = _finalize_gram64(_gram32_at(data, samp_pos, w, seed), seed)
+        # g >> shift <= k-1 always (top bits ARE the bucket, no clamp);
+        # numpy's ufunc.at scatter-min replaced the former argsort+reduceat
+        # (30x faster on this key distribution, measured)
+        key = row_ids * np.int64(k) + (grams >> shift).astype(np.int64)
+        np.minimum.at(out[r0:r1].reshape(-1), key, grams)
         r0 = r1
     return out
 

@@ -33,61 +33,18 @@ def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
-def _string_flat_offsets(col) -> tuple[np.ndarray, np.ndarray]:
-    """string column → (flat utf-8 bytes, per-row offsets int64), slice-safe."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
-    raw_off = np.frombuffer(col.buffers()[1], dtype=odt)[
-        col.offset : col.offset + len(col) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-    start, end = int(raw_off[0]), int(raw_off[-1])
-    return data[start:end], raw_off - start
-
-
-def _poly_rolling_digest(flat: np.ndarray, offs: np.ndarray, seed: int, mult: int) -> np.ndarray:
-    """Vectorized per-row polynomial hash mod 2^64:
-    ``h = ((seed·M + b0)·M + b1)·M + ...`` — the per-byte sequential fold
-    rewritten as ``seed·M^m + Σ b_i·M^(m-1-i)`` so one precomputed power
-    table + one ``np.add.reduceat`` hashes every row at DRAM speed (no
-    per-row python loop)."""
-    counts = np.diff(offs)
-    n = len(counts)
-    out = np.full(n, np.uint64(seed), dtype=np.uint64)
-    if n == 0:
-        return out
-    maxlen = int(counts.max())
-    pw = np.empty(maxlen + 1, dtype=np.uint64)
-    pw[0] = np.uint64(1)
-    if maxlen:
-        pw[1:] = np.cumprod(np.full(maxlen, np.uint64(mult), dtype=np.uint64))
-    out *= pw[counts]                                   # seed·M^m term
-    if len(flat):
-        pos = np.arange(len(flat), dtype=np.int64)
-        exp = np.repeat(offs[1:], counts) - 1 - pos
-        contrib = flat.astype(np.uint64) * pw[exp]
-        nz = counts > 0
-        sums = np.zeros(n, dtype=np.uint64)
-        sums[nz] = np.add.reduceat(contrib, offs[:-1][nz])
-        out += sums
-    return out
-
-
-# two independent 64-bit channels → a 128-bit digest: the shuffle key for
-# exact dedup (collision probability ~n²/2^129; the raw text stays a
-# payload column, never a shuffle KEY)
-_DIGEST_PARAMS = (
-    (0x517CC1B727220A95, 0x100000001B3),        # FNV-1a prime channel
-    (0x9E3779B97F4A7C15, 0xD6E8FEB86659FD93),   # golden-ratio / odd-mult channel
-)
+# shared vectorized digest machinery (minhash_ray/util.py) — also the
+# content-hash kernel of the signature stage
+from minhash_ray.util import DIGEST_PARAMS as _DIGEST_PARAMS
+from minhash_ray.util import string_flat_offsets as _string_flat_offsets
+from minhash_ray.util import wordpoly_digest_rows as _wordpoly_digest_rows
 
 
 def exact_dedup(sf_dir: str):
     """One row per distinct text: the minimum doc_id of its group.
 
     Exact dedup = hash-partitioned groupby + vectorized min aggregate,
-    keyed on a 128-bit text digest (two independent vectorized polynomial
+    keyed on a 128-bit text digest (two independent word-polynomial
     hashes) instead of the raw string — the shuffle hashes/compares 16-byte
     keys, not whole documents; the text itself rides as an aggregated
     payload (all group members are identical, so min(text) IS the text)."""
@@ -96,9 +53,11 @@ def exact_dedup(sf_dir: str):
     def add_digest(batch: pa.Table) -> pa.Table:
         flat, offs = _string_flat_offsets(batch.column("text"))
         cols = {"doc_id": batch.column("doc_id"), "text": batch.column("text")}
-        for i, (seed, mult) in enumerate(_DIGEST_PARAMS):
-            d = _poly_rolling_digest(flat, offs, seed, mult)
-            cols[f"dg{i}"] = pa.array(d.view(np.int64), pa.int64())
+        with np.errstate(over="ignore"):
+            for i, (seed, mult) in enumerate(_DIGEST_PARAMS):
+                M = np.uint64(mult)
+                d = np.uint64(seed) * M + _wordpoly_digest_rows(flat, offs, mult)
+                cols[f"dg{i}"] = pa.array(d.view(np.int64), pa.int64())
         return pa.table(cols)
 
     keyed = ds.map_batches(add_digest, batch_format="pyarrow")

@@ -58,52 +58,71 @@ class ValidateSignatureStage:
     """
 
     def __init__(self, cfg: PipelineConfig):
-        import hashlib
-
         self.cfg = cfg
         self.tables = HashTables.from_config(cfg)
         self.schema = full_signatures_schema(cfg.num_perm, cfg.audio_num_perm)
-        self._md5 = hashlib.md5
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from minhash_ray.functions.audio import (
-            UnsupportedCodecError,
-            byte_oph_signatures_batch,
-            decode_pcm,
-            energy_delta_fingerprint,
+            byte_oph_signatures_flat,
+            energy_delta_fingerprint_i16,
+        )
+        from minhash_ray.util import (
+            DIGEST_PARAMS,
+            binary_flat_offsets,
+            string_flat_offsets,
+            wordpoly_digest_rows,
         )
 
         cfg = self.cfg
         n = batch.num_rows
-        payloads = [p or b"" for p in batch.column("bytes").to_pylist()]
+        bcol = batch.column("bytes")
+        if isinstance(bcol, pa.ChunkedArray):
+            bcol = bcol.combine_chunks()
+        p_flat, p_offs = binary_flat_offsets(bcol)     # zero-copy payload view
         codecs = batch.column("codec").to_pylist()
         texts_col = batch.column("transcript")
         if isinstance(texts_col, pa.ChunkedArray):
             texts_col = texts_col.combine_chunks()
-        transcripts = texts_col.to_pylist()
 
-        # OPH byte sketches for the whole batch in one vectorized pass
-        audio_sig = byte_oph_signatures_batch(
-            payloads, cfg.audio_num_perm, cfg.audio_ngram, cfg.seed
+        # OPH byte sketches for the whole batch straight off the Arrow
+        # buffer — the payload is never copied into python objects
+        audio_sig = byte_oph_signatures_flat(
+            p_flat, p_offs, cfg.audio_num_perm, cfg.audio_ngram, cfg.seed
         )
+
+        # content hash: 128-bit word-polynomial digest of (transcript,
+        # payload) — two independent 64-bit channels (minhash_ray/util.py),
+        # each folding the length-tagged word digests of both parts:
+        # h = (seed·M + d_t)·M + d_p.  Replaces a per-row md5 that streamed
+        # every payload byte through a ~0.6 GB/s serial hash (~3.7x).
+        t_flat, t_offs = string_flat_offsets(texts_col)
+        chans = []
+        with np.errstate(over="ignore"):
+            for seed_c, mult in DIGEST_PARAMS:
+                dt = wordpoly_digest_rows(t_flat, t_offs, mult)
+                dp = wordpoly_digest_rows(p_flat, p_offs, mult)
+                M = np.uint64(mult)
+                chans.append((np.uint64(seed_c) * M + dt) * M + dp)
+        content_hash = [f"{a:016x}{b:016x}" for a, b in zip(chans[0], chans[1])]
+
         audio_fp = np.zeros(n, dtype=np.uint64)
         n_samples = np.zeros(n, dtype=np.int64)
         decode_ok = np.zeros(n, dtype=bool)
-        content_hash = [""] * n
+        i2 = np.dtype("<i2")
         for i in range(n):
-            payload = payloads[i]
-            h = self._md5()
-            h.update((transcripts[i] or "").encode("utf-8"))
-            h.update(b"\x00")
-            h.update(payload)
-            content_hash[i] = h.hexdigest()
-            try:
-                wave = decode_pcm(payload, codecs[i])
-                n_samples[i] = len(wave)
-                audio_fp[i] = energy_delta_fingerprint(wave, cfg.audio_fp_frames)
-                decode_ok[i] = True
-            except UnsupportedCodecError:
-                decode_ok[i] = False          # stub boundary: external codec
+            if codecs[i] != "pcm_s16le":
+                decode_ok[i] = False       # stub boundary: external codec
+                continue
+            o0, o1 = int(p_offs[i]), int(p_offs[i + 1])
+            usable = (o1 - o0) - ((o1 - o0) % 2)
+            seg = p_flat[o0 : o0 + usable]
+            if o0 % 2:                     # int16 view needs 2-byte alignment
+                seg = seg.copy()
+            w16 = seg.view(i2)
+            n_samples[i] = len(w16)
+            audio_fp[i] = energy_delta_fingerprint_i16(w16, cfg.audio_fp_frames)
+            decode_ok[i] = True
 
         shingles, counts = shingles_for_config(texts_col, cfg)
         # SimHash votes over the shingle MULTISET (oracle parity)...

@@ -125,25 +125,89 @@ def test_hot_bucket_cap_degrades_to_global_salting(ray_session):
     assert find_hot_buckets(band, threshold=8, max_hot_buckets=0, driver_max_rows=0) is None
 
 
-def test_poly_rolling_digest_matches_serial_fold():
-    """The vectorized power-table digest must equal the serial per-byte
-    fold h = ((seed*M + b0)*M + b1)*M + ... for every row, including empty
-    rows and sliced columns."""
+def test_wordpoly_digest_matches_serial_fold():
+    """The word-polynomial digest must equal the serial fold
+    h = (((w0·M + w1)·M + ...)·M + len) over zero-padded little-endian
+    8-byte words, for every row shape (empty, sub-word, word-aligned,
+    long) and for sliced columns (odd buffer offsets force the copy
+    path)."""
+    import struct
+
     from minhash_ray.pipelines.dedup_text import (
         _DIGEST_PARAMS,
-        _poly_rolling_digest,
         _string_flat_offsets,
+        _wordpoly_digest_rows,
     )
 
-    texts = ["", "a", "hello world", "hello worlc", "x" * 1000, "élève"]
+    def ref(raw: bytes, mult: int) -> int:
+        pad = raw + b"\x00" * ((-len(raw)) % 8)
+        h = 0
+        for (w,) in struct.iter_unpack("<Q", pad):
+            h = (h * mult + w) % 2**64
+        return (h * mult + len(raw)) % 2**64 if raw else 0
+
+    texts = ["", "a", "hello wo", "hello world", "hello worlc", "x" * 1000, "élève"]
     for arr in (pa.array(texts, pa.string()), pa.array(texts, pa.string()).slice(1)):
         got_texts = arr.to_pylist()
         flat, offs = _string_flat_offsets(arr)
-        for seed, mult in _DIGEST_PARAMS:
-            got = _poly_rolling_digest(flat, offs, seed, mult)
+        for _, mult in _DIGEST_PARAMS:
+            got = _wordpoly_digest_rows(flat, offs, mult)
             for i, s in enumerate(got_texts):
-                h = np.uint64(seed)
-                for b in s.encode():
-                    h = h * np.uint64(mult) + np.uint64(b)
-                assert got[i] == h, (s, seed)
+                assert got[i] == np.uint64(ref(s.encode(), mult)), (s, mult)
         assert len(set(got.tolist())) == len(got_texts)
+
+
+def test_energy_fp_i16_matches_float_path():
+    """The integer-domain energy fingerprint must be bit-identical to the
+    float64 path (both exact; the scale constant cancels in comparisons)."""
+    from minhash_ray.functions.audio import (
+        decode_pcm,
+        energy_delta_fingerprint,
+        energy_delta_fingerprint_i16,
+    )
+
+    rng = np.random.default_rng(11)
+    for size in (0, 64, 65, 130, 4097, 100_001):
+        payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        wave = decode_pcm(payload, "pcm_s16le")
+        w16 = np.frombuffer(payload[: size - size % 2], dtype="<i2")
+        assert energy_delta_fingerprint(wave, 64) == energy_delta_fingerprint_i16(w16, 64)
+
+
+def test_signature_stage_content_digest_separates_boundary():
+    """The transcript||\\x00||payload digest must distinguish boundary
+    shifts (t='a',p=b'b' vs t='ab',p=b'') and collide exactly on equal
+    content."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.stages.signature import ValidateSignatureStage
+
+    def mk(rows):
+        return pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "bytes": pa.array([r[2] for r in rows], pa.binary()),
+                "sr_hz": pa.array([16000] * len(rows), pa.int32()),
+                "dur_ms": pa.array([10] * len(rows), pa.int32()),
+                "codec": pa.array(["pcm_s16le"] * len(rows), pa.string()),
+                "transcript": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+
+    stage = ValidateSignatureStage(PipelineConfig())
+    out = stage(
+        mk(
+            [
+                ("a", "a", b"b"),
+                ("b", "ab", b""),
+                ("c", "a", b"b"),
+                ("d", "", b""),
+                ("e", "hello world three tokens", b"\x01\x02" * 50),
+                ("f", "hello world three tokens", b"\x01\x02" * 50),
+            ]
+        )
+    )
+    h = out.column("content_hash").to_pylist()
+    assert h[0] != h[1]          # boundary shift distinguished
+    assert h[0] == h[2]          # equal content collides
+    assert h[4] == h[5]
+    assert len(set(h)) == 4
