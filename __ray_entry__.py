@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": dedup_text.minhash_dup_pairs,
         # exact prefix-filtered similarity self-join — SQL-checked
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
+        # TIERED dedup: exact digest tier → LSH near tier over survivors →
+        # connected-components cluster tier → per-doc keep flag.  The
+        # clustering itself is SQL-checked (recursive reachability CTE)
+        "doc_dedup_tiered": dedup_text.doc_dedup_tiered,
         "rolling_fingerprints": dedup_text.rolling_fingerprints,   # SQL-checked
         # the CORE sketch algebra, oracle-checked: (doc_id, perm, slot)
         # minhash values replayed bit-for-bit by a DuckDB HUGEINT oracle
@@ -360,17 +364,18 @@ def _modmul64(x: str, k: int) -> str:
     )
 
 
-def _lsh_pairs_sql(seed: int = 42) -> str:
-    """DuckDB replay of the ENTIRE MinHash-LSH near-dup pipeline for the
-    ``minhash_dup_pairs`` query: the full 128-permutation sketch (same
-    chain as ``_minhash_slots_sql``), 32-band/4-row bucket keys including
-    the splitmix64 finalizer (emulated with 32-bit-half xor and
-    overflow-safe modular multiplies), the bucket self-join candidate
-    step, and the fraction-of-equal-slots estimator gate at
-    tau - verify_margin — the whole flagship semantics adversarially
-    verified by an independent engine.  Valid while no bucket exceeds
-    band_group_cap and no bucket is hot (true at test scale; the engine's
-    salting/cap paths are covered by dedicated pytest instead)."""
+def _lsh_sims_ctes(seed: int = 42, source: str = "documents") -> str:
+    """CTE chain (no ``WITH``, no final SELECT) replaying the MinHash-LSH
+    near-dup pipeline over ``source`` (any relation with doc_id + text):
+    the full 128-permutation sketch (same chain as ``_minhash_slots_sql``),
+    32-band/4-row bucket keys including the splitmix64 finalizer (emulated
+    with 32-bit-half xor and overflow-safe modular multiplies), the bucket
+    self-join candidate step, and per-candidate estimator similarity in
+    ``sims(da, db, sim)``.  Shared by ``_lsh_pairs_sql`` (source =
+    documents) and ``_tiered_dedup_sql`` (source = exact-tier survivors).
+    Valid while no bucket exceeds band_group_cap and no bucket is hot
+    (true at test scale; the engine's salting/cap paths are covered by
+    dedicated pytest instead)."""
     from minhash_ray.functions.hashing import (
         FNV_OFFSET,
         FNV_PRIME,
@@ -385,18 +390,17 @@ def _lsh_pairs_sql(seed: int = 42) -> str:
     ns = 0x9E3779B97F4A7C15
     k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     num_perm, bands, rows = DOC_CFG.num_perm, DOC_CFG.bands, DOC_CFG.rows_per_band
-    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
     a, b = make_pairwise_coefficients(seed, num_perm, m_mod)
     coeff_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
     fold = f"((({ns} + band) * {p} + sl[{rows}*band + 1]) % {m64})"
     for r in range(2, rows + 1):
         fold = f"(({fold}) * {p} + sl[{rows}*band + {r}]) % {m64}"
     return (
-        "WITH toks AS ("
+        "toks AS ("
         "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
         "         THEN CAST([] AS VARCHAR[])"
         "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
-        "  FROM documents"
+        f"  FROM {source}"
         "), thash AS ("
         "  SELECT doc_id, list_transform(t, s -> list_reduce("
         f"      list_prepend(CAST({init} AS HUGEINT),"
@@ -430,8 +434,62 @@ def _lsh_pairs_sql(seed: int = 42) -> str:
         "  JOIN slots sa ON sa.doc_id = c.da"
         "  JOIN slots sb ON sb.doc_id = c.db AND sb.perm = sa.perm"
         "  GROUP BY c.da, c.db"
-        ") "
+        ")"
+    )
+
+
+def _lsh_pairs_sql(seed: int = 42) -> str:
+    """DuckDB replay of the full MinHash-LSH near-dup pipeline over the
+    documents table (see ``_lsh_sims_ctes``) with the fraction-of-equal-
+    slots estimator gate at tau - verify_margin."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    return (
+        f"WITH {_lsh_sims_ctes(seed)} "
         f"SELECT da AS doc_id_a, db AS doc_id_b, sim FROM sims WHERE sim >= {threshold}"
+    )
+
+
+def _tiered_dedup_sql(seed: int = 42) -> str:
+    """DuckDB replay of the FULL tiered dedup chain for ``doc_dedup_tiered``
+    — the first round in which the clustering tier itself is oracle-checked:
+
+    1. exact tier: ``GROUP BY text`` → min doc_id representative (the Ray
+       side keys the shuffle on a 128-bit text digest; digest equality ==
+       text equality absent collisions, which ``exact_dedup_docs``'s own
+       hash-match already evidences at test scale);
+    2. near tier: the LSH sims chain (``_lsh_sims_ctes``) over the
+       exact-tier survivors only, gated at tau - verify_margin;
+    3. cluster tier: connected components over the verified pairs as a
+       recursive label-reachability CTE — each representative's cluster id
+       is min(doc_id) over every rep reachable through undirected dup
+       edges, exactly the scatter-min union-find / min-label-propagation
+       fixpoint of ``stages/cluster.assign_clusters``;
+    4. routing: every doc joins through its exact rep to its cluster root;
+       ``keep = 1`` iff the doc IS the root."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    return (
+        "WITH RECURSIVE "
+        "rep_map AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text), "
+        "reps AS (SELECT rep_id AS doc_id, text FROM rep_map), "
+        f"{_lsh_sims_ctes(seed, source='reps')}, "
+        f"pairs AS (SELECT da, db FROM sims WHERE sim >= {threshold}), "
+        "edges AS (SELECT da AS a, db AS b FROM pairs"
+        "          UNION ALL SELECT db AS a, da AS b FROM pairs), "
+        "walk(node, label) AS ("
+        "  SELECT rep_id, rep_id FROM rep_map"
+        "  UNION"
+        "  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node"
+        "), "
+        "comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node) "
+        "SELECT d.doc_id AS doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id, "
+        "CAST(CASE WHEN d.doc_id = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM documents d "
+        "JOIN rep_map rm ON rm.text = d.text "
+        "JOIN comp c ON c.node = rm.rep_id"
     )
 
 
@@ -682,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_slots": _minhash_slots_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),
+        "doc_dedup_tiered": _tiered_dedup_sql(),
         "lang_id": _lang_id_sql(),
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "

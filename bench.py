@@ -97,14 +97,6 @@ def run_bench() -> dict:
         edges=res.edges,
     )
 
-    # --- per-pipeline timings over the sf tables ---
-    def timed(fn):
-        t = time.time()
-        out = fn(SF_DIR)
-        if hasattr(out, "count"):
-            out.count()
-        return round(time.time() - t, 3)
-
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         out = {
             "metric": "clips_dedup_e2e",
@@ -123,6 +115,69 @@ def run_bench() -> dict:
         }
         ray.shutdown()
         return out
+
+    # --- per-pipeline timings FIRST (before the sweep blocks): round 2's
+    # per-query numbers drifted 10-40% because they ran after the sweeps in
+    # a long shared session (VERDICT r2 "measure the bench regressions in
+    # isolation"); each query now runs twice and reports best-of-2 with the
+    # raw runs alongside so run-to-run variance is visible in the record ---
+    def timed2(fn):
+        runs = []
+        for _ in range(2):
+            t = time.time()
+            out = fn(SF_DIR)
+            if hasattr(out, "count"):
+                out.count()
+            runs.append(round(time.time() - t, 3))
+        return min(runs), runs
+
+    queries: dict = {}
+    queries_runs: dict = {}
+    for name, fn in (
+        ("minhash_dup_pairs_docs", dedup_text.minhash_dup_pairs),
+        ("exact_dedup_docs", dedup_text.exact_dedup),
+        ("ngram_jaccard_pairs", dedup_text.ngram_jaccard_pairs),
+        ("doc_dedup_tiered", dedup_text.doc_dedup_tiered),
+        ("doc_minhash_slots", dedup_text.doc_minhash_slots),
+        ("token_counts", text.token_counts),
+        ("text_quality", text.text_quality),
+        ("ann_topk", ann.ann_topk),
+        ("ann_topk_ivf", ann.ann_topk_ivf),
+        ("embedding_pairs_exact", ann.embedding_pairs_exact),
+        ("lineitem_agg", relational.lineitem_agg),
+        ("orders_by_segment", relational.orders_by_segment),
+        ("events_by_type", relational.events_by_type),
+    ):
+        queries[name], queries_runs[name] = timed2(fn)
+
+    # --- input-rows sweep: the reference's ops-scaling protocol
+    # (run_test_ops.sh:10 — NUM_OPS ∈ {10^4..10^7} at max threads) scaled
+    # to the engine: same config, growing corpus, full pipeline each ---
+    rows_sweep: dict = {}
+    sweep_sizes = [
+        int(x) for x in os.environ.get(
+            "GRAFT_ROWS_SWEEP", "3000,30000,100000").split(",") if x
+    ]
+    if sweep_sizes:
+        big_dir = clips_dir_for(SF_DIR, n_rows=max(sweep_sizes))
+        big_path = os.path.join(big_dir, "clips.parquet")
+        with open(big_path, "rb") as f:
+            while f.read(1 << 24):
+                pass
+        for n in sweep_sizes:
+            rcfg = PipelineConfig()
+            tr = time.time()
+            rres = run_dedup(
+                read_clips(big_path).limit(n), rcfg,
+                num_partitions=max(8, NCPUS),
+            )
+            rn = rres.assignments.count()
+            dt = time.time() - tr
+            rows_sweep[str(n)] = {
+                "sec": round(dt, 3),
+                "clips": rn,
+                "clips_per_sec": round(rn / dt, 1),
+            }
 
     # --- num_perm sweep: the reference's sketch-size sweep protocol
     # (run_tests_prob_sketch_size.sh:10 — {64..2048}) scaled to the engine:
@@ -161,27 +216,14 @@ def run_bench() -> dict:
             "clips_per_sec": round(bn / (time.time() - tb), 1),
         }
 
-    queries = {
-        "minhash_dup_pairs_docs": timed(dedup_text.minhash_dup_pairs),
-        "exact_dedup_docs": timed(dedup_text.exact_dedup),
-        "ngram_jaccard_pairs": timed(dedup_text.ngram_jaccard_pairs),
-        "doc_minhash_slots": timed(dedup_text.doc_minhash_slots),
-        "token_counts": timed(text.token_counts),
-        "text_quality": timed(text.text_quality),
-        "ann_topk": timed(ann.ann_topk),
-        "ann_topk_ivf": timed(ann.ann_topk_ivf),
-        "embedding_pairs_exact": timed(ann.embedding_pairs_exact),
-        "lineitem_agg": timed(relational.lineitem_agg),
-        "orders_by_segment": timed(relational.orders_by_segment),
-        "events_by_type": timed(relational.events_by_type),
-    }
-
     out = {
         "metric": "clips_dedup_e2e",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
+        "queries_runs": queries_runs,
         "stages": stage_times,
+        "rows_sweep": rows_sweep,
         "sweep": sweep,
         "batch_sweep": batch_sweep,
         "sf": _sf_of(SF_DIR),

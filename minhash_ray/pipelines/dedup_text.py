@@ -40,6 +40,20 @@ from minhash_ray.util import string_flat_offsets as _string_flat_offsets
 from minhash_ray.util import wordpoly_digest_rows as _wordpoly_digest_rows
 
 
+def _add_text_digest(batch: pa.Table) -> pa.Table:
+    """Append the 128-bit text digest as two int64 key columns (dg0, dg1) —
+    the exact-identity shuffle key shared by exact_dedup and the tiered
+    pipeline (16-byte keys instead of whole documents in the shuffle)."""
+    flat, offs = _string_flat_offsets(batch.column("text"))
+    cols = {"doc_id": batch.column("doc_id"), "text": batch.column("text")}
+    with np.errstate(over="ignore"):
+        for i, (seed, mult) in enumerate(_DIGEST_PARAMS):
+            M = np.uint64(mult)
+            d = np.uint64(seed) * M + _wordpoly_digest_rows(flat, offs, mult)
+            cols[f"dg{i}"] = pa.array(d.view(np.int64), pa.int64())
+    return pa.table(cols)
+
+
 def exact_dedup(sf_dir: str):
     """One row per distinct text: the minimum doc_id of its group.
 
@@ -50,17 +64,7 @@ def exact_dedup(sf_dir: str):
     payload (all group members are identical, so min(text) IS the text)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def add_digest(batch: pa.Table) -> pa.Table:
-        flat, offs = _string_flat_offsets(batch.column("text"))
-        cols = {"doc_id": batch.column("doc_id"), "text": batch.column("text")}
-        with np.errstate(over="ignore"):
-            for i, (seed, mult) in enumerate(_DIGEST_PARAMS):
-                M = np.uint64(mult)
-                d = np.uint64(seed) * M + _wordpoly_digest_rows(flat, offs, mult)
-                cols[f"dg{i}"] = pa.array(d.view(np.int64), pa.int64())
-        return pa.table(cols)
-
-    keyed = ds.map_batches(add_digest, batch_format="pyarrow")
+    keyed = ds.map_batches(_add_text_digest, batch_format="pyarrow")
     agg = keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -97,9 +101,14 @@ class DocSignatureStage:
         )
 
 
-def doc_signatures(sf_dir: str, cfg: PipelineConfig = DOC_CFG):
-    """doc_id, signature(list<u64,k>), simhash, n_shingles."""
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+def doc_signatures(sf_dir: str, cfg: PipelineConfig = DOC_CFG, docs=None):
+    """doc_id, signature(list<u64,k>), simhash, n_shingles.
+
+    ``docs`` overrides the source dataset (any Dataset with doc_id + text —
+    e.g. the exact-tier survivors in :func:`doc_dedup_tiered`)."""
+    if docs is None:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
         DocSignatureStage,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
@@ -122,14 +131,17 @@ def simhash_fingerprints(sf_dir: str, cfg: PipelineConfig = DOC_CFG):
     return sigs.map_batches(project, batch_format="pyarrow")
 
 
-def minhash_dup_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8):
+def minhash_dup_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8,
+                      docs=None):
     """Near-duplicate pairs (doc_id_a < doc_id_b, sim >= tau-margin) via the
     full LSH pipeline: banding → salted bucket self-join → verified
-    estimator (reference query semantics, src/serial/minhash-serial.c:16-26)."""
+    estimator (reference query semantics, src/serial/minhash-serial.c:16-26).
+
+    ``docs`` overrides the source dataset (doc_id + text columns)."""
     from minhash_ray.stages.banding import make_minhash_band_fn
     from minhash_ray.stages.candidates import candidate_pairs
 
-    sigs = doc_signatures(sf_dir, cfg).materialize()
+    sigs = doc_signatures(sf_dir, cfg, docs=docs).materialize()
 
     def with_str_ids(batch: pa.Table) -> pa.Table:
         ids = [f"{d:012d}" for d in batch.column("doc_id").to_pylist()]
@@ -478,6 +490,122 @@ def doc_minhash_slots(sf_dir: str, cfg: PipelineConfig = DOC_CFG, n_perms: int =
         )
 
     return sigs.map_batches(explode, batch_format="pyarrow")
+
+
+def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8,
+                     docs=None):
+    """TIERED dedup — the production shape of a training-data dedup stage
+    (exact tier shrinks the corpus before the expensive near tier, cf.
+    RefinedWeb/CCNet-style pipelines):
+
+    1. **exact tier**: hash-partitioned groupby on the 128-bit text digest;
+       each group's min doc_id is its exact representative.  At 100 TB this
+       is the cheap pass that typically removes 30-50% of a web corpus
+       before any sketching happens.
+    2. **near tier**: the full MinHash-LSH pipeline (:func:`minhash_dup_pairs`
+       — sketch → banded buckets → verified estimator) over the exact
+       SURVIVORS only.
+    3. **cluster tier**: connected components over the near-dup pairs
+       (``stages/cluster.assign_clusters`` — driver scatter-min union-find
+       below ``driver_uf_max_edges``, distributed min-label propagation
+       beyond), canonical cluster id = min doc_id of the merged component.
+
+    Every doc (including exact duplicates) gets a row: ``(doc_id,
+    cluster_id, keep)`` where ``keep = 1`` iff the doc is its cluster's
+    canonical representative — filtering ``keep = 1`` yields the deduped
+    corpus.  Because exact reps are min-of-group and cluster roots are
+    min-of-component, ``cluster_id`` is the min doc_id over the union of
+    all exact groups in the component — a deterministic, order-independent
+    outcome (the same min-fold commutativity the reference's concurrent
+    sketches rely on, src/utils/utils.c:3-46).
+
+    Scale shape: one 16-byte-key groupby (tier 1), the LSH pipeline over
+    survivors (tier 2), and two partitioned hash joins to route every doc
+    through its exact rep to its cluster root (tier 3) — no stage holds
+    the corpus on the driver (the verified pair list is metadata-scale,
+    like every near-dup pipeline here).
+    """
+    import ray.data as rd
+
+    from minhash_ray.stages.cluster import assign_clusters
+    from minhash_ray.util import clamp_partitions
+
+    if docs is None:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+    keyed = docs.map_batches(_add_text_digest, batch_format="pyarrow").materialize()
+
+    # --- tier 1: exact groups ---
+    agg = keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
+
+    def rename_reps(batch: pa.Table) -> pa.Table:
+        dcol = [c for c in batch.column_names if "doc_id" in c][0]
+        tcol = [c for c in batch.column_names if "text" in c][0]
+        return pa.table(
+            {
+                "dg0": batch.column("dg0"),
+                "dg1": batch.column("dg1"),
+                "rep_id": batch.column(dcol),
+                "text": batch.column(tcol),
+            }
+        )
+
+    reps = agg.map_batches(rename_reps, batch_format="pyarrow").materialize()
+
+    # --- tier 2: near-dup pairs over the exact survivors only ---
+    reps_docs = reps.map_batches(
+        lambda b: pa.table({"doc_id": b.column("rep_id"), "text": b.column("text")}),
+        batch_format="pyarrow",
+    )
+    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=reps_docs)
+
+    # --- tier 3: connected components + per-doc routing ---
+    def pad12(col) -> pa.Array:
+        import pyarrow.compute as pc
+
+        out = pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+    pairs_ds = rd.from_arrow(
+        pa.table(
+            {
+                "clip_id_a": pad12(pairs.column("doc_id_a")),
+                "clip_id_b": pad12(pairs.column("doc_id_b")),
+            }
+        )
+    )
+    rep_ids = reps.map_batches(
+        lambda b: pa.table({"clip_id": pad12(b.column("rep_id"))}),
+        batch_format="pyarrow",
+    )
+    assign = assign_clusters(rep_ids, pairs_ds, cfg, num_partitions=num_partitions)
+
+    np_parts = clamp_partitions(num_partitions)
+    doc_rep = keyed.select_columns(["doc_id", "dg0", "dg1"]).join(
+        reps.select_columns(["dg0", "dg1", "rep_id"]),
+        join_type="inner",
+        on=("dg0", "dg1"),
+        num_partitions=np_parts,
+    )
+    with_key = doc_rep.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "rep_key": pad12(b.column("rep_id"))}
+        ),
+        batch_format="pyarrow",
+    )
+    routed = with_key.join(
+        assign, join_type="inner", on=("rep_key",), right_on=("clip_id",),
+        num_partitions=np_parts,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cluster = pc.cast(batch.column("cluster_id"), pa.int64())
+        doc = pc.cast(batch.column("doc_id"), pa.int64())
+        keep = pc.cast(pc.equal(doc, cluster), pa.int64())
+        return pa.table({"doc_id": doc, "cluster_id": cluster, "keep": keep})
+
+    return routed.map_batches(finalize, batch_format="pyarrow")
 
 
 def rolling_fingerprints(sf_dir: str, window: int = 16):

@@ -42,7 +42,7 @@ SQL_QUERIES = [
     "events_by_type", "filtered_lineitem", "part_brand_stats",
     "ngram_jaccard_pairs", "rolling_fingerprints",
     "doc_minhash_slots", "simhash_fingerprints", "minhash_dup_pairs",
-    "lang_id", "embedding_dup_pairs", "ann_topk_ivf",
+    "lang_id", "embedding_dup_pairs", "ann_topk_ivf", "doc_dedup_tiered",
 ]
 
 

@@ -211,3 +211,41 @@ def test_signature_stage_content_digest_separates_boundary():
     assert h[0] == h[2]          # equal content collides
     assert h[4] == h[5]
     assert len(set(h)) == 4
+
+
+def test_tiered_dedup_merges_exact_groups_through_near_edges(ray_session, tmp_path):
+    """Tier interplay: an exact duplicate of a near-dup member must route
+    through its exact representative to the near-merged cluster root, and
+    exactly one doc per final cluster carries keep=1 (the root itself)."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import doc_dedup_tiered
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "changed")          # 1/60 tokens differs
+    other = " ".join(f"other{i}" for i in range(60))
+    uniq = " ".join(f"lone{i}" for i in range(60))
+    texts = [
+        base,    # 0: root of the merged cluster
+        base,    # 1: exact dup of 0
+        near,    # 2: near dup of 0 (trigram Jaccard ~0.95 >> tau)
+        other,   # 3: root of second cluster
+        other,   # 4: exact dup of 3
+        uniq,    # 5: singleton
+    ]
+    d = tmp_path / "tiered"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+
+    out = (
+        doc_dedup_tiered(str(d), num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [0, 1, 2, 3, 4, 5]
+    assert out.cluster_id.tolist() == [0, 0, 0, 3, 3, 5]
+    assert out.keep.tolist() == [1, 0, 0, 1, 0, 1]
