@@ -203,7 +203,7 @@ def run_bench() -> dict:
     # staleness vs contention; here batch_size trades per-batch overhead
     # vs pipelining granularity in the signature actor pool) ---
     batch_sweep: dict = {}
-    for bsz in (256, 1024, 4096):
+    for bsz in (0, 256, 1024, 4096):     # 0 = block granularity (read-fused)
         bcfg = PipelineConfig(batch_size=bsz)
         tb = time.time()
         bres = run_dedup(

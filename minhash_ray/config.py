@@ -100,7 +100,11 @@ class PipelineConfig:
                                          # row emits audio band rows at all
 
     # --- execution ---
-    batch_size: int = 1024               # rows per signature batch
+    batch_size: int = 0                  # rows per signature batch; 0 = block
+                                         # granularity (batch_size=None), which
+                                         # lets Ray Data FUSE the stage with the
+                                         # upstream read — payload blocks never
+                                         # cross the object store
     signature_concurrency: int = 0       # actor-pool size for the fused
                                          # validate+signature stage; 0 = auto
                                          # (cluster CPUs - 2: it is the heaviest

@@ -3,7 +3,7 @@
 Stage graph (SURVEY.md §3.4) — every arrow is streaming, every stage an
 Arrow batch transform; checkpoints are optional and per-stage:
 
-    read clips ──V validate/project──S signatures (actor pool)
+    read clips ──V validate/project──S signatures (fused task pool)
         S ──B banding flat-map──G salted bucket self-join──pairs
         pairs ──P verify (broadcast | shuffle join)──edges
         edges ∪ exact-channel edges ──C components──assignments
@@ -86,29 +86,39 @@ def run_dedup(
         ckpt.clear_stale_temps()
 
     # --- stage V+S fused: validate / fingerprint / sketch in one pass over
-    # the payload column (actor pool holding the coefficient tables); the
-    # audio payload is dropped at this boundary ---
+    # the payload column (task pool fused with the read by default, actor
+    # pool on opt-in — see stages/signature.py); the audio payload is
+    # dropped at this boundary ---
     from minhash_ray.stages.signature import ValidateSignatureStage
 
     if ckpt and resume and ckpt.is_complete("signatures"):
         signatures = ckpt.load("signatures")
     else:
-        from minhash_ray.util import cluster_cpus
+        if cfg.signature_concurrency:
+            # explicit actor-pool opt-in (the template for stages whose
+            # state is too heavy to rebuild per worker — a model, an index)
+            signatures = clips.map_batches(
+                ValidateSignatureStage,
+                fn_constructor_kwargs={"cfg": cfg},
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size or None,
+                concurrency=cfg.signature_concurrency,
+            )
+        else:
+            # default: task-pool form — Ray Data fuses it with the read,
+            # so payload blocks never cross the object store and no CPUs
+            # sit pinned in an idle actor pool while the scan catches up
+            # (a 14-actor pool at 16 CPUs left 2 CPUs for ALL read tasks:
+            # 129 s for the 10.9 GB / 100k-clip corpus vs ~25 s fused).
+            # Worker processes cache the stage state across tasks
+            # (stages/signature.py:make_signature_fn).
+            from minhash_ray.stages.signature import make_signature_fn
 
-        # leave headroom for read tasks: a pool taking EVERY cpu deadlocks
-        # a tiny cluster (observed at num_cpus=2: the 2-actor pool starved
-        # the parquet read forever)
-        cpus = cluster_cpus()
-        concurrency = cfg.signature_concurrency or (
-            max(2, cpus - 2) if cpus >= 4 else 1
-        )
-        signatures = clips.map_batches(
-            ValidateSignatureStage,
-            fn_constructor_kwargs={"cfg": cfg},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=concurrency,
-        )
+            signatures = clips.map_batches(
+                make_signature_fn(cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size or None,
+            )
         if ckpt:
             from minhash_ray.stages.signature import full_signatures_schema
 
@@ -249,7 +259,7 @@ def append_clips(
 
     from minhash_ray.stages.signature import ValidateSignatureStage, full_signatures_schema
     from minhash_ray.stages.verify import EDGES_SCHEMA
-    from minhash_ray.util import bytes_key_array, cluster_cpus
+    from minhash_ray.util import bytes_key_array
 
     cfg = cfg or PipelineConfig()
     if not ckpt_root:
@@ -263,16 +273,24 @@ def append_clips(
     if isinstance(new_clips, str):
         new_clips = read_clips(new_clips)
 
-    # --- sketch ONLY the new partition ---
-    cpus = cluster_cpus()
-    concurrency = cfg.signature_concurrency or (max(2, cpus - 2) if cpus >= 4 else 1)
-    new_sigs = new_clips.map_batches(
-        ValidateSignatureStage,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=concurrency,
-    ).materialize()
+    # --- sketch ONLY the new partition (same task-pool/actor-pool split
+    # as run_dedup's stage S) ---
+    if cfg.signature_concurrency:
+        new_sigs = new_clips.map_batches(
+            ValidateSignatureStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size or None,
+            concurrency=cfg.signature_concurrency,
+        ).materialize()
+    else:
+        from minhash_ray.stages.signature import make_signature_fn
+
+        new_sigs = new_clips.map_batches(
+            make_signature_fn(cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size or None,
+        ).materialize()
 
     # new-side metadata (the new partition is the small side by design)
     new_ids: list[str] = []

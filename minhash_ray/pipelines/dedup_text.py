@@ -112,7 +112,7 @@ def doc_signatures(sf_dir: str, cfg: PipelineConfig = DOC_CFG, docs=None):
         DocSignatureStage,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size or None,
         concurrency=2,
     )
 

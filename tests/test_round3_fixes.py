@@ -249,3 +249,71 @@ def test_tiered_dedup_merges_exact_groups_through_near_edges(ray_session, tmp_pa
     assert out.doc_id.tolist() == [0, 1, 2, 3, 4, 5]
     assert out.cluster_id.tolist() == [0, 0, 0, 3, 3, 5]
     assert out.keep.tolist() == [1, 0, 0, 1, 0, 1]
+
+
+def test_signature_task_form_matches_actor_form(ray_session, small_fixture):
+    """make_signature_fn (task-pool, per-worker cached state) must be
+    bit-identical to ValidateSignatureStage as an actor pool — same kernel,
+    two execution forms."""
+    import os
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.sources.clips import read_clips
+    from minhash_ray.stages.signature import ValidateSignatureStage, make_signature_fn
+
+    path = os.path.join(str(small_fixture), "clips.parquet")
+    cfg = PipelineConfig()
+    task_df = (
+        read_clips(path)
+        .map_batches(make_signature_fn(cfg), batch_format="pyarrow")
+        .drop_columns(["shingles"])
+        .to_pandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    actor_df = (
+        read_clips(path)
+        .map_batches(
+            ValidateSignatureStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .drop_columns(["shingles"])
+        .to_pandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert task_df.columns.tolist() == actor_df.columns.tolist()
+    for c in task_df.columns:
+        a, b = task_df[c], actor_df[c]
+        if a.dtype == object:
+            assert all(
+                (x == y) if not hasattr(x, "__len__") or isinstance(x, str)
+                else (np.asarray(x) == np.asarray(y)).all()
+                for x, y in zip(a, b)
+            ), c
+        else:
+            assert (a == b).all(), c
+
+
+def test_rowgroup_reader_equals_plain_read(ray_session, small_fixture, tmp_path):
+    """The row-group-parallel Datasource must return exactly the rows of a
+    direct pyarrow read (same order: one read task per row group, in file
+    order)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from minhash_ray.sources.clips import read_clips
+
+    direct = pq.read_table(os.path.join(str(small_fixture), "clips.parquet"))
+    path = str(tmp_path / "clips_rg.parquet")
+    pq.write_table(direct, path, row_group_size=100)
+    assert pq.read_metadata(path).num_row_groups >= 4   # the parallel path
+    got = pa.concat_tables(
+        b for b in read_clips(path).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ).combine_chunks()
+    assert got.cast(direct.schema).equals(direct)
