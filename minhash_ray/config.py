@@ -115,9 +115,13 @@ class PipelineConfig:
                                                  # aggregation for metadata-scale reductions
                                                  # (bucket counts, exact-dup reps); beyond it
                                                  # the distributed groupby paths take over
-    pair_dedupe: str = "local"                   # "local": per-batch dedupe, duplicate edges
-                                                 # tolerated by union-find; "global": full
-                                                 # shuffle dedupe (the 10^12 path)
+    pair_dedupe: str = "auto"                    # "auto": global distinct via raw-task hash
+                                                 # partition below driver_agg_max_rows, Dataset
+                                                 # groupby above (one dup pair hits MANY bands →
+                                                 # ~6x duplicate verify+UF work without this);
+                                                 # "global": force the groupby path; "local":
+                                                 # per-batch dedupe only, duplicate edges
+                                                 # tolerated by union-find
     candidate_backend: str = "auto"              # "local": raw-task hash-partition reducers
                                                  # (fast below driver_agg_max_rows band rows,
                                                  # explicit star+chain caps); "join":

@@ -424,12 +424,122 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
             )
             pairs = pairs.union(_pairs_from_join(rep_joined))
 
-    if cfg.pair_dedupe == "global":
-        # full shuffle dedupe — the 10^12 path where cross-batch duplicate
-        # verification would dominate
-        uniq = pairs.groupby(["clip_id_a", "clip_id_b"]).count()
+    if cfg.pair_dedupe == "local":
+        # batches were deduped inside _pairs_from_join / the reducers;
+        # remaining cross-batch duplicates cost duplicate (vectorized)
+        # verification and produce duplicate edges, which union-find absorbs
+        return pairs
+    # global distinct (default "auto"): reducer-local dedupe is keyed by the
+    # BUCKET hash, so one true near-dup pair colliding in many of the
+    # 32 text + simhash-chunk + 16 audio bands re-emerges once per band
+    # partition — measured ~6x duplication on a dup-dense corpus (5.7M
+    # emitted vs ~1M unique), and every duplicate is re-verified (exact
+    # Jaccard) and re-folded by union-find downstream.  One slim shuffle of
+    # the (a, b) id table here removes that entire multiplier.
+    return dedupe_pairs(
+        pairs,
+        driver_max_rows=cfg.driver_agg_max_rows,
+        num_partitions=num_partitions,
+        force_groupby=(cfg.pair_dedupe == "global"),
+    )
+
+
+def _hash_fixed_bytes(ka: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over a numpy fixed-width ``'S'`` bytes array —
+    column-at-a-time over the (short, fixed) id width, never a Python loop
+    over rows."""
+    if ka.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    width = ka.dtype.itemsize
+    m = ka.view(np.uint8).reshape(len(ka), width)
+    h = np.full(len(ka), U64(FNV_OFFSET))
+    P = U64(FNV_PRIME)
+    for j in range(width):
+        h = (h ^ m[:, j].astype(np.uint64)) * P
+    return h
+
+
+def _pair_pkey(batch: pa.Table) -> pa.Table:
+    """Append an int64 ``pkey`` hash of the (a, b) pair for hash
+    partitioning (computed in parallel inside the dedupe's map pass)."""
+    from minhash_ray.util import bytes_key_array
+
+    ha = _hash_fixed_bytes(bytes_key_array(batch.column("clip_id_a")))
+    hb = _hash_fixed_bytes(bytes_key_array(batch.column("clip_id_b")))
+    pkey = splitmix64(ha * U64(FNV_PRIME) + hb).view(np.int64)
+    return batch.append_column("pkey", pa.array(pkey))
+
+
+def dedupe_pairs(pairs_ds, driver_max_rows: int, num_partitions: int,
+                 force_groupby: bool = False):
+    """Globally distinct candidate pairs.
+
+    Below ``driver_max_rows`` the shuffle is raw reducer tasks over the
+    materialized slim pair blocks (same rationale as
+    ``_pairs_local_shuffle``: ``Dataset.groupby`` spins up per-partition
+    aggregator actors whose ~10 s fixed startup dwarfs the actual distinct
+    at metadata scale); each reducer zero-copy-filters its hash partition
+    of the precomputed ``pkey`` and takes Arrow-native unique key rows.
+    Above it (or with ``pair_dedupe="global"`` forced), the Dataset-native
+    groupby distinct takes over — a true at-scale all-to-all."""
+    import ray
+    import ray.data as rd
+
+    from minhash_ray.util import cluster_cpus
+
+    keyed = pairs_ds.map_batches(_pair_pkey, batch_format="pyarrow").materialize()
+    n = keyed.count()
+    if force_groupby or n > driver_max_rows:
+        uniq = keyed.groupby(["clip_id_a", "clip_id_b"]).count()
         return uniq.select_columns(["clip_id_a", "clip_id_b"])
-    # "local": batches were deduped inside _pairs_from_join; remaining
-    # cross-batch duplicates cost duplicate (vectorized) verification and
-    # produce duplicate edges, which union-find absorbs
-    return pairs
+    if n == 0:
+        return keyed.select_columns(["clip_id_a", "clip_id_b"])
+
+    n_parts = max(2, min(num_partitions, cluster_cpus(), n // 50_000 + 1))
+    refs = keyed.to_arrow_refs()
+
+    @ray.remote
+    def uniq_partition(part: int, n_parts: int, *blocks: pa.Table) -> pa.Table:
+        tables = []
+        for b in blocks:
+            if not b.num_rows:
+                continue
+            pk = b.column("pkey").to_numpy()
+            mine = (pk % n_parts + n_parts) % n_parts == part
+            if mine.any():
+                tables.append(b.filter(pa.array(mine)))
+        if not tables:
+            return pa.table(
+                {"clip_id_a": pa.array([], pa.string()),
+                 "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
+        t = pa.concat_tables(tables).select(["clip_id_a", "clip_id_b"])
+        return t.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
+
+    tasks = [uniq_partition.remote(p, n_parts, *refs) for p in range(n_parts)]
+    return _from_arrow_refs_nonempty(tasks)
+
+
+def _from_arrow_refs_nonempty(refs):
+    """``from_arrow_refs`` minus empty blocks: Ray's hash-shuffle join hands
+    acero an empty-SCHEMA block for an empty partition, which fails with
+    ``No match or multiple matches for key field reference`` when the
+    dataset is later used as a join side.  Row counts are read via tiny
+    remote probes (the tables stay in plasma; nothing is pulled to the
+    driver).  One empty block is kept when ALL are empty so the dataset
+    still carries the schema."""
+    import ray
+    import ray.data as rd
+
+    global _block_num_rows
+    if _block_num_rows is None:
+        @ray.remote(num_cpus=0)
+        def _nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        _block_num_rows = _nrows
+    nrows = ray.get([_block_num_rows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, nrows) if n]
+    return rd.from_arrow_refs(keep if keep else refs[:1])
+
+
+_block_num_rows = None

@@ -317,3 +317,47 @@ def test_rowgroup_reader_equals_plain_read(ray_session, small_fixture, tmp_path)
         )
     ).combine_chunks()
     assert got.cast(direct.schema).equals(direct)
+
+
+def test_candidate_pairs_globally_unique(ray_session):
+    """A pair colliding in MANY buckets (the normal case for a true
+    near-dup: every band matches) must come out of candidate_pairs exactly
+    once — reducer-local dedupe is keyed by the bucket hash, so without the
+    global distinct the pair re-emerges once per band partition."""
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.stages.candidates import candidate_pairs
+
+    # 6 clips in 2 triples; each triple shares 40 distinct buckets (spread
+    # across partitions by value), plus a singleton bucket per clip
+    rows_b, rows_c = [], []
+    for g, ids in enumerate((["a", "b", "c"], ["x", "y", "z"])):
+        for k in range(40):
+            for cid in ids:
+                rows_b.append(g * 1_000_003 + k * 7919)
+                rows_c.append(cid)
+    band_ds = rd.from_arrow(
+        pa.table({"bucket": pa.array(rows_b, pa.int64()),
+                  "clip_id": pa.array(rows_c, pa.string())})
+    )
+    cfg = PipelineConfig()
+    got = (
+        candidate_pairs(band_ds, cfg, num_partitions=4)
+        .to_pandas()
+        .sort_values(["clip_id_a", "clip_id_b"])
+        .reset_index(drop=True)
+    )
+    expect = sorted(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("x", "y"), ("x", "z"), ("y", "z")]
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == expect
+
+    # forced groupby path agrees
+    got_g = (
+        candidate_pairs(band_ds, cfg.with_(pair_dedupe="global"), num_partitions=4)
+        .to_pandas()
+        .sort_values(["clip_id_a", "clip_id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got_g.itertuples(index=False))) == expect
