@@ -273,8 +273,13 @@ def byte_oph_signatures_flat(
         inv = inv[(inv >= 0) & (inv < len(h8))]
         valid[inv] = False
         # content-defined sampling straight on the prefilter vector; only
-        # sampled positions are ever widened/materialized
-        samp_pos = np.flatnonzero(((h8 & np.uint8(0xF)) == 0) & valid)
+        # sampled positions are ever widened/materialized (in-place mask
+        # ops: h8 is dead after this, so clobber it instead of allocating
+        # two temporaries per chunk)
+        np.bitwise_and(h8, np.uint8(0xF), out=h8)
+        mask = h8 == 0
+        mask &= valid
+        samp_pos = np.flatnonzero(mask)
         row_ids = np.searchsorted(ends, samp_pos, side="right")
         # per-row all-grams fallback for rows with no sampled gram
         hits = np.bincount(row_ids, minlength=m)

@@ -443,7 +443,10 @@ def embedding_dup_pairs(
         side("a"), join_type="inner", on=("vec_id_a",), right_on=("vec_id",),
         num_partitions=clamp_partitions(num_partitions),
     )
-    with_ab = with_a.join(
+    from minhash_ray.util import strip_empty_blocks
+
+    # mandatory barrier between chained joins (util.strip_empty_blocks doc)
+    with_ab = strip_empty_blocks(with_a).join(
         side("b"), join_type="inner", on=("vec_id_b",), right_on=("vec_id",),
         num_partitions=clamp_partitions(num_partitions),
     )

@@ -424,7 +424,10 @@ def _ngram_verify_join(pairs, sets_ds, threshold: float, num_partitions: int = 8
         side("a"), join_type="inner", on=("doc_id_a",), right_on=("doc_id",),
         num_partitions=np_parts,
     )
-    with_ab = with_a.join(
+    from minhash_ray.util import strip_empty_blocks
+
+    # mandatory barrier between chained joins (util.strip_empty_blocks doc)
+    with_ab = strip_empty_blocks(with_a).join(
         side("b"), join_type="inner", on=("doc_id_b",), right_on=("doc_id",),
         num_partitions=np_parts,
     )

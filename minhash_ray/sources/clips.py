@@ -66,7 +66,20 @@ def read_clips(path: str, columns: list[str] | None = None, **read_kwargs):
         # stage.  Row-group granularity bounds the effective parallelism.
         from minhash_ray.util import cluster_cpus
 
-        read_kwargs["override_num_blocks"] = max(32, 2 * cluster_cpus())
+        n_blocks = max(32, 2 * cluster_cpus())
+        if os.path.isfile(path):
+            # never ask for more blocks than rows: Ray pads the shortfall
+            # with EMPTY blocks, and an empty block that shuffles first
+            # breaks a downstream join's schema broadcast
+            # (util.strip_empty_blocks doc); footer metadata is KBs
+            import pyarrow.parquet as pq
+
+            try:
+                n_rows = pq.read_metadata(path).num_rows
+                n_blocks = max(1, min(n_blocks, n_rows // 32 + 1))
+            except Exception:
+                pass
+        read_kwargs["override_num_blocks"] = n_blocks
     return rd.read_parquet(path, columns=columns, **read_kwargs)
 
 

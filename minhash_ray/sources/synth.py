@@ -32,7 +32,7 @@ def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
     if n_rows is None:
         n_rows = DEFAULT_ROWS.get(sf_name, 1000)
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n_rows}|{seed}|{dur_range}|v2".encode()
+        f"{os.path.abspath(sf_dir)}|{n_rows}|{seed}|{dur_range}|v3".encode()
     ).hexdigest()[:16]
     out_dir = os.path.join(CACHE_ROOT, key)
     marker = os.path.join(out_dir, "_COMPLETE")
@@ -54,8 +54,17 @@ def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
     clips, truth = generate_clips(n_rows, seed=seed, base_texts=base_texts, dur_range=dur_range)
     tmp = out_dir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    # small row groups → parallel read blocks
-    pq.write_table(clips, os.path.join(tmp, "clips.parquet"), row_group_size=1024)
+    # small row groups → parallel read blocks; the audio payload is
+    # incompressible (synthetic waveforms ≈ ratio 1.00) so snappy on the
+    # `bytes` column is a pure decode tax on every scan (~30% of the fused
+    # read+signature cost, measured) — store it raw, keep text columns
+    # compressed (a dict `compression=` leaves UNLISTED columns
+    # uncompressed, so every column is listed explicitly)
+    pq.write_table(
+        clips, os.path.join(tmp, "clips.parquet"), row_group_size=1024,
+        compression={"bytes": "NONE", "clip_id": "SNAPPY", "sr_hz": "SNAPPY",
+                     "dur_ms": "SNAPPY", "codec": "SNAPPY", "transcript": "SNAPPY"},
+    )
     pq.write_table(truth, os.path.join(tmp, "truth_pairs.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok")

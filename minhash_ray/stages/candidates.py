@@ -256,7 +256,10 @@ def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
         out = pa.table({"clip_id_a": lo, "clip_id_b": hi}, schema=PAIRS_SCHEMA)
         # local dedupe (pairs from different bands in this partition),
         # Arrow-native: group_by with no aggregates = unique key rows
-        return out.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
+        out = out.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
+        # pre-attach the global-dedupe partition key here so dedupe_pairs
+        # skips its own map+materialize pass over the full pair table
+        return _pair_pkey(out)
 
     tasks = [reduce_partition.remote(p, n_partitions, *refs) for p in range(n_partitions)]
     return rd.from_arrow_refs(tasks)
@@ -280,9 +283,20 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
         min(num_partitions, max(2, n_band_rows // 500_000 + 1))
     )
 
+    backend = cfg.candidate_backend
+    if backend == "auto":
+        backend = "local" if n_band_rows <= cfg.driver_agg_max_rows else "join"
+
     global_salt = False
     hot = {}
-    if cfg.salt_hot_bands:
+    # the hot-bucket pre-pass exists to keep any one JOIN group bounded —
+    # the raw-task reducers don't need it (their per-run cap emits
+    # star+chain for over-cap runs, the same degradation salting's
+    # representative pass provides, without a driver-serial scan of every
+    # bucket value: ~3 s of Amdahl serial time to find zero hot buckets on
+    # a healthy corpus).  Runs in (band_group_cap, hot_band_threshold]
+    # ALREADY took the star+chain path before this skip.
+    if cfg.salt_hot_bands and backend != "local":
         hot = find_hot_buckets(
             band_ds, cfg.hot_band_threshold, driver_max_rows=cfg.driver_agg_max_rows,
             max_hot_buckets=cfg.max_hot_buckets,
@@ -313,9 +327,6 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
         salted = band_ds
         join_key = ("bucket",)
 
-    backend = cfg.candidate_backend
-    if backend == "auto":
-        backend = "local" if n_band_rows <= cfg.driver_agg_max_rows else "join"
     if backend == "local":
         from minhash_ray.util import cluster_cpus
 
@@ -487,7 +498,10 @@ def dedupe_pairs(pairs_ds, driver_max_rows: int, num_partitions: int,
 
     from minhash_ray.util import cluster_cpus
 
-    keyed = pairs_ds.map_batches(_pair_pkey, batch_format="pyarrow").materialize()
+    if "pkey" in pairs_ds.schema().names:
+        keyed = pairs_ds          # local reducers pre-attach the key
+    else:
+        keyed = pairs_ds.map_batches(_pair_pkey, batch_format="pyarrow").materialize()
     n = keyed.count()
     if force_groupby or n > driver_max_rows:
         uniq = keyed.groupby(["clip_id_a", "clip_id_b"]).count()
@@ -516,30 +530,6 @@ def dedupe_pairs(pairs_ds, driver_max_rows: int, num_partitions: int,
         return t.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
 
     tasks = [uniq_partition.remote(p, n_parts, *refs) for p in range(n_parts)]
-    return _from_arrow_refs_nonempty(tasks)
+    from minhash_ray.util import from_arrow_refs_nonempty
 
-
-def _from_arrow_refs_nonempty(refs):
-    """``from_arrow_refs`` minus empty blocks: Ray's hash-shuffle join hands
-    acero an empty-SCHEMA block for an empty partition, which fails with
-    ``No match or multiple matches for key field reference`` when the
-    dataset is later used as a join side.  Row counts are read via tiny
-    remote probes (the tables stay in plasma; nothing is pulled to the
-    driver).  One empty block is kept when ALL are empty so the dataset
-    still carries the schema."""
-    import ray
-    import ray.data as rd
-
-    global _block_num_rows
-    if _block_num_rows is None:
-        @ray.remote(num_cpus=0)
-        def _nrows(t: pa.Table) -> int:
-            return t.num_rows
-
-        _block_num_rows = _nrows
-    nrows = ray.get([_block_num_rows.remote(r) for r in refs])
-    keep = [r for r, n in zip(refs, nrows) if n]
-    return rd.from_arrow_refs(keep if keep else refs[:1])
-
-
-_block_num_rows = None
+    return from_arrow_refs_nonempty(tasks)

@@ -98,9 +98,12 @@ def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: 
             }
         )
 
-    directed = edges_ds.select_columns(["clip_id_a", "clip_id_b"]).map_batches(
+    from minhash_ray.util import strip_empty_blocks
+
+    # join inputs must carry no empty blocks (util.strip_empty_blocks doc)
+    directed = strip_empty_blocks(edges_ds.select_columns(["clip_id_a", "clip_id_b"]).map_batches(
         to_directed, batch_format="pyarrow"
-    ).materialize()
+    ))
 
     # labels init: every endpoint labels itself
     labels = (
@@ -114,8 +117,8 @@ def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: 
             lambda t: pa.table({"node": t.column("node"), "label": t.column("min(label)")}),
             batch_format="pyarrow",
         )
-        .materialize()
     )
+    labels = strip_empty_blocks(labels)
 
     for _ in range(max_iters):
         # neighbor labels: join edges with labels on src, propagate to dst
@@ -139,8 +142,8 @@ def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: 
                 ),
                 batch_format="pyarrow",
             )
-            .materialize()
         )
+        new_labels = strip_empty_blocks(new_labels)
         # convergence: any node whose label shrank this round?
         changed = (
             new_labels.join(

@@ -146,17 +146,40 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
 
 
 def driver_exact_edges_table(ids, hashes) -> pa.Table:
-    """Exact-duplicate star edges computed driver-side (vectorized pandas
-    transform-min).  ids/hashes: equal-length sequences."""
-    import pandas as pd
+    """Exact-duplicate star edges computed driver-side.
 
-    df = pd.DataFrame({"clip_id": ids, "content_hash": hashes})
-    rep = df.groupby("content_hash")["clip_id"].transform("min")
-    mask = (rep < df["clip_id"]).to_numpy()
-    n = int(mask.sum())
+    Pure numpy: lexsort by (content_hash, clip_id), then each row links to
+    the FIRST (= min) clip of its hash run.  The previous pandas
+    ``groupby().transform("min")`` hit the object-dtype pure-Python
+    per-group fallback (~90k groups ≈ seconds of driver-serial time — an
+    Amdahl term the scaling measurement pays directly); this is two sorts
+    and a segment gather."""
+    from minhash_ray.util import bytes_key_array
+
+    kid = bytes_key_array(ids)
+    kh = bytes_key_array(hashes)
+    if len(kid) == 0:
+        return _edges_table(
+            pa.array([], pa.string()), pa.array([], pa.string()),
+            np.zeros(0), np.zeros(0, np.int64), np.zeros(0, np.int64),
+            "exact", None,
+        )
+    order = np.lexsort((kid, kh))
+    kh_s = kh[order]
+    new_run = np.ones(len(kh_s), dtype=bool)
+    new_run[1:] = kh_s[1:] != kh_s[:-1]
+    run_start = np.maximum.accumulate(np.where(new_run, np.arange(len(kh_s)), 0))
+    rep_idx = order[run_start]            # min clip per hash run (original row idx)
+    member = ~new_run                     # every non-first row links to its rep
+    a_idx = rep_idx[member]
+    b_idx = order[member]
+    n = int(member.sum())
+    ids_arr = ids if isinstance(ids, pa.Array) else pa.array(list(ids), pa.string())
+    if isinstance(ids_arr, pa.ChunkedArray):
+        ids_arr = ids_arr.combine_chunks()
     return _edges_table(
-        pa.array(rep[mask].tolist(), pa.string()),
-        pa.array(df["clip_id"][mask].tolist(), pa.string()),
+        ids_arr.take(pa.array(a_idx)),
+        ids_arr.take(pa.array(b_idx)),
         np.ones(n, dtype=np.float64),
         np.zeros(n, dtype=np.int64),
         np.zeros(n, dtype=np.int64),
@@ -264,7 +287,7 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
     refs = [ray.put(pack)]
     if with_content:
         exact_tbl = driver_exact_edges_table(
-            t.column("clip_id").to_pylist(), t.column("content_hash").to_pylist()
+            t.column("clip_id").combine_chunks(), t.column("content_hash").combine_chunks()
         )
         return refs, exact_tbl
     return refs
@@ -375,6 +398,8 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
 
         return sig_ds.map_batches(rename, batch_format="pyarrow")
 
+    from minhash_ray.util import strip_empty_blocks
+
     with_a = pairs_ds.join(
         make_side("a"),
         join_type="inner",
@@ -382,7 +407,10 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
         right_on=("clip_id",),
         num_partitions=num_partitions,
     )
-    with_ab = with_a.join(
+    # the barrier between the chained joins is mandatory, not a tuning
+    # choice: join #1 finalizes empty partitions as schema-less blocks
+    # that flakily break join #2's schema broadcast (util.py docstring)
+    with_ab = strip_empty_blocks(with_a).join(
         make_side("b"),
         join_type="inner",
         on=("clip_id_b",),

@@ -187,3 +187,43 @@ DIGEST_PARAMS = (
     (0x517CC1B727220A95, 0x100000001B3),        # FNV-1a prime channel
     (0x9E3779B97F4A7C15, 0xD6E8FEB86659FD93),   # golden-ratio / odd-mult channel
 )
+
+
+_block_num_rows_remote = None
+
+
+def from_arrow_refs_nonempty(refs):
+    """``ray.data.from_arrow_refs`` minus empty blocks.
+
+    Ray 2.49's hash-shuffle join broadcasts each input's schema only with
+    the FIRST shuffled block; an empty first block short-circuits before
+    the broadcast while still marking it done
+    (hash_shuffle.py:223,589), and a join partition that then receives no
+    shard finalizes ``pa.table({})`` — acero errors with ``No match or
+    multiple matches for key field reference`` when that reaches a join
+    side.  Dropping empty blocks up front removes the hazard.  Row counts
+    are read via tiny zero-cpu remote probes (tables stay in plasma);
+    one empty block is kept when ALL are empty so the dataset still
+    carries the schema."""
+    import ray
+    import ray.data as rd
+
+    global _block_num_rows_remote
+    if _block_num_rows_remote is None:
+        @ray.remote(num_cpus=0)
+        def _nrows(t) -> int:
+            return t.num_rows
+
+        _block_num_rows_remote = _nrows
+    nrows = ray.get([_block_num_rows_remote.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, nrows) if n]
+    return rd.from_arrow_refs(keep if keep else refs[:1])
+
+
+def strip_empty_blocks(ds):
+    """Materialize a Dataset and drop its empty blocks (see
+    :func:`from_arrow_refs_nonempty`) — REQUIRED between two chained
+    ``Dataset.join`` calls: join #1 finalizes an empty partition as a
+    schema-LESS ``pa.table({})`` block, which poisons join #2's schema
+    broadcast nondeterministically."""
+    return from_arrow_refs_nonempty(ds.materialize().to_arrow_refs())

@@ -108,6 +108,9 @@ def test_hot_bucket_cap_degrades_to_global_salting(ray_session):
         max_hot_buckets=0,
         use_exact_channel=False,
         use_audio_channel=False,
+        # salting (and therefore the degrade path under test) only runs
+        # for the join backend — local reducers cap runs directly
+        candidate_backend="join",
     )
     res = run_dedup(rd.from_arrow(_boilerplate_clips()), cfg, num_partitions=4)
     assert _n_clusters(res) == 1

@@ -304,7 +304,14 @@ def write_fixtures(out_dir: str, n_rows: int, seed: int = 42, **kw) -> None:
     clips, truth = generate_clips(n_rows, seed=seed, **kw)
     # small row groups so ray.data.read_parquet can split the read into
     # many blocks (one giant row group = one block = no read parallelism)
-    pq.write_table(clips, os.path.join(out_dir, "clips.parquet"), row_group_size=1024)
+    # `bytes` stored raw: the synthetic audio payload is incompressible and
+    # snappy would be a pure decode tax on every scan (dict `compression=`
+    # leaves unlisted columns uncompressed → list every column)
+    pq.write_table(
+        clips, os.path.join(out_dir, "clips.parquet"), row_group_size=1024,
+        compression={"bytes": "NONE", "clip_id": "SNAPPY", "sr_hz": "SNAPPY",
+                     "dur_ms": "SNAPPY", "codec": "SNAPPY", "transcript": "SNAPPY"},
+    )
     pq.write_table(truth, os.path.join(out_dir, "truth_pairs.parquet"))
 
 
