@@ -96,8 +96,17 @@ def energy_delta_fingerprint_i16(w16: np.ndarray, n_frames: int = 64) -> int:
         return 0
     usable = len(w16) - (len(w16) % (n_frames + 1))
     frames = w16[:usable].reshape(n_frames + 1, -1)
-    sq = np.multiply(frames, frames, dtype=np.int32)    # |s| <= 2^15 → fits
-    energy = sq.sum(axis=1, dtype=np.int64)
+    # column-chunked squares: a full int32 sq array is 2x the payload in
+    # WRITE traffic plus 2x in read-back (~5x payload total) — chunking
+    # keeps the square buffer cache-resident, ~1x payload read total.
+    # int64 accumulation is exact, so the output is bit-identical.
+    F = frames.shape[1]
+    energy = np.zeros(n_frames + 1, dtype=np.int64)
+    step = max(1, 262_144 // (n_frames + 1))            # sq chunk ≈ 1 MB int32
+    for j0 in range(0, F, step):
+        blk = frames[:, j0 : j0 + step]
+        sq = np.multiply(blk, blk, dtype=np.int32)      # |s| <= 2^15 → fits
+        energy += sq.sum(axis=1, dtype=np.int64)
     bits = (energy[:-1] > energy[1:]).astype(np.uint64)
     shifts = np.arange(n_frames, dtype=np.uint64)
     return int((bits << shifts).sum(dtype=np.uint64))

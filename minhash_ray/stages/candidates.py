@@ -200,14 +200,49 @@ def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
 
     refs = salted_ds.to_arrow_refs()
     cap = cfg.band_group_cap
+    n_parts = n_partitions
 
     @ray.remote
-    def reduce_partition(part: int, n_parts: int, *blocks: pa.Table) -> pa.Table:
+    def split_block(block: pa.Table, n: int):
+        """One scan of one band block → n compact per-partition shards
+        (two-round map-reduce: total shuffle work is ONE pass over the
+        data — the previous every-reducer-scans-every-block form did
+        n_parts passes, so adding reducers added work and the stage
+        anti-scaled)."""
+        if not block.num_rows or "bucket" not in block.column_names:
+            # empty (possibly schema-LESS) blocks slip out of map stages;
+            # reducers skip zero-row shards
+            empty = block.slice(0, 0)
+            return tuple(empty for _ in range(n))
+        bucket = block.column("bucket").to_numpy()
+        salt = (
+            block.column("salt").to_numpy()
+            if "salt" in block.column_names
+            else np.zeros(len(bucket), dtype=np.int64)
+        )
+        key = bucket * np.int64(1000003) + salt          # combined run key (wraps)
+        part = (key % n + n) % n
+        # per-part take → fresh COMPACT arrays (a slice-of-sorted view can
+        # serialize its whole parent buffer)
+        return tuple(
+            block.take(pa.array(np.flatnonzero(part == p))) for p in range(n)
+        )
+
+    @ray.remote
+    def reduce_partition(n_out: int, *blocks: pa.Table):
+        """Emit this bucket-partition's locally-unique pairs, PRE-SPLIT by
+        the pair key into ``n_out`` compact shards — the global-dedupe
+        round consumes shard q of every reducer directly, with no separate
+        re-keying map pass over the pair table."""
+        def empties():
+            e = pa.table({"clip_id_a": pa.array([], pa.string()),
+                          "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
+            return tuple(e for _ in range(n_out))
+
         tables = [b for b in blocks if b.num_rows]
         if not tables:
-            return pa.table({"clip_id_a": pa.array([], pa.string()),
-                             "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
-        t = pa.concat_tables(tables)
+            return empties()
+        t = pa.concat_tables(tables).combine_chunks()
         bucket = t.column("bucket").to_numpy()
         salt = (
             t.column("salt").to_numpy()
@@ -215,14 +250,11 @@ def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
             else np.zeros(len(bucket), dtype=np.int64)
         )
         key = bucket * np.int64(1000003) + salt          # combined run key (wraps)
-        mine = (key % n_parts + n_parts) % n_parts == part
-        key = key[mine]
-        ids = t.column("clip_id").combine_chunks() if isinstance(
-            t.column("clip_id"), pa.ChunkedArray) else t.column("clip_id")
-        ids = ids.filter(pa.array(mine))
+        ids = t.column("clip_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         if len(key) == 0:
-            return pa.table({"clip_id_a": pa.array([], pa.string()),
-                             "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
+            return empties()
         order = np.argsort(key, kind="stable")
         key_s = key[order]
         ids = ids.take(pa.array(order))
@@ -243,8 +275,7 @@ def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
             a_idx.append(src)
             b_idx.append(src + j)
         if not a_idx:
-            return pa.table({"clip_id_a": pa.array([], pa.string()),
-                             "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
+            return empties()
         ai = np.concatenate(a_idx)
         bi = np.concatenate(b_idx)
         import pyarrow.compute as pc_
@@ -257,12 +288,38 @@ def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
         # local dedupe (pairs from different bands in this partition),
         # Arrow-native: group_by with no aggregates = unique key rows
         out = out.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
-        # pre-attach the global-dedupe partition key here so dedupe_pairs
-        # skips its own map+materialize pass over the full pair table
-        return _pair_pkey(out)
+        pk = _pair_pkey(out).column("pkey").to_numpy()
+        part = (pk % n_out + n_out) % n_out
+        return tuple(
+            out.take(pa.array(np.flatnonzero(part == q))) for q in range(n_out)
+        )
 
-    tasks = [reduce_partition.remote(p, n_partitions, *refs) for p in range(n_partitions)]
-    return rd.from_arrow_refs(tasks)
+    @ray.remote
+    def uniq_partition(*shards: pa.Table) -> pa.Table:
+        """Global distinct for one pair-key partition; sorted output both
+        for determinism and for verify-stage gather locality (pairs sorted
+        by clip_id_a make the broadcast-pack row gathers near-sequential)."""
+        tables = [s for s in shards if s.num_rows]
+        if not tables:
+            return pa.table({"clip_id_a": pa.array([], pa.string()),
+                             "clip_id_b": pa.array([], pa.string())}, schema=PAIRS_SCHEMA)
+        t = pa.concat_tables(tables)
+        t = t.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
+        return t.sort_by([("clip_id_a", "ascending"), ("clip_id_b", "ascending")])
+
+    shards = [
+        split_block.options(num_returns=n_parts).remote(r, n_parts) for r in refs
+    ]
+    mid = [
+        reduce_partition.options(num_returns=n_parts).remote(
+            n_parts, *[s[p] for s in shards]
+        )
+        for p in range(n_parts)
+    ]
+    tasks = [uniq_partition.remote(*[m[q] for m in mid]) for q in range(n_parts)]
+    from minhash_ray.util import from_arrow_refs_nonempty
+
+    return from_arrow_refs_nonempty(tasks)
 
 
 def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
@@ -435,6 +492,10 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
             )
             pairs = pairs.union(_pairs_from_join(rep_joined))
 
+    if backend == "local":
+        # the fused local shuffle already ends in the global-distinct round
+        # (reducers emit pkey-pre-split shards straight into it)
+        return pairs
     if cfg.pair_dedupe == "local":
         # batches were deduped inside _pairs_from_join / the reducers;
         # remaining cross-batch duplicates cost duplicate (vectorized)
@@ -513,15 +574,22 @@ def dedupe_pairs(pairs_ds, driver_max_rows: int, num_partitions: int,
     refs = keyed.to_arrow_refs()
 
     @ray.remote
-    def uniq_partition(part: int, n_parts: int, *blocks: pa.Table) -> pa.Table:
-        tables = []
-        for b in blocks:
-            if not b.num_rows:
-                continue
-            pk = b.column("pkey").to_numpy()
-            mine = (pk % n_parts + n_parts) % n_parts == part
-            if mine.any():
-                tables.append(b.filter(pa.array(mine)))
+    def split_pairs(block: pa.Table, n: int):
+        """One scan of one pair block → n compact per-pkey-partition shards
+        (same two-round shuffle shape as the band reducers — every-task-
+        scans-everything anti-scales)."""
+        if not block.num_rows:
+            empty = block.slice(0, 0)
+            return tuple(empty for _ in range(n))
+        pk = block.column("pkey").to_numpy()
+        part = (pk % n + n) % n
+        return tuple(
+            block.take(pa.array(np.flatnonzero(part == p))) for p in range(n)
+        )
+
+    @ray.remote
+    def uniq_partition(*blocks: pa.Table) -> pa.Table:
+        tables = [b for b in blocks if b.num_rows]
         if not tables:
             return pa.table(
                 {"clip_id_a": pa.array([], pa.string()),
@@ -529,7 +597,8 @@ def dedupe_pairs(pairs_ds, driver_max_rows: int, num_partitions: int,
         t = pa.concat_tables(tables).select(["clip_id_a", "clip_id_b"])
         return t.group_by(["clip_id_a", "clip_id_b"]).aggregate([]).cast(PAIRS_SCHEMA)
 
-    tasks = [uniq_partition.remote(p, n_parts, *refs) for p in range(n_parts)]
+    shards = [split_pairs.options(num_returns=n_parts).remote(r, n_parts) for r in refs]
+    tasks = [uniq_partition.remote(*[s[p] for s in shards]) for p in range(n_parts)]
     from minhash_ray.util import from_arrow_refs_nonempty
 
     return from_arrow_refs_nonempty(tasks)
