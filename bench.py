@@ -260,7 +260,7 @@ def run_scaling() -> dict:
 
     clips_dir_for(SF_DIR, n_rows=scaling_rows, dur_range=dur)
 
-    def one(ncpu: int, repeats: int = 2) -> dict:
+    def one(ncpu: int, repeats: int = 3) -> dict:
         """Best of ``repeats`` fresh-process runs — local-mode wall times
         vary with worker spawn and page-cache state; best-of-N isolates
         the pipeline's actual capacity at each parallelism level."""

@@ -128,6 +128,24 @@ def run_dedup(
             )
         else:
             signatures = signatures.materialize()   # consumed 3× (bands, count, verify)
+            # coalesce: the read+signature stage wants many small tasks
+            # (cache-resident payload batches), but every downstream stage
+            # pays per-block overhead — 391 slim signature blocks tripled
+            # candidates/verify/cluster time vs ~100.  A split/merge
+            # repartition of the slim signature table (~KB/row, payload
+            # already dropped) is one cheap pass that restores coarse
+            # blocks for the three band maps, the count and the verify.
+            import os as _os
+
+            from minhash_ray.util import cluster_cpus
+
+            nb = signatures.num_blocks()
+            nb_target = max(8, 2 * cluster_cpus())
+            if _os.environ.get("GRAFT_SIG_COALESCE", "1") != "0" and nb > 2 * nb_target:
+                _tc = _time.perf_counter()
+                signatures = signatures.repartition(nb_target).materialize()
+                if stage_times is not None:
+                    stage_times["sig_coalesce"] = round(_time.perf_counter() - _tc, 3)
     _mark("signatures")
     validated = signatures                          # superset of the stage-V contract
 
@@ -172,7 +190,10 @@ def run_dedup(
             # star edges — no separate exact stage
             from minhash_ray.stages.verify import build_broadcast_pack, make_broadcast_verifier
 
+            _tp = _time.perf_counter()
             pack_ref, exact_tbl = build_broadcast_pack(signatures, cfg, with_content=True)
+            if stage_times is not None:
+                stage_times["verify_pack"] = round(_time.perf_counter() - _tp, 3)
             # 8k-pair batches: the exact-jaccard lexsort is superlinear in
             # batch mass, and coarse 64k batches leave cores idle
             edges = pairs.map_batches(

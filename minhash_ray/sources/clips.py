@@ -83,6 +83,24 @@ def read_clips(path: str, columns: list[str] | None = None, **read_kwargs):
     return rd.read_parquet(path, columns=columns, **read_kwargs)
 
 
+# worker-process cache of open (memory-mapped) parquet readers, keyed by
+# (path, mtime, size) so a rewritten file is never served stale
+_PQ_FILE_CACHE: dict = {}
+
+
+def _cached_parquet_file(path: str):
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    pf = _PQ_FILE_CACHE.get(key)
+    if pf is None:
+        pf = pq.ParquetFile(pa.memory_map(path))
+        _PQ_FILE_CACHE.clear()             # one corpus per worker at a time
+        _PQ_FILE_CACHE[key] = pf
+    return pf
+
+
 def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
     """Row-group-parallel scan of ONE parquet file, or None if it has too
     few row groups to be worth it.
@@ -112,46 +130,82 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
     # genuine ReadTasks (not an index-Dataset + map_batches: a downstream
     # stage fusing with that bundles the tiny index blocks up to ITS
     # batch_size and collapses the whole scan back into one task — observed:
-    # 98 row groups → 1 fused task).  A Datasource read keeps one task per
-    # row group through any fusion.
+    # 98 row groups → 1 fused task).  A Datasource read keeps its task
+    # granularity through any fusion.
+    #
+    # Row groups are GROUPED into ~128 MB tasks (while keeping the task
+    # count ≥ 2x cluster CPUs when the file allows): file row groups are
+    # deliberately small for read flexibility, but one task/block per row
+    # group floods every downstream stage with tiny blocks — measured on
+    # the 100k-clip corpus at 16 CPUs, 391 single-row-group tasks more
+    # than TRIPLED candidates/verify/cluster time (3.4→11.9 s candidates)
+    # for a marginal signature-stage gain.
     from ray.data.block import BlockMetadata
     from ray.data.datasource import Datasource, ReadTask
+
+    from minhash_ray.util import cluster_cpus
+
+    sizes = [md.row_group(i).total_byte_size for i in range(n_rg)]
+    rows = [md.row_group(i).num_rows for i in range(n_rg)]
+    total = sum(sizes)
+    # ~16 tasks per CPU, bytes clamped to [8 MB, 512 MB].  Both measured
+    # extremes lose: one task per fine row group (86 tasks/CPU at 4 CPUs)
+    # drowns the driver-side scheduler when it shares the box with few
+    # workers (sig stage 27→36 s at 4 CPUs), while ~5 coarse 128 MB tasks
+    # per CPU at 16 CPUs thrash the shared LLC and expose last-wave
+    # straggle (sig stage 11→17 s).  The winning layouts at BOTH
+    # parallelism levels sat near ~20 tasks/CPU — so derive the task size
+    # from the cluster width, not a fixed byte target.  Downstream
+    # block-count pressure is handled by the post-signature coalesce in
+    # run_dedup, not by fattening read tasks.
+    env_target = os.environ.get("GRAFT_READ_TASK_BYTES")
+    if env_target:
+        per_task = max(1, int(env_target))
+    else:
+        n_tasks_target = 16 * cluster_cpus()
+        per_task = max(8 << 20, min(512 << 20, total // max(1, n_tasks_target)))
+    groups: list[tuple[int, int]] = []      # [start_rg, end_rg) per task
+    start, acc = 0, 0
+    for i in range(n_rg):
+        if acc and acc + sizes[i] > per_task:
+            groups.append((start, i))
+            start, acc = i, 0
+        acc += sizes[i]
+    groups.append((start, n_rg))
 
     class _RowGroupDatasource(Datasource):
         def get_name(self):
             return "ParquetRowGroups"
 
         def estimate_inmemory_data_size(self):
-            return sum(
-                md.row_group(i).total_byte_size for i in range(n_rg)
-            )
+            return total
 
         def get_read_tasks(self, parallelism):
             tasks = []
-            for i in range(n_rg):
-                rg = md.row_group(i)
+            for g0, g1 in groups:
 
-                def read_fn(i=i):
+                def read_fn(g0=g0, g1=g1):
                     # memory-map: pages come straight off the page cache
                     # with no read()+memcpy (measured ~2x per row group),
                     # and use_threads=False — parallelism comes from the
                     # task pool; per-task arrow thread pools (16 workers
-                    # x 32 threads) only thrash each other
-                    mm = pa.memory_map(path)
-                    try:
-                        t = pq.ParquetFile(mm).read_row_group(
-                            i, columns=columns, use_threads=False
-                        )
-                    finally:
-                        mm.close()
+                    # x 32 threads) only thrash each other.  The open
+                    # ParquetFile is cached per worker process: footer
+                    # metadata parse is ~tens of ms for a many-row-group
+                    # file, and paying it once per TASK (several hundred
+                    # fine-grained tasks) burned whole core-seconds.
+                    pf = _cached_parquet_file(path)
+                    t = pf.read_row_groups(
+                        list(range(g0, g1)), columns=columns, use_threads=False
+                    )
                     return [t]
 
                 tasks.append(
                     ReadTask(
                         read_fn,
                         BlockMetadata(
-                            num_rows=rg.num_rows,
-                            size_bytes=rg.total_byte_size,
+                            num_rows=sum(rows[g0:g1]),
+                            size_bytes=sum(sizes[g0:g1]),
                             exec_stats=None,
                             input_files=[path],
                         ),
@@ -159,7 +213,7 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
                 )
             return tasks
 
-    return rd.read_datasource(_RowGroupDatasource(), override_num_blocks=n_rg)
+    return rd.read_datasource(_RowGroupDatasource(), override_num_blocks=len(groups))
 
 
 def write_table(ds, path: str) -> None:

@@ -137,6 +137,9 @@ def string_flat_offsets(col):
 binary_flat_offsets = string_flat_offsets
 
 
+_WORDPOLY_CHUNK_WORDS = 16_384        # 128 KB scratch — L2-resident
+
+
 def wordpoly_digest_rows(flat, offs, mult: int):
     """Per-row polynomial hash mod 2^64 over the row's 8-byte
     little-endian WORDS (zero-padded tail), with the byte length folded in
@@ -144,24 +147,31 @@ def wordpoly_digest_rows(flat, offs, mult: int):
     ``h = h·M + w_i`` finished by ``h·M + len``.
 
     Word granularity keeps the per-byte temp footprint at ~1/8 of a
-    byte-wise vectorized poly (whose 8-byte exponent/contrib temps made
-    the digest 4x SLOWER than md5 on 30 KB payloads); the per-row python
-    loop costs a few numpy calls per row while each row's arrays stay
-    L2-resident — measured ~2.1 GB/s vs md5's ~0.6."""
+    byte-wise vectorized poly; rows are processed in 128 KB *chunks*
+    through a reused aligned scratch buffer, Horner-folded between chunks
+    (``h ← h·M^c + Σ w_j·M^(c-1-j)``, exact mod 2^64 — bit-identical to
+    the single-pass fold), so DRAM traffic is ONE read of the payload and
+    the multiply/sum temps stay cache-resident.  The previous full-length
+    form (pad-copy + an m-word product temp per row) cost ~5 bytes of
+    memory traffic per payload byte per channel — the signature stage's
+    dominant bandwidth term at full pool (BASELINE.md scaling notes)."""
     import numpy as np
 
     n = len(offs) - 1
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
-    lens = np.diff(offs)
-    maxw = int((int(lens.max()) + 7) // 8) if len(lens) else 0
-    pw = np.empty(max(maxw, 1), dtype=np.uint64)
+    C = _WORDPOLY_CHUNK_WORDS
+    # pw[j] = M^j (mod 2^64), j in [0, C]
+    pw = np.empty(C + 1, dtype=np.uint64)
     pw[0] = np.uint64(1)
-    if maxw > 1:
-        pw[1:maxw] = np.cumprod(np.full(maxw - 1, np.uint64(mult), dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        pw[1:] = np.cumprod(np.full(C, np.uint64(mult), dtype=np.uint64))
+    pw_rev = pw[:C][::-1].copy()          # pw_rev[C-c:] == M^(c-1) .. M^0
     M = np.uint64(mult)
-    u64 = np.dtype("<u8")
+    scratch = np.zeros(C * 8, dtype=np.uint8)
+    words = scratch.view(np.dtype("<u8"))
+    prod = np.empty(C, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i in range(n):
             o0, o1 = int(offs[i]), int(offs[i + 1])
@@ -169,15 +179,20 @@ def wordpoly_digest_rows(flat, offs, mult: int):
             if L == 0:
                 out[i] = np.uint64(0)
                 continue
-            npad = (-L) % 8
-            if npad or (o0 % 8):
-                buf = np.zeros(L + npad, dtype=np.uint8)
-                buf[:L] = flat[o0:o1]
-                w = buf.view(u64)
-            else:
-                w = flat[o0:o1].view(u64)
-            m = len(w)
-            out[i] = (w * pw[m - 1 :: -1]).sum(dtype=np.uint64) * M + np.uint64(L)
+            h = np.uint64(0)
+            pos = o0
+            while pos < o1:
+                blen = min(C * 8, o1 - pos)
+                c = (blen + 7) // 8
+                scratch[:blen] = flat[pos : pos + blen]
+                if blen < c * 8:          # zero-pad the tail word only
+                    scratch[blen : c * 8] = 0
+                w = words[:c]
+                p = prod[:c]
+                np.multiply(w, pw_rev[C - c :], out=p)
+                h = h * pw[c] + p.sum(dtype=np.uint64)
+                pos += blen
+            out[i] = h * M + np.uint64(L)
     return out
 
 
