@@ -226,7 +226,7 @@ def substring_pairs(sf_dir: str, broadcast_max_rows: int = 2_000_000):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from minhash_ray.pipelines import ann, dedup_text, relational, text
+    from minhash_ray.pipelines import ann, dedup_text, events, relational, text
 
     return {
         # --- text analysis (SQL-checked) ---
@@ -275,6 +275,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_lineitem": relational.filtered_lineitem,
         "part_brand_stats": relational.part_brand_stats,
         "nation_revenue": relational.nation_revenue,
+        # --- event-stream window operators (SQL-checked: DuckDB window
+        # functions replay tumbling windows, gap sessions and the per-user
+        # as-of join exactly) ---
+        "window_counts": events.window_counts,
+        "sessionize": events.sessionize,
+        "asof_prior": events.asof_prior,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---
@@ -807,6 +813,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, count(*) AS n_suppliers FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        # --- event-stream window operators (minhash_ray/pipelines/events.py)
+        # window_us is the tumbling-window start in int64 epoch-us; value
+        # sums in integer cents so float order can't flip a bit
+        "window_counts": (
+            f"SELECT (epoch_us(ts) // {3_600_000_000}) * {3_600_000_000} AS window_us, "
+            "event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT event_id, user_id, ts, "
+            f"CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {1_800_000_000} "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, "
+            "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS session_seq FROM g"
+        ),
+        "asof_prior": (
+            "SELECT event_id, user_id, prior_event_id FROM ("
+            "SELECT event_id, user_id, event_type, "
+            "COALESCE(LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END "
+            "IGNORE NULLS) OVER w, -1) AS prior_event_id FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            ") WHERE event_type = 'purchase'"
         ),
         "events_by_type": (
             "SELECT event_type, count(*) AS n_events, "

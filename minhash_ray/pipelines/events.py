@@ -1,0 +1,210 @@
+"""Event-stream operators over the ``events`` table — the *streaming
+window* engine category from the gap analysis (SURVEY.md §2.6).
+
+The reference approximates unbounded streams with infinite-insert drivers
+(test/fcds/test_fixed_queries_infinite_write.c:90-99) and needs no
+watermarks because its min-fold is order-independent; these operators
+cover the stream shapes that ARE order-sensitive and that a training-data
+/ analytics pipeline actually runs:
+
+* :func:`window_counts` — tumbling-window aggregate (bucket by truncated
+  timestamp, partial-per-block hash aggregate; embarrassingly parallel).
+* :func:`sessionize` — gap-based session assignment (a session breaks
+  when a user is idle longer than ``gap_minutes``): the canonical
+  order-WITHIN-key windowed computation.
+* :func:`asof_prior` — per-user as-of self-join: each ``left_type`` event
+  gets the id of the latest strictly-preceding ``right_type`` event of
+  the same user (-1 when none) — the "as-of join" custom operator Ray
+  Data lacks natively.
+
+Partitioning contract (documented per the custom-operator rule): the
+order-sensitive ops hash-partition on ``user_id`` and require one *key's*
+rows — not the corpus — to fit a task.  Keys are never split across
+partitions, so within-partition ``lexsort`` + segmented scans give exact
+global semantics; at 100 TB the per-user event list is the unit that must
+be memory-bounded (true for any real user stream).
+
+All three are deterministic, integer-valued, and exactly SQL-expressible
+— each carries a DuckDB window-function oracle in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from minhash_ray.stages.banding import splitmix64
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _ts_us(col) -> np.ndarray:
+    """timestamp[us] column → int64 microseconds since epoch."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy()
+
+
+def window_counts(sf_dir: str, window_minutes: int = 60):
+    """Tumbling-window aggregate: per (window start, event type) the event
+    count and the value sum in cents.  ``window_us`` is the window start
+    as int64 epoch-microseconds (timezone-free, bit-exact to compare).
+
+    Scale shape: the window key is computed per batch (vectorized) and the
+    groupby is a partial+final hash aggregate over slim rows — the same
+    shape as ``lineitem_agg``; windows never require ordering, only
+    bucketing, so no sort and no watermark state.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        value = batch.column("value").to_numpy()
+        return pa.table(
+            {
+                "window_us": pa.array((ts // win_us) * win_us, pa.int64()),
+                "event_type": batch.column("event_type"),
+                "value_cents": pa.array(
+                    np.floor(value * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(widen, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+def _with_user_partition(ds, num_partitions: int):
+    """Append ``pkey = splitmix64(user_id) % P``: the hash partition that
+    co-locates each user's full event history (the op's partitioning
+    assumption) while spreading users evenly."""
+    P = np.uint64(max(2, num_partitions))
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.uint64)
+        pkey = (splitmix64(uid) % P).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pkey, pa.int64()))
+
+    return ds.map_batches(add_pkey, batch_format="pyarrow")
+
+
+def _user_sorted(batch: pa.Table):
+    """lexsort a partition's rows by (user, ts, event_id) and return the
+    sorted key arrays plus per-row index of the user's first row."""
+    ids = batch.column("event_id").to_numpy()
+    uid = batch.column("user_id").to_numpy()
+    ts = _ts_us(batch.column("ts"))
+    o = np.lexsort((ids, ts, uid))
+    uid_s, ts_s, ids_s = uid[o], ts[o], ids[o]
+    n = len(o)
+    new_user = np.ones(n, dtype=bool)
+    if n > 1:
+        new_user[1:] = uid_s[1:] != uid_s[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    user_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+    return o, uid_s, ts_s, ids_s, new_user, user_start
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30, num_partitions: int = 32):
+    """(event_id, user_id, session_seq): a user's events split into
+    sessions wherever the gap to the previous event exceeds
+    ``gap_minutes``; ``session_seq`` is the 0-based session index within
+    the user (deterministic tie-break: ts then event_id)."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "session_seq": pa.array([], pa.int64()),
+                }
+            )
+        _, uid_s, ts_s, ids_s, new_user, user_start = _user_sorted(batch)
+        n = len(ids_s)
+        brk = np.zeros(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (~new_user[1:]) & ((ts_s[1:] - ts_s[:-1]) > gap_us)
+        cum = np.cumsum(brk.astype(np.int64))
+        seq = cum - cum[user_start]        # breaks since the user's first row
+        return pa.table(
+            {
+                "event_id": pa.array(ids_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "session_seq": pa.array(seq, pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts"]), num_partitions
+    )
+    return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
+
+
+def asof_prior(
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    num_partitions: int = 32,
+):
+    """Per-user as-of self-join: for every ``left_type`` event, the
+    event_id of the most recent strictly-preceding ``right_type`` event of
+    the SAME user (order: ts, then event_id; -1 when the user has none
+    before that point).  Works for ``left_type == right_type`` too (the
+    running maximum is shifted one row, so an event never matches
+    itself)."""
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "prior_event_id": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        types = batch.column("event_type")
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        o, uid_s, ts_s, ids_s, new_user, user_start = _user_sorted(batch)
+        t_s = np.asarray(types.to_numpy(zero_copy_only=False))[o]
+        n = len(ids_s)
+        idx = np.arange(n, dtype=np.int64)
+        is_r = t_s == right_type
+        last_r = np.maximum.accumulate(np.where(is_r, idx, np.int64(-1)))
+        # strictly preceding: shift the running max one row back
+        last_r = np.concatenate([[np.int64(-1)], last_r[:-1]])
+        left_rows = np.flatnonzero(t_s == left_type)
+        lr = last_r[left_rows]
+        # a prior index before the user's first row belongs to another user
+        valid = lr >= user_start[left_rows]
+        prior = np.where(valid, ids_s[np.maximum(lr, 0)], np.int64(-1))
+        return pa.table(
+            {
+                "event_id": pa.array(ids_s[left_rows], pa.int64()),
+                "user_id": pa.array(uid_s[left_rows], pa.int64()),
+                "prior_event_id": pa.array(prior, pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), num_partitions
+    )
+    return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")

@@ -43,6 +43,7 @@ SQL_QUERIES = [
     "ngram_jaccard_pairs", "rolling_fingerprints",
     "doc_minhash_slots", "simhash_fingerprints", "minhash_dup_pairs",
     "lang_id", "embedding_dup_pairs", "ann_topk_ivf", "doc_dedup_tiered",
+    "window_counts", "sessionize", "asof_prior",
 ]
 
 
@@ -268,3 +269,31 @@ def test_ivf_topk_recall_on_clustered_embeddings(ray_session, tmp_path):
     # probing every cell == exact brute force
     full = _pdf(ann_topk_ivf(str(d), query_vec_id=3, k=10, n_probe=16, index=index))
     assert full.vec_id.tolist() == exact.vec_id.tolist()
+
+
+def test_event_window_ops_partition_invariant(ray_session, sf_dir):
+    """The order-sensitive window ops hash-partition on user_id; the
+    partition count must be invisible in the result (keys are never split,
+    so within-partition lexsort gives exact global semantics)."""
+    from minhash_ray.pipelines.events import asof_prior, sessionize
+
+    a = _canon(_pdf(sessionize(sf_dir, num_partitions=2)))
+    b = _canon(_pdf(sessionize(sf_dir, num_partitions=32)))
+    assert a.equals(b)
+    c = _canon(_pdf(asof_prior(sf_dir, num_partitions=2)))
+    d = _canon(_pdf(asof_prior(sf_dir, num_partitions=32)))
+    assert c.equals(d)
+
+
+def test_asof_prior_self_type_excludes_self(ray_session, sf_dir):
+    """left_type == right_type: the running maximum is shifted one row, so
+    an event's prior is the PREVIOUS click, never itself."""
+    from minhash_ray.pipelines.events import asof_prior
+
+    df = _pdf(asof_prior(sf_dir, left_type="click", right_type="click"))
+    assert len(df) > 0
+    assert (df.event_id != df.prior_event_id).all()
+    # exactly one click per user (its first) has no prior
+    firsts = df.sort_values(["user_id", "event_id"]).groupby("user_id").head(1)
+    assert (firsts.prior_event_id == -1).all()
+    assert int((df.prior_event_id == -1).sum()) == df.user_id.nunique()
