@@ -42,6 +42,10 @@ def run_bench() -> dict:
     ray.init(
         address="local", num_cpus=NCPUS, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
+        # keep worker prints off the driver's stdout: the bench contract is
+        # ONE JSON line, and a forwarded "(ReadParquetRowGroups pid=...)"
+        # line was observed interleaving with it
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -51,7 +55,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from minhash_ray.config import PipelineConfig
-    from minhash_ray.pipelines import ann, dedup_text, relational, text
+    from minhash_ray.pipelines import ann, dedup_text, events, relational, text
     from minhash_ray.pipelines.dedup import dedup_metrics, run_dedup
     from minhash_ray.sources.synth import clips_dir_for
 
@@ -147,6 +151,9 @@ def run_bench() -> dict:
         ("lineitem_agg", relational.lineitem_agg),
         ("orders_by_segment", relational.orders_by_segment),
         ("events_by_type", relational.events_by_type),
+        ("window_counts", events.window_counts),
+        ("sessionize", events.sessionize),
+        ("asof_prior", events.asof_prior),
     ):
         queries[name], queries_runs[name] = timed2(fn)
 
@@ -243,15 +250,18 @@ def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (the sandbox
     substitute for N vs 4N Ray nodes; see BASELINE.md).
 
-    Uses a larger clips table than the headline run (default 100k rows,
+    Uses a larger clips table than the headline run (default 200k rows,
     override with GRAFT_SCALING_ROWS): at small inputs fixed per-stage
-    latencies (driver pack build, shuffle barriers, actor spin-up — ~10 s
-    regardless of CPU count) dominate and the comparison measures startup,
-    not scaling.  Round 2 made the compute stages ~1.7x faster, which
-    makes the fixed remainder proportionally heavier — the scaling corpus
-    grows with engine speed so per-clip compute stays dominant.
+    latencies (driver pack build, shuffle barriers, actor spin-up — ~6 s
+    of serial-equivalent regardless of CPU count, measured by Amdahl fit
+    across the two legs) dominate and the comparison measures startup,
+    not scaling.  Each round's kernel speedups make the fixed remainder
+    proportionally heavier, so the scaling corpus grows with engine speed
+    — per-clip compute must stay dominant for the ratio to measure the
+    ENGINE (at 100 TB the parallel fraction is ~100%; a small corpus
+    UNDERSTATES large-cluster efficiency).
     """
-    scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "100000"))
+    scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "200000"))
     # realistic clip durations (avg ~3.6 s audio): the scaling measurement
     # must be dominated by per-clip compute, not per-stage latency
     dur = (1200, 6000)
@@ -260,10 +270,7 @@ def run_scaling() -> dict:
 
     clips_dir_for(SF_DIR, n_rows=scaling_rows, dur_range=dur)
 
-    def one(ncpu: int, repeats: int = 3) -> dict:
-        """Best of ``repeats`` fresh-process runs — local-mode wall times
-        vary with worker spawn and page-cache state; best-of-N isolates
-        the pipeline's actual capacity at each parallelism level."""
+    def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -272,16 +279,11 @@ def run_scaling() -> dict:
             GRAFT_CLIPS_DUR="1200,6000",
             GRAFT_HEADLINE_ONLY="1",
         )
-        best = None
-        for _ in range(repeats):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # default pair 2→8.  Two constraints bound the usable window on one
     # shared-memory box (see BASELINE.md scaling notes): num_cpus=32
@@ -292,21 +294,35 @@ def run_scaling() -> dict:
     # stays inside the near-linear bandwidth region (3.4→13+ GB/s).
     pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
     lo_n, hi_n = int(pair[0]), int(pair[1])
-    lo = one(lo_n)
-    hi = one(hi_n)
-    thr_lo = lo["clips_per_sec"]
-    thr_hi = hi["clips_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi_n / lo_n)
+    # the box's wall times drift ±20-50% on multi-minute timescales
+    # (virtualized host), so a best-of-N *per leg* can pair a lucky low leg
+    # with an unlucky high leg and report noise.  Instead the legs are
+    # INTERLEAVED (lo, hi, lo, hi, ...) so each adjacent pair shares host
+    # conditions, and the reported value is the MEDIAN of per-pair
+    # efficiencies.
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    runs = [(one(lo_n), one(hi_n)) for _ in range(repeats)]
+    effs = sorted(
+        (hi["clips_per_sec"] / lo["clips_per_sec"]) / (hi_n / lo_n)
+        for lo, hi in runs
+    )
+    med = effs[len(effs) // 2] if repeats % 2 else 0.5 * (
+        effs[repeats // 2 - 1] + effs[repeats // 2]
+    )
+    lo_best = min((lo for lo, _ in runs), key=lambda r: r["value"])
+    hi_best = min((hi for _, hi in runs), key=lambda r: r["value"])
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(med, 3),
         "unit": "ratio",
         "sf": _sf_of(SF_DIR),
-        "clips": lo["clips"],
+        "clips": lo_best["clips"],
         "cpus_lo": lo_n, "cpus_hi": hi_n,
-        "sec_lo": lo["value"], "sec_hi": hi["value"],
-        "clips_per_sec_lo": thr_lo, "clips_per_sec_hi": thr_hi,
-        "speedup": round(thr_hi / thr_lo, 2),
+        "sec_lo": lo_best["value"], "sec_hi": hi_best["value"],
+        "clips_per_sec_lo": lo_best["clips_per_sec"],
+        "clips_per_sec_hi": hi_best["clips_per_sec"],
+        "speedup": round(hi_best["clips_per_sec"] / lo_best["clips_per_sec"], 2),
+        "pair_efficiencies": [round(e, 3) for e in effs],
     }
 
 

@@ -140,46 +140,56 @@ binary_flat_offsets = string_flat_offsets
 _WORDPOLY_CHUNK_WORDS = 16_384        # 128 KB scratch — L2-resident
 
 
-def wordpoly_digest_rows(flat, offs, mult: int):
-    """Per-row polynomial hash mod 2^64 over the row's 8-byte
-    little-endian WORDS (zero-padded tail), with the byte length folded in
-    last: ``h = (Σ w_i·M^(m-1-i))·M + len`` ≡ the sequential fold
+def wordpoly_digest_rows_multi(flat, offs, mults):
+    """Per-row polynomial hashes mod 2^64 over the row's 8-byte
+    little-endian WORDS (zero-padded tail), one output array per
+    multiplier in ``mults``, with the byte length folded in last:
+    ``h = (Σ w_i·M^(m-1-i))·M + len`` ≡ the sequential fold
     ``h = h·M + w_i`` finished by ``h·M + len``.
 
     Word granularity keeps the per-byte temp footprint at ~1/8 of a
     byte-wise vectorized poly; rows are processed in 128 KB *chunks*
     through a reused aligned scratch buffer, Horner-folded between chunks
     (``h ← h·M^c + Σ w_j·M^(c-1-j)``, exact mod 2^64 — bit-identical to
-    the single-pass fold), so DRAM traffic is ONE read of the payload and
-    the multiply/sum temps stay cache-resident.  The previous full-length
-    form (pad-copy + an m-word product temp per row) cost ~5 bytes of
-    memory traffic per payload byte per channel — the signature stage's
-    dominant bandwidth term at full pool (BASELINE.md scaling notes)."""
+    the single-pass fold), so the multiply/sum temps stay cache-resident
+    and DRAM traffic is ONE read of the payload for ALL channels (the
+    scratch chunk is reused across multipliers).  The previous
+    full-length form (pad-copy + an m-word product temp per row) cost ~5
+    bytes of memory traffic per payload byte per channel — the signature
+    stage's dominant bandwidth term at full pool (BASELINE.md scaling
+    notes)."""
     import numpy as np
 
     n = len(offs) - 1
-    out = np.empty(n, dtype=np.uint64)
+    k = len(mults)
+    outs = [np.empty(n, dtype=np.uint64) for _ in range(k)]
     if n == 0:
-        return out
+        return outs
     C = _WORDPOLY_CHUNK_WORDS
-    # pw[j] = M^j (mod 2^64), j in [0, C]
-    pw = np.empty(C + 1, dtype=np.uint64)
-    pw[0] = np.uint64(1)
+    # per channel: pw[j] = M^j (mod 2^64), j in [0, C]
+    pws, pw_revs, Ms = [], [], []
     with np.errstate(over="ignore"):
-        pw[1:] = np.cumprod(np.full(C, np.uint64(mult), dtype=np.uint64))
-    pw_rev = pw[:C][::-1].copy()          # pw_rev[C-c:] == M^(c-1) .. M^0
-    M = np.uint64(mult)
+        for m in mults:
+            pw = np.empty(C + 1, dtype=np.uint64)
+            pw[0] = np.uint64(1)
+            pw[1:] = np.cumprod(np.full(C, np.uint64(m), dtype=np.uint64))
+            pws.append(pw)
+            pw_revs.append(pw[:C][::-1].copy())   # [C-c:] == M^(c-1) .. M^0
+            Ms.append(np.uint64(m))
     scratch = np.zeros(C * 8, dtype=np.uint8)
     words = scratch.view(np.dtype("<u8"))
     prod = np.empty(C, dtype=np.uint64)
+    hs = [np.uint64(0)] * k
     with np.errstate(over="ignore"):
         for i in range(n):
             o0, o1 = int(offs[i]), int(offs[i + 1])
             L = o1 - o0
             if L == 0:
-                out[i] = np.uint64(0)
+                for j in range(k):
+                    outs[j][i] = np.uint64(0)
                 continue
-            h = np.uint64(0)
+            for j in range(k):
+                hs[j] = np.uint64(0)
             pos = o0
             while pos < o1:
                 blen = min(C * 8, o1 - pos)
@@ -189,11 +199,18 @@ def wordpoly_digest_rows(flat, offs, mult: int):
                     scratch[blen : c * 8] = 0
                 w = words[:c]
                 p = prod[:c]
-                np.multiply(w, pw_rev[C - c :], out=p)
-                h = h * pw[c] + p.sum(dtype=np.uint64)
+                for j in range(k):        # chunk stays cache-hot across channels
+                    np.multiply(w, pw_revs[j][C - c :], out=p)
+                    hs[j] = hs[j] * pws[j][c] + p.sum(dtype=np.uint64)
                 pos += blen
-            out[i] = h * M + np.uint64(L)
-    return out
+            for j in range(k):
+                outs[j][i] = hs[j] * Ms[j] + np.uint64(L)
+    return outs
+
+
+def wordpoly_digest_rows(flat, offs, mult: int):
+    """Single-channel form of :func:`wordpoly_digest_rows_multi`."""
+    return wordpoly_digest_rows_multi(flat, offs, [mult])[0]
 
 
 # two independent 64-bit channels → a 128-bit content digest (collision
