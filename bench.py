@@ -302,16 +302,22 @@ def run_scaling() -> dict:
     # efficiencies.
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     runs = [(one(lo_n), one(hi_n)) for _ in range(repeats)]
-    effs = sorted(
+    effs = [
         (hi["clips_per_sec"] / lo["clips_per_sec"]) / (hi_n / lo_n)
         for lo, hi in runs
-    )
-    med = effs[len(effs) // 2] if repeats % 2 else 0.5 * (
-        effs[repeats // 2 - 1] + effs[repeats // 2]
+    ]                                   # run order preserved for diagnosis
+    s = sorted(effs)
+    med = s[len(s) // 2] if repeats % 2 else 0.5 * (
+        s[repeats // 2 - 1] + s[repeats // 2]
     )
     lo_best = min((lo for lo, _ in runs), key=lambda r: r["value"])
     hi_best = min((hi for _, hi in runs), key=lambda r: r["value"])
+    # the pair closest to the median, for per-stage diagnosis of what
+    # scaled and what didn't
+    mi = min(range(repeats), key=lambda i: abs(effs[i] - med))
     return {
+        "stages_lo": runs[mi][0].get("stages", {}),
+        "stages_hi": runs[mi][1].get("stages", {}),
         "metric": "scaling_efficiency",
         "value": round(med, 3),
         "unit": "ratio",
