@@ -101,6 +101,25 @@ class DocSignatureStage:
         )
 
 
+# per-worker-process stage cache (same pattern as
+# stages/signature.make_signature_fn): coefficient tables build once per
+# worker while the operator stays a fusable TASK pool — a fixed actor pool
+# here cost ~1-2 s of spin-up on EVERY document query for a stage whose
+# state is a few KB of seeded coefficients
+_DOC_STAGE_CACHE: dict = {}
+
+
+def make_doc_signature_fn(cfg: PipelineConfig):
+    def doc_signature_fn(batch: pa.Table) -> pa.Table:
+        stage = _DOC_STAGE_CACHE.get(cfg)
+        if stage is None:
+            stage = DocSignatureStage(cfg)
+            _DOC_STAGE_CACHE[cfg] = stage
+        return stage(batch)
+
+    return doc_signature_fn
+
+
 def doc_signatures(sf_dir: str, cfg: PipelineConfig = DOC_CFG, docs=None):
     """doc_id, signature(list<u64,k>), simhash, n_shingles.
 
@@ -109,11 +128,9 @@ def doc_signatures(sf_dir: str, cfg: PipelineConfig = DOC_CFG, docs=None):
     if docs is None:
         docs = _docs(sf_dir, ["doc_id", "text"])
     return docs.map_batches(
-        DocSignatureStage,
-        fn_constructor_kwargs={"cfg": cfg},
+        make_doc_signature_fn(cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size or None,
-        concurrency=2,
     )
 
 

@@ -364,3 +364,25 @@ def test_candidate_pairs_globally_unique(ray_session):
         .reset_index(drop=True)
     )
     assert list(map(tuple, got_g.itertuples(index=False))) == expect
+
+
+def test_cached_parquet_file_detects_rewrite(tmp_path):
+    """The per-worker ParquetFile cache keys on (path, mtime_ns, size): a
+    rewritten file must be re-opened, never served stale."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minhash_ray.sources.clips import _cached_parquet_file
+
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int64())}), path)
+    pf1 = _cached_parquet_file(path)
+    assert _cached_parquet_file(path) is pf1          # cache hit
+    time.sleep(0.01)                                  # ensure mtime advances
+    pq.write_table(pa.table({"x": pa.array([9, 9], pa.int64())}), path)
+    pf2 = _cached_parquet_file(path)
+    assert pf2 is not pf1
+    assert pf2.read().column("x").to_pylist() == [9, 9]
