@@ -95,34 +95,35 @@ def embedding_pairs_exact(sf_dir: str, threshold: float = 0.35):
     norms[norms == 0] = 1.0
     mat = mat / norms[:, None]
     all_ids = np.asarray(t.column("vec_id").to_numpy(), dtype=np.int64)
-    pack_ref = [ray.put({"mat": mat, "ids": all_ids})]
+    # pack sorted by id so workers look rows up with one searchsorted —
+    # no per-worker index dict, and the stage runs as a plain TASK pool
+    # (an actor pool reserved CPUs and paid ~1-2 s spin-up per query for
+    # state that is one zero-copy plasma view)
+    o = np.argsort(all_ids)
+    pack_ref = [ray.put({"mat": np.ascontiguousarray(mat[o]), "ids": all_ids[o]})]
 
-    class PairFinder:
-        def __init__(self):
-            pack = ray.get(pack_ref[0])
-            self.mat, self.ids = pack["mat"], pack["ids"]
-            self.index = {v: i for i, v in enumerate(self.ids)}
+    def find_pairs(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids_b = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
-            rows = np.fromiter(
-                (self.index[v] for v in ids_b), dtype=np.int64, count=len(ids_b)
-            )
-            cos = self.mat[rows] @ self.mat.T                  # (b, n)
-            ii, jj = np.nonzero(cos >= threshold)
-            a = ids_b[ii]
-            b = self.ids[jj]
-            keep = a < b
-            order = np.lexsort((b[keep], a[keep]))
-            return pa.table(
-                {
-                    "vec_id_a": pa.array(a[keep][order], pa.int64()),
-                    "vec_id_b": pa.array(b[keep][order], pa.int64()),
-                }
-            )
+        pack = cached_get(pack_ref[0])
+        pmat, pids = pack["mat"], pack["ids"]
+        ids_b = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
+        rows = np.searchsorted(pids, ids_b)
+        cos = pmat[rows] @ pmat.T                          # (b, n)
+        ii, jj = np.nonzero(cos >= threshold)
+        a = ids_b[ii]
+        b = pids[jj]
+        keep = a < b
+        order = np.lexsort((b[keep], a[keep]))
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[keep][order], pa.int64()),
+                "vec_id_b": pa.array(b[keep][order], pa.int64()),
+            }
+        )
 
     return emb.select_columns(["vec_id"]).map_batches(
-        PairFinder, batch_format="pyarrow", batch_size=1024, concurrency=2
+        find_pairs, batch_format="pyarrow", batch_size=1024
     )
 
 
@@ -265,8 +266,28 @@ def ann_topk_ivf(
     )
 
 
+# per-worker cache for the task-pool bucketer (same pattern as the
+# document/clips signature stages: the seeded plane matrix rebuilds in
+# microseconds, so worker-cached tasks beat a CPU-reserving actor pool)
+_BUCKETER_CACHE: dict = {}
+
+
+def _make_bucketer_fn(dim: int, n_planes: int, n_chunks: int, seed: int):
+    key = (dim, n_planes, n_chunks, seed)
+
+    def bucket_fn(batch: pa.Table) -> pa.Table:
+        stage = _BUCKETER_CACHE.get(key)
+        if stage is None:
+            stage = _HyperplaneBucketer(dim, n_planes, n_chunks, seed)
+            _BUCKETER_CACHE[key] = stage
+        return stage(batch)
+
+    return bucket_fn
+
+
 class _HyperplaneBucketer:
-    """Actor-pool stage: the random hyperplane matrix is actor state."""
+    """Hyperplane-LSH bucketer; state (the seeded random plane matrix) is
+    built once per worker via :func:`_make_bucketer_fn`."""
 
     def __init__(self, dim: int, n_planes: int, n_chunks: int, seed: int):
         rng = np.random.default_rng(seed)
@@ -357,12 +378,8 @@ def embedding_dup_pairs(
     dim = len(first["embedding"])
 
     buckets = emb.map_batches(
-        _HyperplaneBucketer,
-        fn_constructor_kwargs={
-            "dim": dim, "n_planes": n_planes, "n_chunks": n_chunks, "seed": seed
-        },
+        _make_bucketer_fn(dim, n_planes, n_chunks, seed),
         batch_format="pyarrow",
-        concurrency=2,
     )
     joined = buckets.join(
         buckets,
@@ -397,25 +414,24 @@ def embedding_dup_pairs(
         order = np.argsort(ids_np)
         pack_ref = [ray.put({"mat": np.ascontiguousarray(mat[order]), "ids": ids_np[order]})]
 
-        class Verify:
-            def __init__(self):
-                pack = ray.get(pack_ref[0])
-                self.mat, self.ids = pack["mat"], pack["ids"]
+        def verify(batch: pa.Table) -> pa.Table:
+            from minhash_ray.util import cached_get
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                a = np.searchsorted(self.ids, batch.column("vec_id_a").to_numpy())
-                b = np.searchsorted(self.ids, batch.column("vec_id_b").to_numpy())
-                cos = (self.mat[a] * self.mat[b]).sum(axis=1)
-                keep = cos >= threshold
-                return pa.table(
-                    {
-                        "vec_id_a": batch.column("vec_id_a").filter(pa.array(keep)),
-                        "vec_id_b": batch.column("vec_id_b").filter(pa.array(keep)),
-                        "cos": pa.array(cos[keep], pa.float64()),
-                    }
-                )
+            pack = cached_get(pack_ref[0])
+            pmat, pids = pack["mat"], pack["ids"]
+            a = np.searchsorted(pids, batch.column("vec_id_a").to_numpy())
+            b = np.searchsorted(pids, batch.column("vec_id_b").to_numpy())
+            cos = (pmat[a] * pmat[b]).sum(axis=1)
+            keep = cos >= threshold
+            return pa.table(
+                {
+                    "vec_id_a": batch.column("vec_id_a").filter(pa.array(keep)),
+                    "vec_id_b": batch.column("vec_id_b").filter(pa.array(keep)),
+                    "cos": pa.array(cos[keep], pa.float64()),
+                }
+            )
 
-        return uniq.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+        return uniq.map_batches(verify, batch_format="pyarrow")
 
     # join path (the 10^9-vector regime): attach normalized vectors per side
     def normalize(batch: pa.Table) -> pa.Table:

@@ -102,8 +102,20 @@ _LANG_PROFILES = {
 }
 
 
+# per-worker cache (task-pool form — the profile state is a few dozen
+# strings; an actor pool paid ~1-2 s spin-up per query for it)
+_LANGID_CACHE: list = []
+
+
+def _lang_id_fn(batch: pa.Table) -> pa.Table:
+    if not _LANGID_CACHE:
+        _LANGID_CACHE.append(LangIdStage())
+    return _LANGID_CACHE[0](batch)
+
+
 class LangIdStage:
-    """Stateful actor-pool stage: profiles built once per actor."""
+    """Language-ID heuristic; profile state built once per worker via
+    ``_lang_id_fn``."""
 
     def __init__(self):
         self.profiles = {k: set(v) for k, v in _LANG_PROFILES.items() if v}
@@ -128,9 +140,11 @@ class LangIdStage:
 
 
 def lang_id(sf_dir: str):
-    """doc_id, lang_pred — n-gram heuristic language ID (actor pool)."""
+    """doc_id, lang_pred — n-gram heuristic language ID (worker-cached
+    task pool; a real model would flip this back to an actor pool via
+    ``map_batches(Cls, concurrency=N)``)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=2
+        _lang_id_fn, batch_format="pyarrow"
     )
 
 
