@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup over documents ---
         "exact_dedup_docs": dedup_text.exact_dedup,          # SQL-checked
         "simhash_fingerprints": dedup_text.simhash_fingerprints,   # SQL-checked
+        # exact-recall SimHash near-dup pairs (pigeonhole chunk banding +
+        # Hamming verify) — SQL-checked against an O(n²) bit_count oracle
+        "simhash_dup_pairs": dedup_text.simhash_dup_pairs,
         # the full LSH pipeline, oracle-checked: sketch + banding +
         # candidate join + estimator gate replayed in DuckDB
         "minhash_dup_pairs": dedup_text.minhash_dup_pairs,
@@ -499,7 +502,7 @@ def _tiered_dedup_sql(seed: int = 42) -> str:
     )
 
 
-def _simhash_sql(seed: int = 42) -> str:
+def _simhash_sql(seed: int = 42, only_nonzero: bool = False) -> str:
     """DuckDB replay of the SimHash channel (Charikar 2002 sign-of-vote
     over the token-trigram MULTISET): shares the token-hash/gram chain of
     ``_minhash_slots_sql``, expands 64 bit positions from a literal
@@ -540,11 +543,35 @@ def _simhash_sql(seed: int = 42) -> str:
         "  SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(pw AS HUGEINT) ELSE 0 END) AS sh"
         "  FROM votes GROUP BY doc_id"
         ") "
-        "SELECT d.doc_id AS doc_id, "
-        "CAST(CASE WHEN COALESCE(s.sh, 0) >= 9223372036854775808::HUGEINT "
-        "THEN COALESCE(s.sh, 0) - 18446744073709551616 "
-        "ELSE COALESCE(s.sh, 0) END AS BIGINT) AS simhash "
-        "FROM documents d LEFT JOIN sims s ON s.doc_id = d.doc_id"
+        + (
+            # only docs with >= 1 gram (``sims`` membership): the banding
+            # stage excludes zero-shingle rows, so the pairs oracle must too
+            "SELECT s.doc_id AS doc_id, "
+            "CAST(CASE WHEN s.sh >= 9223372036854775808::HUGEINT "
+            "THEN s.sh - 18446744073709551616 "
+            "ELSE s.sh END AS BIGINT) AS simhash "
+            "FROM sims s"
+            if only_nonzero
+            else
+            "SELECT d.doc_id AS doc_id, "
+            "CAST(CASE WHEN COALESCE(s.sh, 0) >= 9223372036854775808::HUGEINT "
+            "THEN COALESCE(s.sh, 0) - 18446744073709551616 "
+            "ELSE COALESCE(s.sh, 0) END AS BIGINT) AS simhash "
+            "FROM documents d LEFT JOIN sims s ON s.doc_id = d.doc_id"
+        )
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 8, seed: int = 42) -> str:
+    """All doc pairs within ``max_hamming`` SimHash bits — exact O(n²)
+    replay (the Ray side's (d+1)-chunk pigeonhole banding is exact-recall,
+    so the two must agree bit-for-bit)."""
+    return (
+        f"WITH fp AS ({_simhash_sql(seed, only_nonzero=True)}) "
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
 
 
@@ -745,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprints": _rolling_fp_sql(),
         "doc_minhash_slots": _minhash_slots_sql(),
         "simhash_fingerprints": _simhash_sql(),
+        "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "lang_id": _lang_id_sql(),

@@ -211,6 +211,86 @@ def minhash_dup_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions
     return _dedupe_sorted_pairs(out, val_col="sim")
 
 
+def simhash_dup_pairs(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    max_hamming: int = 8,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """All doc pairs within ``max_hamming`` SimHash bits — EXACT-recall
+    near-dup pairs via the pigeonhole chunk banding (any pair differing in
+    ≤ d of 64 bits must agree on at least one of d+1 bit-chunks), then an
+    exact Hamming verification against a broadcast fingerprint pack
+    (doc-id-sorted numpy arrays; at corpus scale swap for the join-attach
+    pattern of ``stages/verify.verify_shuffle`` — the pack here is
+    16 B/doc).  Zero-shingle docs never band (their all-zero fingerprints
+    would cross-link unrelated empty docs).  SQL-checked: the DuckDB
+    oracle replays the fingerprint chain and an O(n²)
+    ``bit_count(xor(...))`` self-join exactly."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from minhash_ray.functions.simhash import hamming_distance
+    from minhash_ray.stages.banding import make_simhash_band_fn
+    from minhash_ray.stages.candidates import candidate_pairs
+
+    sigs = doc_signatures(sf_dir, cfg, docs=docs).materialize()
+
+    def with_str_ids(batch: pa.Table) -> pa.Table:
+        ids = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "clip_id": ids,
+                "simhash": batch.column("simhash"),
+                "n_shingles": batch.column("n_shingles"),
+            }
+        )
+
+    keyed = sigs.map_batches(with_str_ids, batch_format="pyarrow")
+    band_rows = keyed.map_batches(
+        make_simhash_band_fn(max_hamming + 1), batch_format="pyarrow"
+    )
+    exact_cfg = cfg.with_(salt_hot_bands=False, band_group_cap=1_000_000_000)
+    pairs = candidate_pairs(band_rows, exact_cfg, num_partitions=num_partitions).materialize()
+
+    ids_list: list[int] = []
+    sh_list: list[np.ndarray] = []
+    for b in sigs.select_columns(["doc_id", "simhash"]).iter_batches(
+        batch_size=1_048_576, batch_format="pyarrow"
+    ):
+        ids_list.extend(b.column("doc_id").to_pylist())
+        sh_list.append(np.ascontiguousarray(b.column("simhash").to_numpy(), dtype=np.uint64))
+    ids_np = np.asarray(ids_list, dtype=np.int64)
+    sh_np = np.concatenate(sh_list) if sh_list else np.empty(0, dtype=np.uint64)
+    o = np.argsort(ids_np)
+    pack_ref = [ray.put({"ids": ids_np[o], "sh": sh_np[o]})]
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        pack = cached_get(pack_ref[0])
+        a = pc.cast(batch.column("clip_id_a"), pa.int64()).to_numpy()
+        b = pc.cast(batch.column("clip_id_b"), pa.int64()).to_numpy()
+        ia = np.searchsorted(pack["ids"], a)
+        ib = np.searchsorted(pack["ids"], b)
+        d = hamming_distance(pack["sh"][ia], pack["sh"][ib]).astype(np.int64)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a[keep], pa.int64()),
+                "doc_id_b": pa.array(b[keep], pa.int64()),
+                "hamming": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+    return _dedupe_sorted_pairs(verified, val_col="hamming", val_type=pa.int64())
+
+
 def _doc_shingle_sets(sf_dir: str, cfg: PipelineConfig):
     """documents → {doc_id, shingles (sorted-unique list<u64>), n}."""
 
@@ -373,17 +453,18 @@ def ngram_jaccard_pairs(
     return _dedupe_sorted_pairs(verified)
 
 
-def _dedupe_sorted_pairs(verified, val_col: str = "jaccard") -> pa.Table:
+def _dedupe_sorted_pairs(verified, val_col: str = "jaccard", val_type=None) -> pa.Table:
     """Verified pair lists are metadata-scale (edges, not corpus): stream
     to the driver, one vectorized lexsort + mask dedupes and orders them —
     no repartition(1) single-block serialization, no pandas."""
+    val_type = val_type or pa.float64()
     batches = list(verified.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
     if not batches:
         return pa.table(
             {
                 "doc_id_a": pa.array([], pa.int64()),
                 "doc_id_b": pa.array([], pa.int64()),
-                val_col: pa.array([], pa.float64()),
+                val_col: pa.array([], val_type),
             }
         )
     vt = pa.concat_tables(batches)
@@ -399,7 +480,7 @@ def _dedupe_sorted_pairs(verified, val_col: str = "jaccard") -> pa.Table:
         {
             "doc_id_a": pa.array(a[first], pa.int64()),
             "doc_id_b": pa.array(b[first], pa.int64()),
-            val_col: pa.array(j[first], pa.float64()),
+            val_col: pa.array(j[first], val_type),
         }
     )
 
