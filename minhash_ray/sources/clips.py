@@ -173,6 +173,14 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
         acc += sizes[i]
     groups.append((start, n_rg))
 
+    # declare the (column-pruned) footer schema on every ReadTask so
+    # ds.schema() is metadata-only — without it the first schema() call
+    # executes a limit-1 read task (~0.6 s of serial time inside every
+    # pipeline run just to validate the input contract)
+    file_schema = md.schema.to_arrow_schema()
+    if columns is not None:
+        file_schema = pa.schema([file_schema.field(c) for c in columns])
+
     class _RowGroupDatasource(Datasource):
         def get_name(self):
             return "ParquetRowGroups"
@@ -209,6 +217,7 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
                             exec_stats=None,
                             input_files=[path],
                         ),
+                        schema=file_schema,
                     )
                 )
             return tasks
