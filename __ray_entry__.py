@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- text analysis (SQL-checked) ---
         "token_counts": text.token_counts,
+        # exact distributed quantiles via (value, count) partial histograms
+        # — no global sort; SQL-checked against a row_number join
+        "token_quantiles": text.token_quantiles,
         "text_quality": text.text_quality,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_stats": text.lang_stats,
@@ -762,6 +765,16 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "token_counts": f"SELECT doc_id, {n_tokens} AS n_tokens FROM documents",
+        # exact 'lower' order statistics: value at sorted index
+        # floor((n-1)·q) — same definition the Ray histogram fold uses
+        "token_quantiles": (
+            f"WITH c AS (SELECT {n_tokens} AS v FROM documents), "
+            "o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r, "
+            "count(*) OVER () AS n FROM c) "
+            "SELECT qq.q AS q, o.v AS n_tokens "
+            "FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) qq(q) "
+            "JOIN o ON o.r = CAST(floor((o.n - 1) * qq.q) AS BIGINT)"
+        ),
         "text_quality": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_measured, "
             f"{n_tokens} AS n_tokens, "

@@ -41,6 +41,59 @@ def token_counts(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def token_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """(q, n_tokens): EXACT discrete quantiles of the per-doc token count —
+    the distribution-statistics operator of a corpus-curation pipeline
+    (pick length cutoffs from the tails).
+
+    Scale shape: exact quantiles over N rows without a global sort — each
+    batch pre-aggregates to (value, count) pairs (``np.unique``), a tiny
+    ``groupby(value).sum`` merges the partials, and the driver folds the
+    metadata-scale histogram (distinct token counts ≪ docs) into exact
+    order statistics: quantile q = the value at sorted index
+    ``floor((n-1)·q)`` (numpy 'lower' semantics, replayed exactly by the
+    DuckDB oracle's row_number join)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch.column("text")))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empties = pc.equal(pc.utf8_trim_whitespace(batch.column("text")), "").to_numpy(
+            zero_copy_only=False
+        )
+        n[empties] = 0
+        v, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    hist = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+    )
+    t = pa.concat_tables(
+        list(hist.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
+    )
+    ccol = [c for c in t.column_names if c != "v"][0]
+    v = t.column("v").to_numpy()
+    c = t.column(ccol).to_numpy()
+    o = np.argsort(v)
+    v, c = v[o], c[o]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        idx = int(np.floor((n - 1) * q))
+        out_q.append(float(q))
+        out_v.append(int(v[np.searchsorted(cum, idx, side="right")]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "n_tokens": pa.array(out_v, pa.int64())}
+    )
+
+
 def text_quality(sf_dir: str):
     """doc_id, n_chars_measured, n_tokens, n_punct — quality-scoring
     features (length / token / punctuation counts), all exact integers so

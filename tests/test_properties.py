@@ -130,3 +130,47 @@ def test_audio_similarity_bounds_and_symmetry(xs, ys, min_filled):
     # identical fully-filled sketches score exactly 1.0
     if (a != INF).all() and (a >= min_filled).all() and (a != INF).sum() >= min_filled:
         assert audio_similarity(a, a, min_filled)[0] == 1.0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=0, max_size=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wordpoly_chunked_fold_matches_sequential(lens, seed):
+    """The chunked Horner fold (128 KB scratch) must equal the plain
+    sequential word fold ``h = h*M + w_i`` finished by ``h*M + len`` for
+    arbitrary row lengths, including zero rows, sub-word rows, and rows
+    straddling the chunk boundary (exercised via a shrunken chunk)."""
+    import minhash_ray.util as U
+
+    rng = np.random.default_rng(seed)
+    flat = rng.integers(0, 256, size=sum(lens), dtype=np.uint8)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    mult = 0xD6E8FEB86659FD93
+
+    def seq(flat, offs):
+        out = []
+        for i in range(len(offs) - 1):
+            b = bytes(flat[offs[i]:offs[i + 1]])
+            if not b:
+                out.append(0)
+                continue
+            b += b"\0" * ((-len(b)) % 8)
+            h = 0
+            for j in range(0, len(b), 8):
+                h = (h * mult + int.from_bytes(b[j:j + 8], "little")) % 2**64
+            out.append((h * mult + (offs[i + 1] - offs[i])) % 2**64)
+        return np.array(out, dtype=np.uint64)
+
+    want = seq(flat, offs)
+    got = U.wordpoly_digest_rows(flat, offs, mult)
+    assert (got == want).all()
+    # force multi-chunk rows: shrink the chunk to 4 words
+    old = U._WORDPOLY_CHUNK_WORDS
+    U._WORDPOLY_CHUNK_WORDS = 4
+    try:
+        got_small = U.wordpoly_digest_rows(flat, offs, mult)
+    finally:
+        U._WORDPOLY_CHUNK_WORDS = old
+    assert (got_small == want).all()
