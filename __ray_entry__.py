@@ -226,7 +226,7 @@ def substring_pairs(sf_dir: str, broadcast_max_rows: int = 2_000_000):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from minhash_ray.pipelines import ann, dedup_text, events, relational, text
+    from minhash_ray.pipelines import ann, curation, dedup_text, events, relational, text
 
     return {
         # --- text analysis (SQL-checked) ---
@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # clustering itself is SQL-checked (recursive reachability CTE)
         "doc_dedup_tiered": dedup_text.doc_dedup_tiered,
         "rolling_fingerprints": dedup_text.rolling_fingerprints,   # SQL-checked
+        # composite training-data pipeline: dedup keep flag + lang ID +
+        # quality gates → curated corpus manifest (SQL-checked via a
+        # WITH-composition of the three sub-oracles)
+        "corpus_curation": curation.corpus_curation,
         # the CORE sketch algebra, oracle-checked: (doc_id, perm, slot)
         # minhash values replayed bit-for-bit by a DuckDB HUGEINT oracle
         "doc_minhash_slots": dedup_text.doc_minhash_slots,
@@ -758,6 +762,29 @@ def _ivf_topk_sql(query_vec_id: int = 0, k: int = 10, n_centroids: int = 16,
     )
 
 
+def _curation_sql(min_tokens: int = 10, punct_denom: int = 20) -> str:
+    """WITH-composition of the three independently-verified sub-oracles
+    (tiered dedup, language ID, quality counts) plus the same integer
+    gates and inner joins as ``pipelines/curation.corpus_curation``."""
+    n_tokens = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+    )
+    return (
+        f"WITH tiered AS ({_tiered_dedup_sql()}), "
+        f"lang AS ({_lang_id_sql()}), "
+        "q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        f"{n_tokens} AS n_tokens, "
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)"
+        " AS n_punct FROM documents) "
+        "SELECT t.doc_id AS doc_id, q.n_tokens AS n_tokens, l.lang_pred AS lang_pred "
+        "FROM tiered t JOIN q ON q.doc_id = t.doc_id "
+        "JOIN lang l ON l.doc_id = t.doc_id "
+        f"WHERE t.keep = 1 AND q.n_tokens >= {min_tokens} "
+        f"AND q.n_punct * {punct_denom} <= q.n_chars"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     n_tokens = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -788,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
+        "corpus_curation": _curation_sql(),
         "lang_id": _lang_id_sql(),
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
