@@ -55,7 +55,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from minhash_ray.config import PipelineConfig
-    from minhash_ray.pipelines import ann, dedup_text, events, relational, text
+    from minhash_ray.pipelines import ann, curation, dedup_text, events, relational, text
     from minhash_ray.pipelines.dedup import dedup_metrics, run_dedup
     from minhash_ray.sources.synth import clips_dir_for
 
@@ -154,6 +154,9 @@ def run_bench() -> dict:
         ("window_counts", events.window_counts),
         ("sessionize", events.sessionize),
         ("asof_prior", events.asof_prior),
+        ("simhash_dup_pairs", dedup_text.simhash_dup_pairs),
+        ("token_quantiles", text.token_quantiles),
+        ("corpus_curation", curation.corpus_curation),
     ):
         queries[name], queries_runs[name] = timed2(fn)
 
