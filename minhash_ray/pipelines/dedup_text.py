@@ -161,10 +161,14 @@ def minhash_dup_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions
     sigs = doc_signatures(sf_dir, cfg, docs=docs).materialize()
 
     def with_str_ids(batch: pa.Table) -> pa.Table:
-        ids = [f"{d:012d}" for d in batch.column("doc_id").to_pylist()]
+        import pyarrow.compute as pc
+
+        ids = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                "clip_id": pa.array(ids, pa.string()),
+                "clip_id": ids,
                 "signature": batch.column("signature"),
                 "simhash": batch.column("simhash"),
                 "n_shingles": batch.column("n_shingles"),
