@@ -387,6 +387,9 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
     if backend == "local":
         from minhash_ray.util import cluster_cpus
 
+        # partition count = CPU count: A/B-measured equal to 4x finer
+        # partitioning at both 4 and 16 CPUs on the 200k corpus — the
+        # reducer sorts are not the binding term
         pairs = _pairs_local_shuffle(
             salted, cfg, n_partitions=max(2, min(num_partitions, cluster_cpus()))
         )
