@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed quantiles via (value, count) partial histograms
         # — no global sort; SQL-checked against a row_number join
         "token_quantiles": text.token_quantiles,
+        # BPE-ish regex token counting (RE2 pattern, identical engine on
+        # both sides) — SQL-checked
+        "bpe_token_counts": text.bpe_token_counts,
         "text_quality": text.text_quality,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_stats": text.lang_stats,
@@ -794,6 +797,11 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": f"SELECT doc_id, {n_tokens} AS n_tokens FROM documents",
         # exact 'lower' order statistics: value at sorted index
         # floor((n-1)·q) — same definition the Ray histogram fold uses
+        "bpe_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'"
+            ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
         "token_quantiles": (
             f"WITH c AS (SELECT {n_tokens} AS v FROM documents), "
             "o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r, "

@@ -41,6 +41,31 @@ def token_counts(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style contraction / letter-run /
+# digit-run / punctuation-run classes, lookahead-free so it runs under
+# RE2 — BOTH pyarrow and DuckDB compile regexes with RE2, so the two
+# engines count identically by construction)
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts(sf_dir: str):
+    """doc_id, n_bpe_tokens — subword-style token counting via the
+    BPE-ish pre-tokenizer regex (the cost-estimation counter of a
+    training-data pipeline; whitespace counting is ``token_counts``).
+    One vectorized ``count_substring_regex`` kernel per batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_SPLIT_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
 def token_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     """(q, n_tokens): EXACT discrete quantiles of the per-doc token count —
     the distribution-statistics operator of a corpus-curation pipeline

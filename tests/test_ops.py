@@ -44,7 +44,7 @@ SQL_QUERIES = [
     "doc_minhash_slots", "simhash_fingerprints", "minhash_dup_pairs",
     "lang_id", "embedding_dup_pairs", "ann_topk_ivf", "doc_dedup_tiered",
     "window_counts", "sessionize", "asof_prior", "simhash_dup_pairs",
-    "token_quantiles", "corpus_curation",
+    "token_quantiles", "corpus_curation", "bpe_token_counts",
 ]
 
 
