@@ -253,18 +253,18 @@ def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (the sandbox
     substitute for N vs 4N Ray nodes; see BASELINE.md).
 
-    Uses a larger clips table than the headline run (default 200k rows,
-    override with GRAFT_SCALING_ROWS): at small inputs fixed per-stage
-    latencies (driver pack build, shuffle barriers, actor spin-up — ~6 s
-    of serial-equivalent regardless of CPU count, measured by Amdahl fit
-    across the two legs) dominate and the comparison measures startup,
-    not scaling.  Each round's kernel speedups make the fixed remainder
-    proportionally heavier, so the scaling corpus grows with engine speed
-    — per-clip compute must stay dominant for the ratio to measure the
-    ENGINE (at 100 TB the parallel fraction is ~100%; a small corpus
-    UNDERSTATES large-cluster efficiency).
+    Uses a larger clips table than the headline run (default 100k rows,
+    override with GRAFT_SCALING_ROWS — BASELINE.md records 200k runs):
+    at small inputs fixed per-stage latencies (driver pack build, shuffle
+    barriers, actor spin-up — ~6 s of serial-equivalent regardless of CPU
+    count, measured by Amdahl fit across the two legs) dominate and the
+    comparison measures startup, not scaling.  Per-clip compute must stay
+    dominant for the ratio to measure the ENGINE (at 100 TB the parallel
+    fraction is ~100%; a small corpus UNDERSTATES large-cluster
+    efficiency) — but the default stays at 100k so a default invocation
+    finishes in ~6 minutes; see BASELINE.md for the 200k evidence.
     """
-    scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "200000"))
+    scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "100000"))
     # realistic clip durations (avg ~3.6 s audio): the scaling measurement
     # must be dominated by per-clip compute, not per-stage latency
     dur = (1200, 6000)
