@@ -294,6 +294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_counts": events.window_counts,
         "sessionize": events.sessionize,
         "asof_prior": events.asof_prior,
+        # banded time-range join (interval semantics Ray Data lacks
+        # natively) — SQL-checked against a correlated-count oracle
+        "range_join_recent": events.range_join_recent,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---
@@ -908,6 +911,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM g"
+        ),
+        "range_join_recent": (
+            "SELECT e.event_id, CAST((SELECT count(*) FROM events c "
+            "WHERE c.event_type = 'click' "
+            "AND c.ts > e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts) AS BIGINT) "
+            "AS n_recent FROM events e WHERE e.event_type = 'error'"
         ),
         "asof_prior": (
             "SELECT event_id, user_id, prior_event_id FROM ("

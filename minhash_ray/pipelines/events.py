@@ -157,6 +157,87 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, num_partitions: int = 32):
     return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
 
 
+def range_join_recent(
+    sf_dir: str,
+    left_type: str = "error",
+    right_type: str = "click",
+    window_minutes: int = 5,
+):
+    """Banded time-RANGE join: for every ``left_type`` event, the number
+    of ``right_type`` events (any user) in the half-open window
+    ``(ts - window, ts]`` — the interval-join shape Ray Data has no
+    native operator for.
+
+    Banding makes it one equi-shuffle: both sides bucket into
+    window-width time bands; a right event in band b can only serve left
+    events in bands b and b+1 (the lookback crosses at most one
+    boundary), so right rows are emitted to both and each left event is
+    resolved entirely inside its OWN band group with two vectorized
+    ``searchsorted``s against the group's sorted right timestamps.  Each
+    (left, right) pair is counted exactly once because a left event
+    lives in exactly one group.  Partitioning contract: one time band's
+    rows must fit a task — at 100 TB the band width is the knob.
+    """
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type")
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        t_np = np.asarray(types.to_numpy(zero_copy_only=False))
+        ts = _ts_us(batch.column("ts"))
+        ids = batch.column("event_id").to_numpy()
+        band = ts // win_us
+        is_l = t_np == left_type
+        is_r = t_np == right_type
+        out_band = [band[is_l], band[is_r], band[is_r] + 1]
+        out_left = [
+            np.ones(int(is_l.sum()), dtype=bool),
+            np.zeros(int(is_r.sum()), dtype=bool),
+            np.zeros(int(is_r.sum()), dtype=bool),
+        ]
+        out_ids = [ids[is_l], ids[is_r], ids[is_r]]
+        out_ts = [ts[is_l], ts[is_r], ts[is_r]]
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band), pa.int64()),
+                "is_left": pa.array(np.concatenate(out_left), pa.bool_()),
+                "event_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "ts_us": pa.array(np.concatenate(out_ts), pa.int64()),
+            }
+        )
+
+    def per_band(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "n_recent": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        is_l = batch.column("is_left").to_numpy(zero_copy_only=False)
+        ids = batch.column("event_id").to_numpy()
+        ts = batch.column("ts_us").to_numpy()
+        lts, lids = ts[is_l], ids[is_l]
+        rts = np.sort(ts[~is_l])
+        if len(lts) == 0:
+            return empty
+        hi = np.searchsorted(rts, lts, side="right")
+        lo = np.searchsorted(rts, lts - win_us, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(lids, pa.int64()),
+                "n_recent": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"]).map_batches(
+        band_rows, batch_format="pyarrow"
+    )
+    return ds.groupby("band").map_groups(per_band, batch_format="pyarrow")
+
+
 def asof_prior(
     sf_dir: str,
     left_type: str = "purchase",
