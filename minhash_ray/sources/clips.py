@@ -84,8 +84,12 @@ def read_clips(path: str, columns: list[str] | None = None, **read_kwargs):
 
 
 # worker-process cache of open (memory-mapped) parquet readers, keyed by
-# (path, mtime, size) so a rewritten file is never served stale
+# (path, mtime, size) so a rewritten file is never served stale; small
+# LRU (not clear-on-miss) so a worker whose tasks alternate between files
+# — clips + documents in one session, concurrent bench queries — keeps
+# all of them open instead of re-parsing footers per task (ADVICE r3)
 _PQ_FILE_CACHE: dict = {}
+_PQ_FILE_CACHE_MAX = 4
 
 
 def _cached_parquet_file(path: str):
@@ -93,11 +97,16 @@ def _cached_parquet_file(path: str):
 
     st = os.stat(path)
     key = (path, st.st_mtime_ns, st.st_size)
-    pf = _PQ_FILE_CACHE.get(key)
+    pf = _PQ_FILE_CACHE.pop(key, None)     # pop+reinsert = LRU touch
     if pf is None:
         pf = pq.ParquetFile(pa.memory_map(path))
-        _PQ_FILE_CACHE.clear()             # one corpus per worker at a time
-        _PQ_FILE_CACHE[key] = pf
+        # evict oldest entries for the same path first (a rewritten file's
+        # stale reader can never be hit again), then plain LRU
+        for k in [k for k in _PQ_FILE_CACHE if k[0] == path]:
+            _PQ_FILE_CACHE.pop(k, None)
+        while len(_PQ_FILE_CACHE) >= _PQ_FILE_CACHE_MAX:
+            _PQ_FILE_CACHE.pop(next(iter(_PQ_FILE_CACHE)))
+    _PQ_FILE_CACHE[key] = pf
     return pf
 
 

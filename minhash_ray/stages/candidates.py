@@ -264,16 +264,35 @@ def _pairs_local_shuffle(salted_ds, cfg: PipelineConfig, n_partitions: int):
         L = run_len[run_id]                              # run length per row
         r = np.arange(len(key_s)) - starts[run_id]       # position in run
         a_idx, b_idx = [], []
-        max_m = int(run_len.max()) if len(run_len) else 0
-        for j in range(1, max_m):
-            mask = (r + j < L) & ((L <= cap) | (r == 0) | (j == 1))
-            if not mask.any():
-                if (run_len > j).sum() == 0:
+        # runs up to ``cap``: all pairs, j-loop bounded by cap iterations
+        # over ONLY the small-run rows (gathered once)
+        small = np.flatnonzero(L <= cap)
+        if small.size:
+            Ls = L[small]
+            rs = r[small]
+            for j in range(1, int(Ls.max())):
+                mask = rs + j < Ls
+                if not mask.any():
                     break
-                continue
-            src = np.flatnonzero(mask)
-            a_idx.append(src)
-            b_idx.append(src + j)
+                src = small[mask]
+                a_idx.append(src)
+                b_idx.append(src + j)
+        # over-cap runs: star+chain (2m-3 edges) emitted DIRECTLY in
+        # O(run_len) — the previous j-loop form walked j up to the longest
+        # run's length with a full-partition mask pass per j, turning a
+        # single 100k-row bucket into an O(run_len x partition_rows)
+        # straggler (ADVICE r3); connectivity is identical
+        big = np.flatnonzero(L > cap)
+        if big.size:
+            rb = r[big]
+            chain = big[rb + 1 < L[big]]                 # (i, i+1) adjacents
+            if chain.size:
+                a_idx.append(chain)
+                b_idx.append(chain + 1)
+            tail = big[rb >= 2]                          # (start, i); r==1 is
+            if tail.size:                                # already the first chain edge
+                a_idx.append(starts[run_id[tail]])
+                b_idx.append(tail)
         if not a_idx:
             return empties()
         ai = np.concatenate(a_idx)
@@ -521,16 +540,28 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
 
 def _hash_fixed_bytes(ka: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a over a numpy fixed-width ``'S'`` bytes array —
-    column-at-a-time over the (short, fixed) id width, never a Python loop
-    over rows."""
+    column-at-a-time over the (short) id width, never a Python loop over
+    rows.  Each row's hash folds only its TRUE bytes (masked to the row's
+    length, not the array's padded width), so the same id hashes
+    identically regardless of which batch — and hence which max-id-width
+    'S' array — it arrived in; equals ``fnv1a_64(id_bytes)`` exactly.
+    (Ids are UTF-8 strings, so they contain no interior NUL bytes and
+    length = index of last non-NUL + 1.)"""
     if ka.size == 0:
         return np.empty(0, dtype=np.uint64)
     width = ka.dtype.itemsize
     m = ka.view(np.uint8).reshape(len(ka), width)
+    nz = m != 0
+    lengths = width - np.argmax(nz[:, ::-1], axis=1)
+    lengths[~nz.any(axis=1)] = 0
     h = np.full(len(ka), U64(FNV_OFFSET))
     P = U64(FNV_PRIME)
     for j in range(width):
-        h = (h ^ m[:, j].astype(np.uint64)) * P
+        live = lengths > j
+        if not live.any():
+            break
+        hj = h[live]
+        h[live] = (hj ^ m[live, j].astype(np.uint64)) * P
     return h
 
 

@@ -174,9 +174,12 @@ def driver_exact_edges_table(ids, hashes) -> pa.Table:
     a_idx = rep_idx[member]
     b_idx = order[member]
     n = int(member.sum())
-    ids_arr = ids if isinstance(ids, pa.Array) else pa.array(list(ids), pa.string())
-    if isinstance(ids_arr, pa.ChunkedArray):
-        ids_arr = ids_arr.combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids_arr = ids.combine_chunks()     # zero-ish copy, not a Python rebuild
+    elif isinstance(ids, pa.Array):
+        ids_arr = ids
+    else:
+        ids_arr = pa.array(list(ids), pa.string())
     return _edges_table(
         ids_arr.take(pa.array(a_idx)),
         ids_arr.take(pa.array(b_idx)),

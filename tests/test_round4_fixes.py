@@ -1,0 +1,138 @@
+"""Round-4 regression tests for the ADVICE r3 findings:
+
+1. ``_hash_fixed_bytes`` must be independent of the numpy 'S' array's
+   padded width (trailing-NUL folding made the same id route to different
+   global-distinct shards between batches with different max id lengths).
+2. ``reduce_partition``'s over-cap star+chain emission must be O(run_len),
+   not O(run_len x partition_rows), and must emit exactly the 2m-3 edge
+   set the module docstring promises.
+3. ``_cached_parquet_file`` must keep multiple files open (bounded LRU),
+   not clear the cache on every new key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_hash_fixed_bytes_width_independent():
+    from minhash_ray.functions.hashing import fnv1a_64
+    from minhash_ray.stages.candidates import _hash_fixed_bytes
+
+    for s in [b"ab", b"clip-000123", b"x", b"\xc3\xa9tude".decode().encode("utf-8")]:
+        ref = fnv1a_64(s)
+        for width in (len(s), len(s) + 1, len(s) + 6, 64):
+            got = _hash_fixed_bytes(np.array([s], dtype=f"S{width}"))[0]
+            assert int(got) == ref, (s, width)
+    # mixed lengths in one array: each row hashes its own true bytes
+    arr = np.array([b"a", b"abc", b"abcdefgh"], dtype="S8")
+    out = _hash_fixed_bytes(arr)
+    assert [int(x) for x in out] == [fnv1a_64(b"a"), fnv1a_64(b"abc"), fnv1a_64(b"abcdefgh")]
+    # empty string row: hash of zero bytes = FNV offset basis
+    from minhash_ray.functions.hashing import FNV_OFFSET
+
+    assert int(_hash_fixed_bytes(np.array([b""], dtype="S4"))[0]) == FNV_OFFSET
+
+
+def test_pair_pkey_stable_across_batch_widths():
+    """The same (a, b) pair must get the same pkey whether its batch's
+    widest id is 2 bytes or 20 — otherwise the global distinct silently
+    leaks duplicate pairs across shards."""
+    from minhash_ray.stages.candidates import _pair_pkey
+
+    narrow = pa.table({"clip_id_a": pa.array(["ab"]), "clip_id_b": pa.array(["cd"])})
+    wide = pa.table(
+        {
+            "clip_id_a": pa.array(["ab", "a-much-longer-clip-id"]),
+            "clip_id_b": pa.array(["cd", "another-long-clip-id"]),
+        }
+    )
+    k_narrow = _pair_pkey(narrow).column("pkey").to_pylist()[0]
+    k_wide = _pair_pkey(wide).column("pkey").to_pylist()[0]
+    assert k_narrow == k_wide
+
+
+def _band_table(n: int, bucket: int = 7) -> pa.Table:
+    return pa.table(
+        {
+            "bucket": pa.array([bucket] * n, pa.int64()),
+            "clip_id": pa.array([f"c{i:06d}" for i in range(n)], pa.string()),
+        }
+    )
+
+
+def _pairs_set(ds) -> set[tuple[str, str]]:
+    t = pa.concat_tables(list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    return set(
+        zip(t.column("clip_id_a").to_pylist(), t.column("clip_id_b").to_pylist())
+    )
+
+
+def test_overcap_run_emits_exact_star_chain(ray_session):
+    """One bucket with run_len >> cap on the LOCAL backend: the reducer
+    must emit exactly the star+chain edge set (2m-3 unordered pairs, one
+    connected component) — and do so via the O(run_len) direct path."""
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.stages.candidates import candidate_pairs
+
+    n = 400
+    cfg = PipelineConfig(band_group_cap=16, candidate_backend="local")
+    pairs = _pairs_set(candidate_pairs(rd.from_arrow(_band_table(n)), cfg, num_partitions=4))
+    assert len(pairs) == 2 * n - 3
+    # connectivity: union-find over the emitted edges collapses to 1 root
+    parent = {f"c{i:06d}": f"c{i:06d}" for i in range(n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(k) for k in parent}) == 1
+
+
+def test_small_run_still_emits_all_pairs(ray_session):
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.stages.candidates import candidate_pairs
+
+    n = 12
+    cfg = PipelineConfig(band_group_cap=16, candidate_backend="local")
+    pairs = _pairs_set(candidate_pairs(rd.from_arrow(_band_table(n)), cfg, num_partitions=2))
+    assert len(pairs) == n * (n - 1) // 2
+
+
+def test_parquet_file_cache_holds_multiple_files(tmp_path):
+    import pyarrow.parquet as pq
+
+    from minhash_ray.sources import clips as clips_mod
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"t{i}.parquet"
+        pq.write_table(pa.table({"x": pa.array([i])}), p)
+        paths.append(str(p))
+
+    clips_mod._PQ_FILE_CACHE.clear()
+    first = [clips_mod._cached_parquet_file(p) for p in paths]
+    # alternating between files must hit the cache (same object back)
+    for p, pf in zip(paths, first):
+        assert clips_mod._cached_parquet_file(p) is pf
+    # a rewritten file gets a fresh reader; others stay cached
+    pq.write_table(pa.table({"x": pa.array([99, 100])}), paths[0])
+    assert clips_mod._cached_parquet_file(paths[0]) is not first[0]
+    assert clips_mod._cached_parquet_file(paths[1]) is first[1]
+    # bounded: a burst of distinct files never grows the cache past the cap
+    for i in range(10):
+        p = tmp_path / f"extra{i}.parquet"
+        pq.write_table(pa.table({"x": pa.array([i])}), p)
+        clips_mod._cached_parquet_file(str(p))
+    assert len(clips_mod._PQ_FILE_CACHE) <= clips_mod._PQ_FILE_CACHE_MAX
+    clips_mod._PQ_FILE_CACHE.clear()
