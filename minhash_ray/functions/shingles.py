@@ -96,16 +96,14 @@ def char_shingles(
     norm = pc.utf8_trim_whitespace(
         pc.replace_substring_regex(pc.utf8_lower(pc.fill_null(texts, "")), r"\s+", " ")
     )
-    buf = norm.to_pylist()
     seed_h = U64(seed & (2**64 - 1))
-    all_bytes = []
-    counts = np.empty(len(buf), dtype=np.int64)
-    for i, s in enumerate(buf):
-        bs = s.encode("utf-8")
-        counts[i] = len(bs)
-        all_bytes.append(bs)
-    flat = np.frombuffer(b"".join(all_bytes), dtype=np.uint8).astype(np.uint64)
-    flat = flat ^ seed_h                                  # fold the seed per byte
+    # zero-copy flat UTF-8 view of the Arrow buffer — no per-row Python
+    # encode/join (the column's bytes ARE the UTF-8 we want)
+    from minhash_ray.util import string_flat_offsets
+
+    flat_u8, offs = string_flat_offsets(norm)
+    counts = np.diff(offs).astype(np.int64)
+    flat = flat_u8.astype(np.uint64) ^ seed_h             # fold the seed per byte
     s_counts = np.maximum(counts - (w - 1), 0).astype(np.int64)
     starts = np.repeat(np.cumsum(counts) - counts, s_counts) + _segmented_arange(s_counts)
     shingles = combine_wgrams(flat, starts, w)

@@ -185,25 +185,34 @@ def minhash_dup_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions
     # streaming graph deadlock a small cluster)
     pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
 
-    # verify via broadcast pack (documents tables are far under the limit)
-    from minhash_ray.stages.verify import verify_broadcast
+    # verify via the broadcast/shuffle auto-switch: documents tables are
+    # usually far under ``broadcast_verify_max_rows`` and take the pack
+    # path, but a corpus-scale run flips to the two-slim-join shuffle
+    # attach with IDENTICAL edge semantics (proven bit-identical by
+    # test_doc_lsh_shuffle_verify_matches_broadcast)
+    from minhash_ray.stages.verify import verify_pairs
 
     def add_audio_fp(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "audio_fp", pa.array(np.zeros(batch.num_rows, dtype=np.uint64), pa.uint64())
         )
 
-    edges = verify_broadcast(
-        pairs, keyed.map_batches(add_audio_fp, batch_format="pyarrow"), cfg
+    n_docs = keyed.count()
+    edges = verify_pairs(
+        pairs,
+        keyed.map_batches(add_audio_fp, batch_format="pyarrow"),
+        cfg,
+        n_clips=n_docs,
+        num_partitions=num_partitions,
     ).materialize()
 
     def to_doc_ids(batch: pa.Table) -> pa.Table:
-        a = [int(x) for x in batch.column("clip_id_a").to_pylist()]
-        b = [int(x) for x in batch.column("clip_id_b").to_pylist()]
+        import pyarrow.compute as pc
+
         return pa.table(
             {
-                "doc_id_a": pa.array(a, pa.int64()),
-                "doc_id_b": pa.array(b, pa.int64()),
+                "doc_id_a": pc.cast(batch.column("clip_id_a"), pa.int64()),
+                "doc_id_b": pc.cast(batch.column("clip_id_b"), pa.int64()),
                 "sim": batch.column("sim"),
             }
         )
@@ -225,13 +234,17 @@ def simhash_dup_pairs(
     """All doc pairs within ``max_hamming`` SimHash bits — EXACT-recall
     near-dup pairs via the pigeonhole chunk banding (any pair differing in
     ≤ d of 64 bits must agree on at least one of d+1 bit-chunks), then an
-    exact Hamming verification against a broadcast fingerprint pack
-    (doc-id-sorted numpy arrays; at corpus scale swap for the join-attach
-    pattern of ``stages/verify.verify_shuffle`` — the pack here is
-    16 B/doc).  Zero-shingle docs never band (their all-zero fingerprints
-    would cross-link unrelated empty docs).  SQL-checked: the DuckDB
-    oracle replays the fingerprint chain and an O(n²)
-    ``bit_count(xor(...))`` self-join exactly."""
+    exact Hamming verification.  Below ``cfg.broadcast_verify_max_rows``
+    docs the fingerprints are verified against a broadcast pack
+    (doc-id-sorted numpy arrays, 16 B/doc, accumulated vectorized — no
+    per-row Python); above it the pack is replaced by two slim
+    ``Dataset.join`` attaches of the (clip_id, simhash) table — the
+    ``verify_shuffle`` pattern — so no whole-corpus driver gather remains
+    at scale (both paths proven bit-identical by
+    test_simhash_join_attach_matches_broadcast).  Zero-shingle docs never
+    band (their all-zero fingerprints would cross-link unrelated empty
+    docs).  SQL-checked: the DuckDB oracle replays the fingerprint chain
+    and an O(n²) ``bit_count(xor(...))`` self-join exactly."""
     import pyarrow.compute as pc
 
     import ray
@@ -261,37 +274,93 @@ def simhash_dup_pairs(
     exact_cfg = cfg.with_(salt_hot_bands=False, band_group_cap=1_000_000_000)
     pairs = candidate_pairs(band_rows, exact_cfg, num_partitions=num_partitions).materialize()
 
-    ids_list: list[int] = []
-    sh_list: list[np.ndarray] = []
-    for b in sigs.select_columns(["doc_id", "simhash"]).iter_batches(
-        batch_size=1_048_576, batch_format="pyarrow"
-    ):
-        ids_list.extend(b.column("doc_id").to_pylist())
-        sh_list.append(np.ascontiguousarray(b.column("simhash").to_numpy(), dtype=np.uint64))
-    ids_np = np.asarray(ids_list, dtype=np.int64)
-    sh_np = np.concatenate(sh_list) if sh_list else np.empty(0, dtype=np.uint64)
-    o = np.argsort(ids_np)
-    pack_ref = [ray.put({"ids": ids_np[o], "sh": sh_np[o]})]
+    n_docs = sigs.count()
+    if n_docs <= cfg.broadcast_verify_max_rows:
+        ids_parts: list[np.ndarray] = []
+        sh_parts: list[np.ndarray] = []
+        for b in sigs.select_columns(["doc_id", "simhash"]).iter_batches(
+            batch_size=1_048_576, batch_format="pyarrow"
+        ):
+            ids_parts.append(
+                np.ascontiguousarray(b.column("doc_id").to_numpy(), dtype=np.int64)
+            )
+            sh_parts.append(
+                np.ascontiguousarray(b.column("simhash").to_numpy(), dtype=np.uint64)
+            )
+        ids_np = np.concatenate(ids_parts) if ids_parts else np.empty(0, dtype=np.int64)
+        sh_np = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=np.uint64)
+        o = np.argsort(ids_np)
+        pack_ref = [ray.put({"ids": ids_np[o], "sh": sh_np[o]})]
 
-    def verify(batch: pa.Table) -> pa.Table:
-        from minhash_ray.util import cached_get
+        def verify(batch: pa.Table) -> pa.Table:
+            from minhash_ray.util import cached_get
 
-        pack = cached_get(pack_ref[0])
-        a = pc.cast(batch.column("clip_id_a"), pa.int64()).to_numpy()
-        b = pc.cast(batch.column("clip_id_b"), pa.int64()).to_numpy()
-        ia = np.searchsorted(pack["ids"], a)
-        ib = np.searchsorted(pack["ids"], b)
-        d = hamming_distance(pack["sh"][ia], pack["sh"][ib]).astype(np.int64)
-        keep = d <= max_hamming
-        return pa.table(
-            {
-                "doc_id_a": pa.array(a[keep], pa.int64()),
-                "doc_id_b": pa.array(b[keep], pa.int64()),
-                "hamming": pa.array(d[keep], pa.int64()),
-            }
+            pack = cached_get(pack_ref[0])
+            a = pc.cast(batch.column("clip_id_a"), pa.int64()).to_numpy()
+            b = pc.cast(batch.column("clip_id_b"), pa.int64()).to_numpy()
+            ia = np.searchsorted(pack["ids"], a)
+            ib = np.searchsorted(pack["ids"], b)
+            d = hamming_distance(pack["sh"][ia], pack["sh"][ib]).astype(np.int64)
+            keep = d <= max_hamming
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(a[keep], pa.int64()),
+                    "doc_id_b": pa.array(b[keep], pa.int64()),
+                    "hamming": pa.array(d[keep], pa.int64()),
+                }
+            )
+
+        verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+    else:
+        # join-attach scale path: two slim partitioned joins of the
+        # (clip_id, simhash) table — 16 B/doc payload, no driver gather
+        from minhash_ray.util import strip_empty_blocks
+
+        def fp_side(suffix: str):
+            def rename(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "clip_id": batch.column("clip_id"),
+                        f"sh_{suffix}": batch.column("simhash"),
+                    }
+                )
+
+            return keyed.map_batches(rename, batch_format="pyarrow")
+
+        with_a = pairs.join(
+            fp_side("a"),
+            join_type="inner",
+            on=("clip_id_a",),
+            right_on=("clip_id",),
+            num_partitions=num_partitions,
+        )
+        # barrier between chained joins: join #1 can finalize empty
+        # partitions as schema-less blocks that break join #2's schema
+        # broadcast (util.strip_empty_blocks docstring)
+        with_ab = strip_empty_blocks(with_a).join(
+            fp_side("b"),
+            join_type="inner",
+            on=("clip_id_b",),
+            right_on=("clip_id",),
+            num_partitions=num_partitions,
         )
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+        def ham_gate(batch: pa.Table) -> pa.Table:
+            a = pc.cast(batch.column("clip_id_a"), pa.int64()).to_numpy()
+            b = pc.cast(batch.column("clip_id_b"), pa.int64()).to_numpy()
+            sa = np.ascontiguousarray(batch.column("sh_a").to_numpy(), dtype=np.uint64)
+            sb = np.ascontiguousarray(batch.column("sh_b").to_numpy(), dtype=np.uint64)
+            d = hamming_distance(sa, sb).astype(np.int64)
+            keep = d <= max_hamming
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(a[keep], pa.int64()),
+                    "doc_id_b": pa.array(b[keep], pa.int64()),
+                    "hamming": pa.array(d[keep], pa.int64()),
+                }
+            )
+
+        verified = with_ab.map_batches(ham_gate, batch_format="pyarrow")
     return _dedupe_sorted_pairs(verified, val_col="hamming", val_type=pa.int64())
 
 
@@ -609,7 +678,10 @@ def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions:
        before any sketching happens.
     2. **near tier**: the full MinHash-LSH pipeline (:func:`minhash_dup_pairs`
        — sketch → banded buckets → verified estimator) over the exact
-       SURVIVORS only.
+       SURVIVORS only.  The verify step auto-switches broadcast-pack →
+       partitioned-join attach above ``cfg.broadcast_verify_max_rows``
+       (both paths bit-identical), so this tier carries no whole-corpus
+       driver gather at scale.
     3. **cluster tier**: connected components over the near-dup pairs
        (``stages/cluster.assign_clusters`` — driver scatter-min union-find
        below ``driver_uf_max_edges``, distributed min-label propagation

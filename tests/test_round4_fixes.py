@@ -136,3 +136,40 @@ def test_parquet_file_cache_holds_multiple_files(tmp_path):
         clips_mod._cached_parquet_file(str(p))
     assert len(clips_mod._PQ_FILE_CACHE) <= clips_mod._PQ_FILE_CACHE_MAX
     clips_mod._PQ_FILE_CACHE.clear()
+
+
+def _canon(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds.combine_chunks()
+    t = pa.concat_tables(list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    return t.combine_chunks()
+
+
+def test_doc_lsh_shuffle_verify_matches_broadcast(ray_session, sf_dir):
+    """broadcast_verify_max_rows=0 forces minhash_dup_pairs through the
+    verify_shuffle join-attach path; edges must be bit-identical to the
+    broadcast-pack path (same estimator gate, same ordered dedupe)."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG, minhash_dup_pairs
+
+    bro = _canon(minhash_dup_pairs(sf_dir))
+    shuf = _canon(
+        minhash_dup_pairs(sf_dir, cfg=DOC_CFG.with_(broadcast_verify_max_rows=0),
+                          num_partitions=4)
+    )
+    assert bro.num_rows > 0
+    assert bro.equals(shuf)
+
+
+def test_simhash_join_attach_matches_broadcast(ray_session, sf_dir):
+    """broadcast_verify_max_rows=0 forces simhash_dup_pairs' fingerprint
+    verification through two slim partitioned joins; the pair list must be
+    bit-identical to the broadcast-pack path."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG, simhash_dup_pairs
+
+    bro = _canon(simhash_dup_pairs(sf_dir))
+    joined = _canon(
+        simhash_dup_pairs(sf_dir, cfg=DOC_CFG.with_(broadcast_verify_max_rows=0),
+                          num_partitions=4)
+    )
+    assert bro.num_rows > 0
+    assert bro.equals(joined)
