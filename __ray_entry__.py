@@ -102,6 +102,58 @@ def clips_signatures(sf_dir: str):
     return res.signatures.map_batches(slim, batch_format="pyarrow")
 
 
+def clips_minhash_slots(sf_dir: str, n_perms: int = 8):
+    """(clip_id, perm, slot): the FLAGSHIP's text-channel sketch exploded
+    long-form for the first ``n_perms`` permutations — the same end-to-end
+    HUGEINT DuckDB replay that checks ``doc_minhash_slots``
+    (``_minhash_slots_sql``) pointed at the synthesized clips corpus, so
+    the flagship's sketch chain (tokenize → FNV-1a → w-gram poly →
+    pairwise min-fold, reference src/utils/utils.c:3-33 +
+    src/utils/hash.c:6-9) is SQL-oracle-checked, not just pytest-checked.
+    Slots are int64-reinterpreted (INFTY → -1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from minhash_ray.config import PipelineConfig
+
+    num_perm = PipelineConfig().num_perm
+    res = _clips_dedup(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("signature")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+        sub = np.ascontiguousarray(mat[:, :n_perms]).view(np.int64)
+        ids = batch.column("clip_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_perms)
+        return pa.table(
+            {
+                "clip_id": ids.take(pa.array(idx)),
+                "perm": pa.array(np.tile(np.arange(n_perms, dtype=np.int64), n), pa.int64()),
+                "slot": pa.array(sub.reshape(-1), pa.int64()),
+            }
+        )
+
+    return res.signatures.map_batches(explode, batch_format="pyarrow")
+
+
+def _clips_minhash_slots_sql() -> str:
+    """Oracle for ``clips_minhash_slots``: retarget the doc slots chain at
+    the deterministic synthesized clips parquet (``clips_dir_for`` is
+    seed-keyed and synthesizes on miss without Ray, so the path exists by
+    the time DuckDB runs)."""
+    from minhash_ray.sources.synth import clips_dir_for
+
+    path = os.path.join(clips_dir_for(ORACLE_SF_DIR()), "clips.parquet")
+    return _minhash_slots_sql(
+        source=f"read_parquet('{path}')", id_col="clip_id", text_col="transcript"
+    )
+
+
 def audio_frame_features(sf_dir: str):
     from minhash_ray.pipelines.multimodal import audio_frame_features as affn
 
@@ -307,12 +359,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_dedup_assignments": clips_dedup_assignments,
         "clips_dedup_edges": clips_dedup_edges,
         "clips_signatures": clips_signatures,
+        # SQL-checked: the flagship text sketch chain replayed in HUGEINT
+        "clips_minhash_slots": clips_minhash_slots,
         "audio_frame_features": audio_frame_features,
         "substring_pairs": substring_pairs,
     }
 
 
-def _minhash_slots_sql(n_perms: int = 8, seed: int = 42) -> str:
+def _minhash_slots_sql(n_perms: int = 8, seed: int = 42, source: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text") -> str:
     """DuckDB replay of the ENTIRE reference sketch hash chain for the
     ``doc_minhash_slots`` query: FNV-1a 64 token hash (list_reduce fold in
     HUGEINT with xor on the low byte), polynomial w-gram combine, and the
@@ -320,7 +375,12 @@ def _minhash_slots_sql(n_perms: int = 8, seed: int = 42) -> str:
     (src/utils/hash.c:6-9) min-folded per permutation
     (src/utils/utils.c:3-33) — the seeded coefficient table is embedded
     as literals, so the core sketch algebra is oracle-checked end-to-end,
-    with INFTY (zero-shingle docs) reinterpreted as -1."""
+    with INFTY (zero-shingle docs) reinterpreted as -1.
+
+    ``source``/``id_col``/``text_col`` retarget the same chain at any
+    relation with an id + text column (``clips_minhash_slots`` points it
+    at the synthesized clips corpus to oracle-check the FLAGSHIP's text
+    sketch channel)."""
     from minhash_ray.functions.hashing import (
         FNV_OFFSET,
         FNV_PRIME,
@@ -335,10 +395,10 @@ def _minhash_slots_sql(n_perms: int = 8, seed: int = 42) -> str:
     p = FNV_PRIME
     return (
         "WITH toks AS ("
-        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        f"  SELECT {id_col} AS doc_id, CASE WHEN trim(lower({text_col})) = ''"
         "         THEN CAST([] AS VARCHAR[])"
-        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
-        "  FROM documents"
+        f"         ELSE regexp_split_to_array(trim(lower({text_col})), '\\s+') END AS t"
+        f"  FROM {source}"
         "), thash AS ("
         "  SELECT doc_id, list_transform(t, s -> list_reduce("
         f"      list_prepend(CAST({init} AS HUGEINT),"
@@ -358,10 +418,10 @@ def _minhash_slots_sql(n_perms: int = 8, seed: int = 42) -> str:
         f"    min((((p.a * g.g) % {m64}) % {m_mod} + p.b) % {m_mod}) AS slot"
         "  FROM grams g CROSS JOIN perms p GROUP BY g.doc_id, p.perm"
         ") "
-        "SELECT d.doc_id AS doc_id, CAST(p.perm AS BIGINT) AS perm, "
+        f"SELECT d.{id_col} AS {id_col}, CAST(p.perm AS BIGINT) AS perm, "
         "CAST(COALESCE(s.slot, -1) AS BIGINT) AS slot "
-        "FROM documents d CROSS JOIN perms p "
-        "LEFT JOIN slots s ON s.doc_id = d.doc_id AND s.perm = p.perm"
+        f"FROM {source} d CROSS JOIN perms p "
+        f"LEFT JOIN slots s ON s.doc_id = d.{id_col} AND s.perm = p.perm"
     )
 
 
@@ -822,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
         "rolling_fingerprints": _rolling_fp_sql(),
         "doc_minhash_slots": _minhash_slots_sql(),
+        "clips_minhash_slots": _clips_minhash_slots_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),

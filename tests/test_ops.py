@@ -45,7 +45,7 @@ SQL_QUERIES = [
     "lang_id", "embedding_dup_pairs", "ann_topk_ivf", "doc_dedup_tiered",
     "window_counts", "sessionize", "asof_prior", "simhash_dup_pairs",
     "token_quantiles", "corpus_curation", "bpe_token_counts",
-    "range_join_recent",
+    "range_join_recent", "clips_minhash_slots",
 ]
 
 
