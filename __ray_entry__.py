@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # functions replay tumbling windows, gap sessions and the per-user
         # as-of join exactly) ---
         "window_counts": events.window_counts,
+        "sliding_window_counts": events.sliding_window_counts,
         "sessionize": events.sessionize,
         "asof_prior": events.asof_prior,
         # banded time-range join (interval semantics Ray Data lacks
@@ -963,6 +964,17 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n_events, "
             "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events GROUP BY 1, 2"
+        ),
+        # sliding windows: each event joins every hop-aligned window start
+        # in (ts - window, ts] via generate_series over hop indices
+        "sliding_window_counts": (
+            "WITH ev AS (SELECT epoch_us(ts) AS tsu, event_type, "
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc FROM events) "
+            f"SELECT s.k * {900_000_000} AS window_us, event_type, "
+            "COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents "
+            "FROM ev, UNNEST(generate_series("
+            f"  (tsu - {3_600_000_000}) // {900_000_000} + 1, tsu // {900_000_000}"
+            ")) AS s(k) GROUP BY 1, 2"
         ),
         "sessionize": (
             "WITH g AS (SELECT event_id, user_id, ts, "

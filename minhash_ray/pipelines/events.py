@@ -89,6 +89,65 @@ def window_counts(sf_dir: str, window_minutes: int = 60):
     )
 
 
+def sliding_window_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15):
+    """Sliding/hopping-window aggregate: per (window start, event type) the
+    event count and value sum in cents, where window starts are aligned to
+    ``hop_minutes`` and each window spans ``window_minutes`` — an event at
+    ``ts`` lands in every window with start in ``(ts - window, ts]``,
+    i.e. ⌈window/hop⌉ windows.  ``hop == window`` reduces exactly to
+    :func:`window_counts` (tested).
+
+    Scale shape: the ≤⌈window/hop⌉× row replication happens vectorized
+    inside ``map_batches`` on the SLIM (window_us, event_type,
+    value_cents) projection — the wide input row is never replicated —
+    followed by the same partial+final hash aggregate as the tumbling op.
+    No sort, no watermark state; the blowup factor is the config constant
+    window/hop, not data-dependent.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if window_minutes % hop_minutes != 0 and hop_minutes > window_minutes:
+        raise ValueError("hop must not exceed window")
+    win_us = np.int64(window_minutes) * 60_000_000
+    hop_us = np.int64(hop_minutes) * 60_000_000
+    n_hops = int(-(-win_us // hop_us))          # ceil(window/hop)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        value = batch.column("value").to_numpy()
+        cents = np.floor(value * 100.0 + 0.5).astype(np.int64)
+        etype = batch.column("event_type")
+        if isinstance(etype, pa.ChunkedArray):
+            etype = etype.combine_chunks()
+        base = (ts // hop_us) * hop_us
+        offset = ts - base                      # ts mod hop, in [0, hop)
+        starts_parts, idx_parts = [], []
+        idx = np.arange(len(ts), dtype=np.int64)
+        for j in range(n_hops):
+            keep = offset + np.int64(j) * hop_us < win_us
+            starts_parts.append((base - np.int64(j) * hop_us)[keep])
+            idx_parts.append(idx[keep])
+        starts = np.concatenate(starts_parts) if starts_parts else np.empty(0, np.int64)
+        src = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "window_us": pa.array(starts, pa.int64()),
+                "event_type": etype.take(pa.array(src)),
+                "value_cents": pa.array(cents[src], pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(widen, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
 def _with_user_partition(ds, num_partitions: int):
     """Append ``pkey = splitmix64(user_id) % P``: the hash partition that
     co-locates each user's full event history (the op's partitioning

@@ -45,7 +45,7 @@ SQL_QUERIES = [
     "lang_id", "embedding_dup_pairs", "ann_topk_ivf", "doc_dedup_tiered",
     "window_counts", "sessionize", "asof_prior", "simhash_dup_pairs",
     "token_quantiles", "corpus_curation", "bpe_token_counts",
-    "range_join_recent", "clips_minhash_slots",
+    "range_join_recent", "clips_minhash_slots", "sliding_window_counts",
 ]
 
 
@@ -299,3 +299,25 @@ def test_asof_prior_self_type_excludes_self(ray_session, sf_dir):
     firsts = df.sort_values(["user_id", "event_id"]).groupby("user_id").head(1)
     assert (firsts.prior_event_id == -1).all()
     assert int((df.prior_event_id == -1).sum()) == df.user_id.nunique()
+
+
+def test_sliding_window_hop_equals_window_reduces_to_tumbling(ray_session, sf_dir):
+    """hop == window must make sliding_window_counts bit-identical to the
+    tumbling window_counts output."""
+    from minhash_ray.pipelines.events import sliding_window_counts, window_counts
+
+    tumb = _canon(_pdf(window_counts(sf_dir, window_minutes=60)))
+    slid = _canon(_pdf(sliding_window_counts(sf_dir, window_minutes=60, hop_minutes=60)))
+    assert tumb.equals(slid)
+
+
+def test_sliding_window_replication_factor(ray_session, sf_dir):
+    """With window=4*hop every event lands in exactly 4 windows: total
+    n_events across windows = 4x the event count."""
+    from minhash_ray.pipelines.events import sliding_window_counts
+
+    df = _pdf(sliding_window_counts(sf_dir, window_minutes=60, hop_minutes=15))
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    assert int(df["n_events"].sum()) == 4 * n_events
