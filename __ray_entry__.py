@@ -312,6 +312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality gates → curated corpus manifest (SQL-checked via a
         # WITH-composition of the three sub-oracles)
         "corpus_curation": curation.corpus_curation,
+        # sampled exact-verify spot check of the curation output (rows-only:
+        # Ray RNG sampling; the full-fraction path is pytest-asserted empty)
+        "curation_audit": curation.curation_audit,
         # the CORE sketch algebra, oracle-checked: (doc_id, perm, slot)
         # minhash values replayed bit-for-bit by a DuckDB HUGEINT oracle
         "doc_minhash_slots": dedup_text.doc_minhash_slots,

@@ -34,18 +34,22 @@ def corpus_curation(
     min_tokens: int = 10,
     punct_denom: int = 20,
     num_partitions: int = 8,
+    ckpt_root: str | None = None,
 ):
     """(doc_id, n_tokens, lang_pred) for every document that survives
     dedup (its cluster's canonical representative), has at least
     ``min_tokens`` tokens, and whose punctuation count satisfies
-    ``n_punct * punct_denom <= n_chars`` (≤ 1/punct_denom of chars)."""
+    ``n_punct * punct_denom <= n_chars`` (≤ 1/punct_denom of chars).
+
+    ``ckpt_root`` enables per-tier checkpoints in the dedup stage (see
+    :func:`doc_dedup_tiered`); a rerun resumes from completed tiers."""
     from minhash_ray.util import clamp_partitions, strip_empty_blocks
 
     np_parts = clamp_partitions(num_partitions)
 
-    kept = doc_dedup_tiered(sf_dir, cfg, num_partitions=num_partitions).filter(
-        expr="keep == 1"
-    )
+    kept = doc_dedup_tiered(
+        sf_dir, cfg, num_partitions=num_partitions, ckpt_root=ckpt_root
+    ).filter(expr="keep == 1")
 
     def slim(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("doc_id")})
@@ -85,3 +89,47 @@ def corpus_curation(
         )
 
     return out.map_batches(project, batch_format="pyarrow")
+
+
+def curation_audit(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    fraction: float = 0.25,
+    seed: int = 42,
+    num_partitions: int = 8,
+    ckpt_root: str | None = None,
+):
+    """The spot-check loop a real curation run ships with: sample the
+    dedup-KEPT documents and re-verify them against each other with the
+    EXACT n-gram Jaccard path (:func:`ngram_jaccard_pairs` — PPJoin prefix
+    filter + true shingle-set Jaccard, no sketch approximation) at the
+    dedup threshold ``cfg.tau``.
+
+    Every returned row ``(doc_id_a, doc_id_b, jaccard)`` is a MISSED
+    near-duplicate: two docs the tiered dedup kept as distinct canonical
+    representatives whose TRUE Jaccard is >= tau.  An empty result is the
+    audit passing.  Scale shape: the sample is a slim id list joined back
+    to the documents table (partitioned hash join), and the exact verifier
+    runs only over the sampled subset — audit cost is tunable by
+    ``fraction`` independent of corpus size."""
+    from minhash_ray.pipelines.dedup_text import _docs, ngram_jaccard_pairs
+    from minhash_ray.util import clamp_partitions
+
+    np_parts = clamp_partitions(num_partitions)
+    kept = doc_dedup_tiered(
+        sf_dir, cfg, num_partitions=num_partitions, ckpt_root=ckpt_root
+    ).filter(expr="keep == 1")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id")})
+
+    sampled = kept.map_batches(slim, batch_format="pyarrow").random_sample(
+        fraction, seed=seed
+    )
+    sample_docs = _docs(sf_dir, ["doc_id", "text"]).join(
+        sampled, join_type="inner", on=("doc_id",), num_partitions=np_parts
+    )
+    return ngram_jaccard_pairs(
+        sf_dir, cfg, threshold=cfg.tau, num_partitions=num_partitions,
+        docs=sample_docs,
+    )

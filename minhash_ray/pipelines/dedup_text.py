@@ -364,8 +364,9 @@ def simhash_dup_pairs(
     return _dedupe_sorted_pairs(verified, val_col="hamming", val_type=pa.int64())
 
 
-def _doc_shingle_sets(sf_dir: str, cfg: PipelineConfig):
-    """documents → {doc_id, shingles (sorted-unique list<u64>), n}."""
+def _doc_shingle_sets(sf_dir: str, cfg: PipelineConfig, docs=None):
+    """documents → {doc_id, shingles (sorted-unique list<u64>), n}.
+    ``docs`` overrides the source dataset (doc_id + text columns)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
@@ -393,7 +394,9 @@ def _doc_shingle_sets(sf_dir: str, cfg: PipelineConfig):
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    if docs is None:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(fn, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(
@@ -402,6 +405,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     broadcast_max_rows: int = 2_000_000,
     num_partitions: int = 8,
+    docs=None,
 ):
     """EXACT token-trigram-set Jaccard similarity self-join: ALL doc pairs
     with true Jaccard >= threshold, via prefix filtering (AllPairs/PPJoin,
@@ -427,7 +431,7 @@ def ngram_jaccard_pairs(
     from minhash_ray.stages.candidates import candidate_pairs
     from minhash_ray.stages.verify import _list_flat_offsets
 
-    sets_ds = _doc_shingle_sets(sf_dir, cfg).materialize()
+    sets_ds = _doc_shingle_sets(sf_dir, cfg, docs=docs).materialize()
     n_docs = sets_ds.count()
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
@@ -667,7 +671,7 @@ def doc_minhash_slots(sf_dir: str, cfg: PipelineConfig = DOC_CFG, n_perms: int =
 
 
 def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8,
-                     docs=None):
+                     docs=None, ckpt_root: str | None = None):
     """TIERED dedup — the production shape of a training-data dedup stage
     (exact tier shrinks the corpus before the expensive near tier, cf.
     RefinedWeb/CCNet-style pipelines):
@@ -701,39 +705,87 @@ def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions:
     through its exact rep to its cluster root (tier 3) — no stage holds
     the corpus on the driver (the verified pair list is metadata-scale,
     like every near-dup pipeline here).
+
+    With ``ckpt_root`` each tier publishes an atomic checkpoint
+    (``tier1_reps`` / ``tier2_pairs`` / ``tier3_assign`` under the
+    config-hash dir, the same ``CheckpointManager`` contract as the
+    flagship): a rerun after a crash loads completed tiers instead of
+    recomputing them, and a finished run returns the published
+    ``tier3_assign`` immediately.
     """
     import ray.data as rd
 
     from minhash_ray.stages.cluster import assign_clusters
     from minhash_ray.util import clamp_partitions
 
+    ckpt = None
+    if ckpt_root:
+        from minhash_ray.state.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(ckpt_root, cfg)
+        ckpt.clear_stale_temps()
+        if ckpt.is_complete("tier3_assign"):
+            return ckpt.load("tier3_assign")
+
     if docs is None:
         docs = _docs(sf_dir, ["doc_id", "text"])
+    # the digest pass over every doc is required for tier-3 routing even
+    # on resume (every doc gets an output row); it is map-only
     keyed = docs.map_batches(_add_text_digest, batch_format="pyarrow").materialize()
 
     # --- tier 1: exact groups ---
-    agg = keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
+    if ckpt and ckpt.is_complete("tier1_reps"):
+        reps = ckpt.load("tier1_reps").materialize()
+    else:
+        agg = keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
 
-    def rename_reps(batch: pa.Table) -> pa.Table:
-        dcol = [c for c in batch.column_names if "doc_id" in c][0]
-        tcol = [c for c in batch.column_names if "text" in c][0]
-        return pa.table(
-            {
-                "dg0": batch.column("dg0"),
-                "dg1": batch.column("dg1"),
-                "rep_id": batch.column(dcol),
-                "text": batch.column(tcol),
-            }
-        )
+        def rename_reps(batch: pa.Table) -> pa.Table:
+            dcol = [c for c in batch.column_names if "doc_id" in c][0]
+            tcol = [c for c in batch.column_names if "text" in c][0]
+            return pa.table(
+                {
+                    "dg0": batch.column("dg0"),
+                    "dg1": batch.column("dg1"),
+                    "rep_id": batch.column(dcol),
+                    "text": batch.column(tcol),
+                }
+            )
 
-    reps = agg.map_batches(rename_reps, batch_format="pyarrow").materialize()
+        reps = agg.map_batches(rename_reps, batch_format="pyarrow").materialize()
+        if ckpt:
+            reps = ckpt.save("tier1_reps", reps).materialize()
 
     # --- tier 2: near-dup pairs over the exact survivors only ---
-    reps_docs = reps.map_batches(
-        lambda b: pa.table({"doc_id": b.column("rep_id"), "text": b.column("text")}),
-        batch_format="pyarrow",
-    )
-    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=reps_docs)
+    if ckpt and ckpt.is_complete("tier2_pairs"):
+        batches = list(
+            ckpt.load("tier2_pairs").iter_batches(
+                batch_size=1_048_576, batch_format="pyarrow"
+            )
+        )
+        pairs = (
+            pa.concat_tables(batches)
+            if batches
+            else pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
+    else:
+        reps_docs = reps.map_batches(
+            lambda b: pa.table({"doc_id": b.column("rep_id"), "text": b.column("text")}),
+            batch_format="pyarrow",
+        )
+        pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=reps_docs)
+        if ckpt:
+            ckpt.save(
+                "tier2_pairs",
+                rd.from_arrow(pairs),
+                input_stage="tier1_reps",
+                schema=pairs.schema,
+            )
 
     # --- tier 3: connected components + per-doc routing ---
     def pad12(col) -> pa.Array:
@@ -782,7 +834,17 @@ def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions:
         keep = pc.cast(pc.equal(doc, cluster), pa.int64())
         return pa.table({"doc_id": doc, "cluster_id": cluster, "keep": keep})
 
-    return routed.map_batches(finalize, batch_format="pyarrow")
+    out = routed.map_batches(finalize, batch_format="pyarrow")
+    if ckpt:
+        out = ckpt.save(
+            "tier3_assign",
+            out,
+            input_stage="tier2_pairs",
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("keep", pa.int64())]
+            ),
+        )
+    return out
 
 
 def rolling_fingerprints(sf_dir: str, window: int = 16):

@@ -173,3 +173,66 @@ def test_simhash_join_attach_matches_broadcast(ray_session, sf_dir):
     )
     assert bro.num_rows > 0
     assert bro.equals(joined)
+
+
+def test_tiered_checkpoint_resume(ray_session, sf_dir, tmp_path, monkeypatch):
+    """Kill-after-tier-1 resume: run tiered dedup with checkpoints, delete
+    the tier-2/3 checkpoints (simulating a crash after tier 1 published),
+    rerun — tier 1 must be LOADED (not recomputed) and the final output
+    must be bit-identical to the uninterrupted run."""
+    import shutil
+
+    from minhash_ray.pipelines.dedup_text import DOC_CFG, doc_dedup_tiered
+    from minhash_ray.state.checkpoint import CheckpointManager
+
+    def sorted_out(ds) -> pa.Table:
+        return _canon(ds).sort_by(
+            [("doc_id", "ascending"), ("cluster_id", "ascending")]
+        )
+
+    root = str(tmp_path / "ckpt")
+    full = sorted_out(doc_dedup_tiered(sf_dir, ckpt_root=root))
+    mgr = CheckpointManager(root, DOC_CFG)
+    assert mgr.is_complete("tier1_reps")
+    assert mgr.is_complete("tier2_pairs")
+    assert mgr.is_complete("tier3_assign")
+
+    # finished run short-circuits straight to the published tier3
+    loads: list[str] = []
+    orig_load = CheckpointManager.load
+
+    def spy_load(self, stage):
+        loads.append(stage)
+        return orig_load(self, stage)
+
+    monkeypatch.setattr(CheckpointManager, "load", spy_load)
+    again = sorted_out(doc_dedup_tiered(sf_dir, ckpt_root=root))
+    assert loads == ["tier3_assign"]
+    assert full.equals(again)
+
+    # crash-after-tier-1: wipe tiers 2+3, rerun
+    shutil.rmtree(mgr.stage_dir("tier2_pairs"))
+    shutil.rmtree(mgr.stage_dir("tier3_assign"))
+    loads.clear()
+    resumed = sorted_out(doc_dedup_tiered(sf_dir, ckpt_root=root))
+    assert "tier1_reps" in loads           # tier 1 reused, not recomputed
+    assert "tier3_assign" not in loads[:1]  # it did real work this time
+    assert full.equals(resumed)
+    assert mgr.is_complete("tier2_pairs") and mgr.is_complete("tier3_assign")
+
+
+def test_curation_audit_finds_zero_missed_dups(ray_session, sf_dir):
+    """Full-fraction audit over the dedup-kept docs: the exact n-gram
+    verifier must find NO pair of kept docs at true jaccard >= tau."""
+    from minhash_ray.pipelines.curation import curation_audit
+
+    missed = _canon(_pa_table(curation_audit(sf_dir, fraction=1.0)))
+    assert missed.num_rows == 0, missed.to_pydict()
+
+
+def _pa_table(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    return pa.concat_tables(
+        list(res.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
