@@ -66,6 +66,10 @@ def run_bench() -> dict:
     if dur_env:
         lo, hi = dur_env.split(",")
         synth_kw["dur_range"] = (int(lo), int(hi))
+    if os.environ.get("GRAFT_CLIPS_WIDEN") == "1":
+        # width-proportional corpus (pairs ∝ rows): the scaling bench's
+        # input shape — see tools/make_fixtures.generate_clips(widen_texts)
+        synth_kw["widen_texts"] = True
     clips_dir = clips_dir_for(
         SF_DIR, n_rows=int(n_rows_env) if n_rows_env else None, **synth_kw
     )                                                    # cached, untimed
@@ -268,10 +272,15 @@ def run_scaling() -> dict:
     # realistic clip durations (avg ~3.6 s audio): the scaling measurement
     # must be dominated by per-clip compute, not per-stage latency
     dur = (1200, 6000)
-    # pre-generate the clips cache so neither run pays synthesis
+    # pre-generate the clips cache so neither run pays synthesis.  The
+    # scaling corpus is WIDTH-PROPORTIONAL (widen_texts: the transcript
+    # pool grows with rows, so near-dup pairs ∝ rows) — a fixed 5k-text
+    # pool under 200k rows grew the verified-pair workload superlinearly
+    # and punished the gather-bound verify stage for fixture skew, not
+    # engine behavior (VERDICT r3).
     from minhash_ray.sources.synth import clips_dir_for
 
-    clips_dir_for(SF_DIR, n_rows=scaling_rows, dur_range=dur)
+    clips_dir_for(SF_DIR, n_rows=scaling_rows, dur_range=dur, widen_texts=True)
 
     def one(ncpu: int) -> dict:
         env = dict(
@@ -280,6 +289,7 @@ def run_scaling() -> dict:
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_CLIPS_ROWS=str(scaling_rows),
             GRAFT_CLIPS_DUR="1200,6000",
+            GRAFT_CLIPS_WIDEN="1",
             GRAFT_HEADLINE_ONLY="1",
         )
         proc = subprocess.run(

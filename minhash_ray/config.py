@@ -84,6 +84,17 @@ class PipelineConfig:
                                          # shuffle joins as packed binary), proven
                                          # bit-identical in
                                          # test_shuffle_verify_path_is_bit_identical_to_broadcast.
+    exact_verify_pregate: float = -1.0   # estimator floor below which the exact-
+                                         # jaccard shingle gather is SKIPPED (the
+                                         # pair can then only survive via the audio
+                                         # channel).  <0 → auto: max(0, tau -
+                                         # 2*verify_margin) ≈ 4.5σ below j=tau at
+                                         # k=128, so P(true dup filtered) < 1e-5;
+                                         # 0.0 disables the pregate entirely.
+                                         # Cuts the gather-bound verify work on
+                                         # low-sim candidates (salting star/chain
+                                         # pairs, cross-band collisions).  Applied
+                                         # identically by both verify paths.
 
     # --- audio fingerprint ---
     audio_fp_frames: int = 64            # energy-delta frames → 64-bit fingerprint

@@ -178,21 +178,35 @@ def run_dedup(
             )
             band_rows = band_rows.union(audio_rows)
 
+        # the pack build only needs the materialized signature blocks: launch
+        # it as a Ray task BEFORE the candidates shuffle so it overlaps the
+        # whole shuffle instead of adding driver-serial time after it
+        n_clips = signatures.count()
+        pack_future = None
+        if n_clips <= cfg.broadcast_verify_max_rows:
+            from minhash_ray.stages.verify import build_broadcast_pack_async
+
+            pack_future = build_broadcast_pack_async(signatures, cfg, with_content=True)
+
         # materialized: the slim pair table is tiny relative to the corpus,
         # and splitting the shuffle graph from the verify stage prevents
         # CPU-reservation deadlock on small clusters
         pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
-        n_clips = signatures.count()
         _mark("candidates")
 
-        if n_clips <= cfg.broadcast_verify_max_rows:
-            # one driver pass builds the broadcast pack AND the exact-dup
-            # star edges — no separate exact stage
-            from minhash_ray.stages.verify import build_broadcast_pack, make_broadcast_verifier
+        if pack_future is not None:
+            # one task pass built the broadcast pack AND the exact-dup
+            # star edges — no separate exact stage, no driver-serial build
+            import ray as _ray
 
+            from minhash_ray.stages.verify import make_broadcast_verifier
+
+            pack_ref, _exact_ref = pack_future
             _tp = _time.perf_counter()
-            pack_ref, exact_tbl = build_broadcast_pack(signatures, cfg, with_content=True)
+            exact_tbl = _ray.get(_exact_ref)
             if stage_times is not None:
+                # residual wait AFTER the candidates shuffle (0 when the
+                # overlapped task finished first)
                 stage_times["verify_pack"] = round(_time.perf_counter() - _tp, 3)
             # 8k-pair batches: the exact-jaccard lexsort is superlinear in
             # batch mass, and coarse 64k batches leave cores idle

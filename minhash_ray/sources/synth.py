@@ -25,14 +25,20 @@ DEFAULT_ROWS = {
 
 
 def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
-                  dur_range: tuple[int, int] = (300, 1500)) -> str:
+                  dur_range: tuple[int, int] = (300, 1500),
+                  widen_texts: bool = False) -> str:
     """Synthesize (or reuse cached) clips + truth_pairs parquet for a
-    testdata scale dir. Returns the directory containing them."""
+    testdata scale dir. Returns the directory containing them.
+
+    ``widen_texts`` grows the transcript source pool with the corpus so
+    near-dup pairs stay ∝ rows (the scaling bench's width-proportional
+    corpus; see tools/make_fixtures.generate_clips)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     if n_rows is None:
         n_rows = DEFAULT_ROWS.get(sf_name, 1000)
+    widen_tag = "|widen" if widen_texts else ""
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n_rows}|{seed}|{dur_range}|v5".encode()
+        f"{os.path.abspath(sf_dir)}|{n_rows}|{seed}|{dur_range}|v5{widen_tag}".encode()
     ).hexdigest()[:16]
     out_dir = os.path.join(CACHE_ROOT, key)
     marker = os.path.join(out_dir, "_COMPLETE")
@@ -51,7 +57,10 @@ def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
     from tools.make_fixtures import generate_clips
 
-    clips, truth = generate_clips(n_rows, seed=seed, base_texts=base_texts, dur_range=dur_range)
+    clips, truth = generate_clips(
+        n_rows, seed=seed, base_texts=base_texts, dur_range=dur_range,
+        widen_texts=widen_texts,
+    )
     tmp = out_dir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     # small row groups → parallel read blocks sized so the fused

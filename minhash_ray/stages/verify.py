@@ -80,6 +80,14 @@ def _lcs_gate(texts_a, texts_b, text_keep: np.ndarray, min_ratio: float):
     return lcs, text_keep & (lcs >= min_ratio)
 
 
+def _exact_pregate(cfg: PipelineConfig) -> float:
+    """Resolved estimator pregate for exact verification (see
+    ``PipelineConfig.exact_verify_pregate``)."""
+    if cfg.exact_verify_pregate >= 0:
+        return cfg.exact_verify_pregate
+    return max(0.0, cfg.tau - 2.0 * cfg.verify_margin)
+
+
 def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
     """Verify stage as a plain task fn: the broadcast signature pack is
     fetched through the per-worker-process cache (numpy arrays are
@@ -89,6 +97,7 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
     tau = cfg.tau
     audio_tau = cfg.audio_tau
     substring_min_ratio = cfg.substring_min_ratio
+    pre_gate = _exact_pregate(cfg)
 
     audio_min_filled = cfg.audio_min_filled
 
@@ -119,12 +128,19 @@ def make_broadcast_verifier(pack_ref, cfg: PipelineConfig):
             # bands, but the kept edge is gated on the TRUE shingle-set
             # jaccard — no estimator variance at the tau boundary (standard
             # LSH verify step; the estimator value is still reported).
-            # Fully vectorized (no per-pair python loop).
+            # Fully vectorized (no per-pair python loop).  The estimator
+            # PREGATE skips the shingle-set gather for pairs whose est-sim
+            # is far below tau AND that the audio channel cannot keep
+            # (cfg.exact_verify_pregate) — every KEPT edge still carries
+            # its true jaccard.
             from minhash_ray.functions.minhash import exact_jaccard_for_pairs
 
-            jacc = exact_jaccard_for_pairs(
-                shingles, pack["shingle_offsets"], idx_a, idx_b
-            )
+            jacc = np.full(len(sim), -1.0, dtype=np.float64)
+            rows = np.flatnonzero((sim >= pre_gate) | (asim >= audio_tau))
+            if rows.size:
+                jacc[rows] = exact_jaccard_for_pairs(
+                    shingles, pack["shingle_offsets"], idx_a[rows], idx_b[rows]
+                )
             text_keep = jacc >= tau
         else:
             jacc = None
@@ -191,37 +207,19 @@ def driver_exact_edges_table(ids, hashes) -> pa.Table:
     )
 
 
-def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False):
-    """Collect the signature table into numpy matrices + sorted-id index and
-    ``ray.put`` it once.  Only valid under ``broadcast_verify_max_rows``.
-
-    With ``with_content=True`` the same single driver pass also returns the
-    exact-duplicate star-edge table (no separate stage or second scan).
-    """
-    import ray
-
+def _pack_from_table(t: pa.Table, cfg: PipelineConfig, with_content: bool):
+    """Core pack construction over the concatenated signature table —
+    returns ``(pack_dict, exact_edges_table_or_None)``.  Runs inside a Ray
+    TASK (see :func:`build_broadcast_pack_async`): the concat + argsort +
+    matrix reshapes were ~0.8 s of driver-serial Amdahl time per run at
+    200k clips, paid identically at every parallelism level."""
     from minhash_ray.stages.signature import signature_matrix
 
-    schema_names = sig_ds.schema().names
-    cols = ["clip_id", "signature", "simhash", "audio_fp"]
+    schema_names = t.schema.names
     have_audio = "audio_sig" in schema_names
-    if have_audio:
-        cols.append("audio_sig")
-    if with_content:
-        cols.append("content_hash")
     have_shingles = cfg.exact_verify and "shingles" in schema_names
     have_transcript = cfg.exact_verify and not have_shingles and "transcript" in schema_names
     want_lcs = cfg.substring_check and "transcript" in schema_names
-    if have_shingles:
-        cols.append("shingles")
-    if (have_transcript or want_lcs) and "transcript" not in cols:
-        cols.append("transcript")
-    tables = []
-    for batch in sig_ds.select_columns(cols).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        tables.append(batch)
-    t = pa.concat_tables(tables)
     # the pack is pure numpy (no python dict): workers get zero-copy plasma
     # views with no per-process deserialization cost — a dict index costs
     # ~1 s per worker process and therefore ANTI-scales with worker count.
@@ -287,12 +285,60 @@ def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False
         # post-jaccard survivor rows are ever touched; row order, perm'd
         # at lookup)
         pack["transcripts"] = np.array(t.column("transcript").to_pylist(), dtype=object)
-    refs = [ray.put(pack)]
+    exact_tbl = None
     if with_content:
         exact_tbl = driver_exact_edges_table(
             t.column("clip_id").combine_chunks(), t.column("content_hash").combine_chunks()
         )
-        return refs, exact_tbl
+    return pack, exact_tbl
+
+
+_PACK_TASK = None
+
+
+def _pack_build_task():
+    """Lazily-defined remote task building the broadcast pack from the
+    materialized signature blocks (zero-copy plasma reads on the worker)."""
+    global _PACK_TASK
+    if _PACK_TASK is None:
+        import ray
+
+        @ray.remote(num_returns=2)
+        def pack_build(cfg, with_content: bool, *blocks: pa.Table):
+            tables = [b for b in blocks if b.num_rows]
+            if not tables:
+                tables = [blocks[0]]
+            t = pa.concat_tables(tables)
+            return _pack_from_table(t, cfg, with_content)
+
+        _PACK_TASK = pack_build
+    return _PACK_TASK
+
+
+def build_broadcast_pack_async(sig_ds, cfg: PipelineConfig, with_content: bool = False):
+    """Kick off the broadcast-pack build as a Ray task WITHOUT blocking the
+    driver — returns ``([pack_ref], exact_tbl_ref)``.  Callers that can
+    (run_dedup) launch this before the candidates shuffle so the pack
+    build overlaps it entirely; the verify tasks block on the ref through
+    the per-worker cache only when they actually start."""
+    blocks = sig_ds.to_arrow_refs()
+    pack_ref, exact_ref = _pack_build_task().remote(cfg, with_content, *blocks)
+    return [pack_ref], exact_ref
+
+
+def build_broadcast_pack(sig_ds, cfg: PipelineConfig, with_content: bool = False):
+    """Build the signature broadcast pack (numpy matrices + sorted-id
+    index) in a Ray task and return ``[pack_ref]`` — only valid under
+    ``broadcast_verify_max_rows``.
+
+    With ``with_content=True`` the same single pass also returns the
+    exact-duplicate star-edge table (no separate stage or second scan).
+    """
+    import ray
+
+    refs, exact_ref = build_broadcast_pack_async(sig_ds, cfg, with_content)
+    if with_content:
+        return refs, ray.get(exact_ref)
     return refs
 
 
@@ -428,6 +474,7 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
     audio_tau = cfg.audio_tau
     audio_min_filled = cfg.audio_min_filled
     substring_min_ratio = cfg.substring_min_ratio
+    pre_gate = _exact_pregate(cfg)
 
     def compute(batch: pa.Table) -> pa.Table:
         from minhash_ray.functions.audio import audio_similarity
@@ -452,14 +499,15 @@ def verify_shuffle(pairs_ds, sig_ds, cfg: PipelineConfig, num_partitions: int = 
         else:
             asim = np.zeros(len(sim), dtype=np.float64)
         if exact:
-            fa, oa = _unpack_u64_column(batch.column("shingles_a"))
-            fb, ob = _unpack_u64_column(batch.column("shingles_b"))
             n = batch.num_rows
-            flat = np.concatenate([fa, fb])
-            offs = np.concatenate([oa, len(fa) + ob[1:]])
-            jacc = exact_jaccard_for_pairs(
-                flat, offs, np.arange(n, dtype=np.int64), n + np.arange(n, dtype=np.int64)
-            )
+            jacc = np.full(n, -1.0, dtype=np.float64)
+            rows = np.flatnonzero((sim >= pre_gate) | (asim >= audio_tau))
+            if rows.size:
+                fa, oa = _unpack_u64_column(batch.column("shingles_a"))
+                fb, ob = _unpack_u64_column(batch.column("shingles_b"))
+                flat = np.concatenate([fa, fb])
+                offs = np.concatenate([oa, len(fa) + ob[1:]])
+                jacc[rows] = exact_jaccard_for_pairs(flat, offs, rows, n + rows)
             text_keep = jacc >= tau
         else:
             jacc = None

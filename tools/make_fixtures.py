@@ -125,16 +125,34 @@ def generate_clips(
     base_texts: list[str] | None = None,
     dur_range: tuple[int, int] = (500, 5000),
     cfg: PipelineConfig | None = None,
+    widen_texts: bool = False,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate (clips, truth_pairs) deterministically.
 
     ``base_texts``: optional realistic text source (e.g. the driver testdata
     ``documents.text`` column); transcripts are windowed from it when long
     enough, otherwise drawn from the seeded synthetic vocabulary.
+
+    ``widen_texts``: extend the base-text pool with deterministic synthetic
+    texts until expected reuse is ~2 rows/text.  A FIXED pool under a
+    growing ``n_rows`` makes accidental same-source near-dup pairs grow
+    superlinearly (two windows of the same doc overlap), so a 200k corpus
+    measures a pair workload a width-proportional corpus never has —
+    the scaling bench uses this so pairs ∝ rows.
     """
     cfg = cfg or PipelineConfig()
     rng = np.random.default_rng(seed)
     vocab = _make_vocab(rng)
+
+    if widen_texts and base_texts:
+        target_pool = max(len(base_texts), n_rows // 2)
+        if target_pool > len(base_texts):
+            base_texts = list(base_texts)
+            for _ in range(target_pool - len(base_texts)):
+                n_tok = int(rng.integers(60, 400))
+                base_texts.append(
+                    " ".join(vocab[int(i)] for i in rng.integers(0, len(vocab), n_tok))
+                )
 
     rows: list[dict] = []          # {"transcript","wave_key","sr","dur"}
     waves: dict[int, np.ndarray] = {}
