@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": relational.lineitem_agg,
         "orders_by_segment": relational.orders_by_segment,
         "top_customers": relational.top_customers,
+        # per-group top-k (windowed row_number shape; two-level exact top-k)
+        "top_orders_per_customer": relational.top_orders_per_customer,
         "supplier_regions": relational.supplier_regions,
         "events_by_type": relational.events_by_type,
         "filtered_lineitem": relational.filtered_lineitem,
@@ -953,6 +955,17 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": (
             "SELECT o_custkey AS c_custkey, count(*) AS n_orders FROM orders "
             "GROUP BY o_custkey ORDER BY n_orders DESC, c_custkey LIMIT 10"
+        ),
+        # per-group top-k: row_number() OVER (PARTITION BY ...) <= k,
+        # deterministic tie-break on o_orderkey
+        "top_orders_per_customer": (
+            "SELECT o_custkey, o_orderkey, price_cents, rnk FROM ("
+            "  SELECT o_custkey, o_orderkey, "
+            "         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, "
+            "         row_number() OVER (PARTITION BY o_custkey "
+            "           ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey"
+            "         ) AS rnk FROM orders"
+            ") WHERE rnk <= 3"
         ),
         "supplier_regions": (
             "SELECT r_name, count(*) AS n_suppliers FROM supplier "

@@ -249,6 +249,16 @@ def run_bench() -> dict:
         "precision_loose": round(metrics.get("precision_loose", metrics["precision"]), 4),
         "edge_precision": round(metrics.get("edge_precision", -1.0), 4),
     }
+    # attach the most recent committed --scaling result so the per-round
+    # BENCH artifact carries the pooled pair efficiencies, not just
+    # BASELINE.md prose (a --scaling run refreshes SCALING.json)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                out["scaling"] = json.load(f)
+        except Exception:
+            pass
     ray.shutdown()
     return out
 
@@ -347,6 +357,12 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        result = run_scaling()
+        # persist for run_bench to embed in the per-round BENCH artifact
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "w"
+        ) as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
     else:
         print(json.dumps(run_bench()))

@@ -293,3 +293,75 @@ def part_brand_stats(sf_dir: str):
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_parts"), Sum("p_size", alias_name="total_size"))
     )
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3, num_partitions: int = 32):
+    """Per-group top-k — the windowed ``row_number() OVER (PARTITION BY
+    ...) <= k`` shape Ray Data has no native operator for: each customer's
+    ``k`` highest-value orders with a dense 1-based rank (ties broken by
+    o_orderkey, so the result is deterministic and SQL-oracle-exact).
+
+    Scale shape (two-level top-k, the groupwise analog of partial
+    aggregation): a vectorized per-BATCH top-k first prunes every batch to
+    at most k rows per customer seen in it — one lexsort + segmented
+    position, no Python loop — so the hash shuffle moves O(k) rows per
+    (customer, batch), never the order history; the per-partition final
+    pass applies the identical selection to the pruned union, which is
+    exact because a group's global top-k is a subset of the union of its
+    per-batch top-ks.  Partitioning contract: one customer's PRUNED rows
+    (≤ k × n_batches) must fit a task, not the corpus."""
+    import ray.data as rd
+
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import clamp_partitions
+
+    P = np.uint64(max(2, clamp_partitions(num_partitions)))
+
+    def _topk_arrays(cust, okey, cents, k):
+        """Row indices of the per-customer top-k under
+        (cents DESC, o_orderkey ASC), plus each kept row's 0-based rank."""
+        order = np.lexsort((okey, -cents, cust))
+        c_s = cust[order]
+        n = len(order)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = c_s[1:] != c_s[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        r = idx - start
+        keep = r < k
+        return order[keep], r[keep]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        cents = _cents(batch.column("o_totalprice").to_numpy())
+        sel, _ = _topk_arrays(cust, okey, cents, k)
+        pkey = (splitmix64(cust[sel].astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[sel], pa.int64()),
+                "o_orderkey": pa.array(okey[sel], pa.int64()),
+                "price_cents": pa.array(cents[sel], pa.int64()),
+                "pkey": pa.array(pkey, pa.int64()),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        cents = batch.column("price_cents").to_numpy()
+        sel, r = _topk_arrays(cust, okey, cents, k)
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[sel], pa.int64()),
+                "o_orderkey": pa.array(okey[sel], pa.int64()),
+                "price_cents": pa.array(cents[sel], pa.int64()),
+                "rnk": pa.array(r + 1, pa.int64()),
+            }
+        )
+
+    pruned = _t(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(local_topk, batch_format="pyarrow")
+    return pruned.groupby("pkey").map_groups(final_topk, batch_format="pyarrow")

@@ -46,6 +46,7 @@ SQL_QUERIES = [
     "window_counts", "sessionize", "asof_prior", "simhash_dup_pairs",
     "token_quantiles", "corpus_curation", "bpe_token_counts",
     "range_join_recent", "clips_minhash_slots", "sliding_window_counts",
+    "top_orders_per_customer",
 ]
 
 
