@@ -318,6 +318,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the CORE sketch algebra, oracle-checked: (doc_id, perm, slot)
         # minhash values replayed bit-for-bit by a DuckDB HUGEINT oracle
         "doc_minhash_slots": dedup_text.doc_minhash_slots,
+        # test-set decontamination: corpus docs sharing any token w-gram
+        # with a benchmark subset (small-side broadcast of the benchmark's
+        # distinct gram hashes) — SQL-checked via the HUGEINT gram chain
+        "decontaminate": dedup_text.decontaminate,
+        # inverted-index document frequencies (per-batch (doc,term) dedup
+        # partial + groupby-sum final) — SQL-checked against unnest
+        "term_doc_freq": text.term_doc_freq,
+        # deterministic per-stratum quota sample by smallest
+        # splitmix64(doc_id) — SQL-checked (row_number over the emulated
+        # splitmix64 hash); doc_sample stays the RNG fraction sampler
+        "stratified_sample_docs": text.stratified_sample_docs,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,                            # SQL-checked
         "embedding_pairs_exact": ann.embedding_pairs_exact,  # SQL-checked
@@ -348,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream window operators (SQL-checked: DuckDB window
         # functions replay tumbling windows, gap sessions and the per-user
         # as-of join exactly) ---
+        # exact per-group COUNT(DISTINCT) via two-level pair dedup
+        "distinct_users_per_type": events.distinct_users_per_type,
         "window_counts": events.window_counts,
         "sliding_window_counts": events.sliding_window_counts,
         "sessionize": events.sessionize,
@@ -857,6 +870,74 @@ def _curation_sql(min_tokens: int = 10, punct_denom: int = 20) -> str:
     )
 
 
+def _decontaminate_sql(bench_mod: int = 43, seed: int = 42, w: int | None = None) -> str:
+    """DuckDB replay of ``decontaminate``: the same FNV-1a token hash +
+    w-gram polynomial chain as ``_minhash_slots_sql`` (general w), a
+    DISTINCT gram set over the benchmark subset (doc_id % bench_mod = 0),
+    and a per-doc count of DISTINCT shared grams."""
+    from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    w = DOC_CFG.shingle_w if w is None else w
+    m64 = 1 << 64
+    p = FNV_PRIME
+    init = FNV_OFFSET ^ seed
+    gram = "th[i]"
+    for r in range(2, w + 1):
+        gram = f"(({gram}) * {p} + th[i+{r - 1}]) % {m64}"
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), grams AS ("
+        f"  SELECT doc_id, {gram} AS g"
+        f"  FROM thash, UNNEST(range(1, len(th) - {w} + 2)) AS r(i)"
+        f"  WHERE len(th) >= {w}"
+        "), bench AS ("
+        f"  SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0"
+        "), hits AS ("
+        "  SELECT g.doc_id, count(DISTINCT g.g) AS n_hits"
+        "  FROM grams g JOIN bench b ON b.g = g.g GROUP BY g.doc_id"
+        ") "
+        "SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"
+    )
+
+
+def _stratified_sample_sql(k: int = 20) -> str:
+    """DuckDB replay of ``stratified_sample_docs``: splitmix64(doc_id)
+    emulated with 32-bit-half xor + overflow-safe modular multiplies
+    (same technique as the LSH band-key oracle), then a per-lang
+    row_number over the hash."""
+    m64 = 1 << 64
+    ns = 0x9E3779B97F4A7C15
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return (
+        f"WITH sm1 AS (SELECT lang, doc_id, "
+        f"(CAST(doc_id AS HUGEINT) + {ns}) % {m64} AS x1 FROM documents), "
+        f"sm2 AS (SELECT lang, doc_id, "
+        f"{_modmul64(_xor64('x1', 'x1 // 1073741824'), k1)} AS x2 FROM sm1), "
+        f"sm3 AS (SELECT lang, doc_id, "
+        f"{_modmul64(_xor64('x2', 'x2 // 134217728'), k2)} AS x3 FROM sm2), "
+        f"hv AS (SELECT lang, doc_id, {_xor64('x3', 'x3 // 2147483648')} AS h "
+        "FROM sm3), "
+        "r AS (SELECT lang, doc_id, row_number() OVER ("
+        "PARTITION BY lang ORDER BY h, doc_id) AS rnk FROM hv) "
+        f"SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     n_tokens = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -864,6 +945,23 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "token_counts": f"SELECT doc_id, {n_tokens} AS n_tokens FROM documents",
+        # inverted-index document frequencies: distinct (doc, term) pairs
+        # then count per term (lowercased whitespace tokens, df >= 5)
+        "term_doc_freq": (
+            "SELECT term, CAST(count(*) AS BIGINT) AS df FROM ("
+            "  SELECT DISTINCT doc_id, term FROM ("
+            "    SELECT doc_id, unnest(regexp_split_to_array("
+            "        trim(lower(text)), '\\s+')) AS term"
+            "    FROM documents WHERE trim(text) <> ''"
+            "  ) WHERE term <> ''"
+            ") GROUP BY term HAVING count(*) >= 5"
+        ),
+        "stratified_sample_docs": _stratified_sample_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "distinct_users_per_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
         # exact 'lower' order statistics: value at sorted index
         # floor((n-1)·q) — same definition the Ray histogram fold uses
         "bpe_token_counts": (

@@ -875,3 +875,84 @@ def rolling_fingerprints(sf_dir: str, window: int = 16):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def decontaminate(
+    sf_dir: str,
+    w: int | None = None,
+    bench_mod: int = 43,
+    cfg: PipelineConfig = DOC_CFG,
+):
+    """Test-set decontamination: (doc_id, n_hits, contaminated) — flag
+    every document that shares at least one token w-gram with a benchmark
+    subset (here ``doc_id % bench_mod == 0``, the deterministic stand-in
+    for an eval-set table), the standard pre-training hygiene pass that
+    keeps eval suites out of the training corpus.
+
+    Scale shape: decontamination is the canonical small-side broadcast —
+    eval suites are 10^3..10^5 docs against a 10^9+ corpus.  The benchmark
+    side's DISTINCT w-gram hashes are reduced per batch (``np.unique``
+    before anything leaves the task), unioned once, sorted, and published
+    via one ``ray.put``; the corpus side then streams through a single
+    ``map_batches`` probing the sorted uint64 array with ``searchsorted``
+    — no shuffle anywhere.  Contract: the benchmark gram set must fit in
+    worker memory (8 B/gram; a 10^8-gram eval battery is 800 MB — beyond
+    that, bucket both sides on gram hash and use the join-attach pattern
+    of ``_ngram_verify_join``).
+
+    ``n_hits`` counts DISTINCT shared grams per document (benchmark docs
+    trivially flag themselves — a real run routes them out by source).
+    Uses the same tokenizer + w-gram polynomial as the MinHash chain
+    (``token_shingles``), so the DuckDB oracle replays it in HUGEINT SQL.
+    """
+    import ray
+
+    from minhash_ray.functions.shingles import token_shingles
+
+    w = cfg.shingle_w if w is None else w
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams_fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        mask = (ids % bench_mod) == 0
+        texts = batch.column("text").filter(pa.array(mask))
+        sh, _ = token_shingles(texts, w, cfg.seed)
+        return pa.table({"g": pa.array(np.unique(sh), pa.uint64())})
+
+    # benchmark gram set: per-batch distinct -> one driver union (small
+    # side by definition; see contract above)
+    parts = [
+        b.column("g").to_numpy()
+        for b in docs.map_batches(bench_grams_fn, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    ]
+    bench_sorted = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench_sorted)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)          # plasma-cached per worker
+        sh, cnt = token_shingles(batch.column("text"), w, cfg.seed)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), cnt)
+        n_hits = np.zeros(len(batch), dtype=np.int64)
+        if len(sh) and len(bench):
+            pos = np.minimum(np.searchsorted(bench, sh), len(bench) - 1)
+            hit = bench[pos] == sh
+            rs, gs = row[hit], sh[hit]
+            if len(rs):
+                o = np.lexsort((gs, rs))
+                rs, gs = rs[o], gs[o]
+                first = np.ones(len(rs), dtype=bool)
+                first[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+                n_hits = np.bincount(rs[first], minlength=len(batch)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow")

@@ -348,3 +348,70 @@ def asof_prior(
         _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), num_partitions
     )
     return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
+
+
+def distinct_users_per_type(sf_dir: str, num_partitions: int = 32):
+    """(event_type, n_users): EXACT per-group COUNT(DISTINCT user_id) —
+    the audience-size / cardinality query every event pipeline ships.
+
+    Scale shape (two-level exact distinct, the COUNT(DISTINCT) analog of
+    partial aggregation): each batch first collapses to its distinct
+    (event_type, user_id) pairs (one lexsort, no Python loop), so the
+    shuffle moves at most one row per pair per batch; rows are then
+    hash-partitioned on the PAIR (splitmix64(user) ^ type-hash), each
+    partition dedups its pairs exactly once globally — a pair lands in
+    exactly one partition — and counts per type; a final metadata-scale
+    groupby sums the per-partition counts.  No corpus-width state
+    anywhere, and a hot event_type is spread across all partitions by the
+    user component of the key."""
+    from ray.data.aggregate import Sum
+
+    from minhash_ray.functions.hashing import hash_str_array
+    from minhash_ray.util import clamp_partitions
+
+    P = np.uint64(max(2, clamp_partitions(num_partitions)))
+
+    def _distinct_pairs(batch: pa.Table):
+        t = batch.column("event_type")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        enc = t.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        users = batch.column("user_id").to_numpy()
+        o = np.lexsort((users, codes))
+        cs, us = codes[o], users[o]
+        first = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            first[1:] = (cs[1:] != cs[:-1]) | (us[1:] != us[:-1])
+        return enc.dictionary, cs[first], us[first]
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        vocab, cs, us = _distinct_pairs(batch)
+        type_h = hash_str_array(vocab.to_pylist(), 7)
+        pkey = ((splitmix64(us.astype(np.uint64)) ^ type_h[cs]) % P).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": vocab.take(pa.array(cs, pa.int64())),
+                "user_id": pa.array(us, pa.int64()),
+                "pkey": pa.array(pkey, pa.int64()),
+            }
+        )
+
+    def per_partition_count(batch: pa.Table) -> pa.Table:
+        vocab, cs, _ = _distinct_pairs(batch)
+        n = np.bincount(cs, minlength=len(vocab)).astype(np.int64)
+        present = np.flatnonzero(n)
+        return pa.table(
+            {
+                "event_type": vocab.take(pa.array(present, pa.int64())),
+                "n_partial": pa.array(n[present], pa.int64()),
+            }
+        )
+
+    pruned = _events(sf_dir, ["event_type", "user_id"]).map_batches(
+        local_distinct, batch_format="pyarrow"
+    )
+    per_part = pruned.groupby("pkey").map_groups(
+        per_partition_count, batch_format="pyarrow"
+    )
+    return per_part.groupby("event_type").aggregate(Sum("n_partial", alias_name="n_users"))

@@ -253,3 +253,145 @@ def doc_sample(sf_dir: str, fraction: float = 0.1, seed: int = 42):
         .random_sample(fraction, seed=seed)
         .map_batches(fn, batch_format="pyarrow")
     )
+
+
+def term_doc_freq(sf_dir: str, min_df: int = 5):
+    """(term, df): inverted-index document frequencies — for each distinct
+    lowercase whitespace token, the number of documents containing it,
+    kept where df >= min_df (the vocabulary/IDF table of a training-data
+    pipeline, and the posting-list size profile of an inverted index).
+
+    Scale shape (partial + final, same as every aggregate here): each
+    batch dedups (doc, term) pairs on dictionary codes and emits one
+    (term, partial_df) row per distinct term IN THE BATCH — so the
+    groupby shuffle moves at most |vocab_batch| rows per batch, never the
+    corpus' token stream.  Zipf makes the head terms hot, but the partial
+    combine has already collapsed them to one row per (term, batch).
+    """
+    from ray.data.aggregate import Sum
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.utf8_lower(pc.fill_null(texts, ""))
+        toks = pc.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_ids = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, row_ids = flat.filter(pa.array(keep)), row_ids[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        # distinct (doc, term-code) pairs, then per-code doc counts
+        o = np.lexsort((codes, row_ids))
+        rs, cs = row_ids[o], codes[o]
+        first = np.ones(len(rs), dtype=bool)
+        first[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+        df_partial = np.bincount(cs[first], minlength=len(enc.dictionary))
+        present = np.flatnonzero(df_partial)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(present, pa.int64())),
+                "df": pa.array(df_partial[present], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("df"), min_df))
+
+    return agg.map_batches(gate, batch_format="pyarrow")
+
+
+def stratified_sample_docs(sf_dir: str, k: int = 20, num_partitions: int = 32):
+    """(lang, doc_id, rnk): deterministic per-stratum fixed-quota sample —
+    the k documents per language with the smallest ``splitmix64(doc_id)``.
+    Hash-ordering makes the sample uniform-at-random w.r.t. any content
+    correlate, yet reproducible and SQL-oracle-exact (``doc_sample`` is
+    the RNG fraction sampler; this is the quota shape used for eval-set
+    carving and per-language audit pools).
+
+    Scale shape: identical two-level exact top-k as
+    ``relational.top_orders_per_customer`` — per-batch prune to k rows per
+    stratum (vectorized lexsort + segmented rank), hash shuffle of the
+    pruned rows only, per-partition exact final pass.  splitmix64 is a
+    bijection on uint64, so ranks are tie-free and the oracle can order by
+    the hash alone."""
+    import ray.data as rd  # noqa: F401  (Dataset comes from _docs)
+
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import clamp_partitions
+
+    P = np.uint64(max(2, clamp_partitions(num_partitions)))
+
+    def _topk(lang_codes, doc_ids, hv, k):
+        order = np.lexsort((doc_ids, hv, lang_codes))
+        ls = lang_codes[order]
+        n = len(order)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = ls[1:] != ls[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        r = idx - start
+        keep = r < k
+        return order[keep], r[keep]
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy()
+        hv = splitmix64(ids.astype(np.uint64))
+        sel, _ = _topk(codes, ids, hv, k)
+        # partition on the stratum so one task sees a stratum's pruned rows
+        lang_sel = lang.take(pa.array(sel, pa.int64()))
+        from minhash_ray.functions.hashing import hash_str_array
+
+        uniq_h = hash_str_array(enc.dictionary.to_pylist(), 7)
+        pkey = (uniq_h[codes[sel]] % P).astype(np.int64)
+        return pa.table(
+            {
+                "lang": lang_sel,
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "hu": pa.array(hv[sel], pa.uint64()),   # payload; ranking key
+                "pkey": pa.array(pkey, pa.int64()),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy()
+        hv = batch.column("hu").to_numpy()
+        sel, r = _topk(codes, ids, hv, k)
+        return pa.table(
+            {
+                "lang": lang.take(pa.array(sel, pa.int64())),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "rnk": pa.array(r + 1, pa.int64()),
+            }
+        )
+
+    pruned = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        local_prune, batch_format="pyarrow"
+    )
+    return pruned.groupby("pkey").map_groups(final_topk, batch_format="pyarrow")

@@ -46,7 +46,8 @@ SQL_QUERIES = [
     "window_counts", "sessionize", "asof_prior", "simhash_dup_pairs",
     "token_quantiles", "corpus_curation", "bpe_token_counts",
     "range_join_recent", "clips_minhash_slots", "sliding_window_counts",
-    "top_orders_per_customer",
+    "top_orders_per_customer", "term_doc_freq", "stratified_sample_docs",
+    "decontaminate", "distinct_users_per_type",
 ]
 
 
@@ -322,3 +323,54 @@ def test_sliding_window_replication_factor(ray_session, sf_dir):
 
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     assert int(df["n_events"].sum()) == 4 * n_events
+
+
+def test_decontaminate_flags_benchmark_members(ray_session, sf_dir):
+    """Every benchmark doc with >= w tokens shares its own grams -> must
+    self-flag; docs with < w tokens yield no grams -> must not flag."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import DOC_CFG, decontaminate
+
+    out = decontaminate(sf_dir).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    w = DOC_CFG.shingle_w
+    for did, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        n_tok = len((text or "").split())
+        if did % 43 == 0 and n_tok >= w:
+            assert out.loc[did, "contaminated"], f"benchmark doc {did} not flagged"
+        if n_tok < w:
+            assert not out.loc[did, "contaminated"], f"gramless doc {did} flagged"
+
+
+def test_stratified_sample_is_exact_per_stratum_topk(ray_session, sf_dir):
+    """The distributed two-level sample equals the brute-force smallest-k
+    splitmix64(doc_id) per lang, rank for rank."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import stratified_sample_docs
+    from minhash_ray.stages.banding import splitmix64
+
+    k = 7
+    got = (
+        stratified_sample_docs(sf_dir, k=k)
+        .to_pandas()
+        .sort_values(["lang", "rnk"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    df = docs.to_pandas()
+    df["h"] = splitmix64(df["doc_id"].to_numpy().astype(np.uint64))
+    want_rows = []
+    for lang, grp in df.groupby("lang"):
+        grp = grp.sort_values(["h", "doc_id"]).head(k)
+        for i, did in enumerate(grp["doc_id"].to_numpy()):
+            want_rows.append((lang, int(did), i + 1))
+    import pandas as pd
+
+    want = pd.DataFrame(want_rows, columns=["lang", "doc_id", "rnk"]).sort_values(
+        ["lang", "rnk"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["lang", "doc_id", "rnk"]], want)
