@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         # per-group top-k (windowed row_number shape; two-level exact top-k)
         "top_orders_per_customer": relational.top_orders_per_customer,
+        # partitioned anti-join (NOT EXISTS), both sides large
+        "customers_without_orders": relational.customers_without_orders,
+        # PII/denylist scrubbing (vectorized RE2 replace + count)
+        "scrub_terms": text.scrub_terms,
         "supplier_regions": relational.supplier_regions,
         "events_by_type": relational.events_by_type,
         "filtered_lineitem": relational.filtered_lineitem,
@@ -915,6 +919,20 @@ def _decontaminate_sql(bench_mod: int = 43, seed: int = 42, w: int | None = None
     )
 
 
+def _scrub_terms_sql() -> str:
+    """DuckDB replay of ``scrub_terms`` — same RE2 pattern on both sides
+    (pyarrow and DuckDB both compile RE2), global replace + match count."""
+    from minhash_ray.pipelines.text import SCRUB_PATTERN, SCRUB_TOKEN
+
+    return (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS BIGINT)"
+        " AS n_scrubbed, "
+        f"regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_TOKEN}', 'g')"
+        " AS text_scrubbed FROM documents"
+    )
+
+
 def _stratified_sample_sql(k: int = 20) -> str:
     """DuckDB replay of ``stratified_sample_docs``: splitmix64(doc_id)
     emulated with 32-bit-half xor + overflow-safe modular multiplies
@@ -958,6 +976,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stratified_sample_docs": _stratified_sample_sql(),
         "decontaminate": _decontaminate_sql(),
+        "scrub_terms": _scrub_terms_sql(),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 400000.0)"
+        ),
         "distinct_users_per_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY event_type"

@@ -365,3 +365,76 @@ def top_orders_per_customer(sf_dir: str, k: int = 3, num_partitions: int = 32):
         sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
     ).map_batches(local_topk, batch_format="pyarrow")
     return pruned.groupby("pkey").map_groups(final_topk, batch_format="pyarrow")
+
+
+def customers_without_orders(
+    sf_dir: str, min_price: float = 400000.0, num_partitions: int = 32
+):
+    """(c_custkey, c_name): customers with no order above ``min_price`` —
+    the predicate anti-join (``NOT EXISTS``) surface Ray Data has no
+    native operator for.  (The predicate keeps the result non-degenerate
+    on the TPC-H-ish fixtures, where every customer has *some* order.)
+
+    Scale shape (partitioned anti-join, both sides large): the probe side
+    first collapses to its DISTINCT keys per batch (one np.unique — at
+    most one row per custkey per batch crosses the shuffle, never the
+    order history), then BOTH sides hash-partition on the key and each
+    partition runs a vectorized sorted-membership setdiff.  No broadcast
+    and no driver-resident state, so it holds when the probe side is 10^9
+    rows; compare ``orders_by_segment`` for the broadcast shape used when
+    one side is genuinely small."""
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import clamp_partitions
+
+    P = np.uint64(max(2, clamp_partitions(num_partitions)))
+
+    def _pkey(keys: np.ndarray) -> pa.Array:
+        return pa.array(
+            (splitmix64(keys.astype(np.uint64)) % P).astype(np.int64), pa.int64()
+        )
+
+    def keep_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy()
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "probe": pa.array(np.zeros(len(keys), dtype=np.int8), pa.int8()),
+                "pkey": _pkey(keys),
+            }
+        )
+
+    def probe_side(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy()
+        keys = np.unique(batch.column("o_custkey").to_numpy()[price > min_price])
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([None] * len(keys), pa.string()),
+                "probe": pa.array(np.ones(len(keys), dtype=np.int8), pa.int8()),
+                "pkey": _pkey(keys),
+            }
+        )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        probe = batch.column("probe").to_numpy()
+        keys = batch.column("c_custkey").to_numpy()
+        present = np.unique(keys[probe == 1])
+        left = probe == 0
+        lk = keys[left]
+        if len(present):
+            pos = np.minimum(np.searchsorted(present, lk), len(present) - 1)
+            miss = present[pos] != lk
+        else:
+            miss = np.ones(len(lk), dtype=bool)
+        sel = np.flatnonzero(left)[miss]
+        t = batch.select(["c_custkey", "c_name"])
+        return t.take(pa.array(sel, pa.int64()))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        keep_side, batch_format="pyarrow"
+    )
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        probe_side, batch_format="pyarrow"
+    )
+    return cust.union(orders).groupby("pkey").map_groups(anti, batch_format="pyarrow")

@@ -395,3 +395,39 @@ def stratified_sample_docs(sf_dir: str, k: int = 20, num_partitions: int = 32):
         local_prune, batch_format="pyarrow"
     )
     return pruned.groupby("pkey").map_groups(final_topk, batch_format="pyarrow")
+
+
+# denylist-scrub pattern: the PII-scrub shape (emails / long digit runs /
+# denylisted entity terms) restricted to classes that actually occur in the
+# synthetic corpus so the op is exercised, plus the PII classes for real
+# inputs.  RE2-safe (no lookarounds) — pyarrow and DuckDB both compile RE2,
+# so replace/count semantics match by construction.
+SCRUB_PATTERN = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"   # email-shaped
+    r"|[0-9]{6,}"                          # long digit runs (ids, phones)
+    r"|\b(?:customer|key|window)\b"        # denylisted entity terms
+)
+SCRUB_TOKEN = "[SCRUBBED]"
+
+
+def scrub_terms(sf_dir: str):
+    """(doc_id, n_scrubbed, text_scrubbed): PII/denylist scrubbing — every
+    match of ``SCRUB_PATTERN`` replaced by a fixed token, with a per-doc
+    match count (the redaction pass a training-data pipeline runs before
+    anything leaves the trust boundary).  One vectorized RE2 replace + one
+    count kernel per batch; no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n = pc.count_substring_regex(text, SCRUB_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_scrubbed": pc.cast(n, pa.int64()),
+                "text_scrubbed": pc.replace_substring_regex(
+                    text, SCRUB_PATTERN, SCRUB_TOKEN
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

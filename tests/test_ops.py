@@ -47,7 +47,8 @@ SQL_QUERIES = [
     "token_quantiles", "corpus_curation", "bpe_token_counts",
     "range_join_recent", "clips_minhash_slots", "sliding_window_counts",
     "top_orders_per_customer", "term_doc_freq", "stratified_sample_docs",
-    "decontaminate", "distinct_users_per_type",
+    "decontaminate", "distinct_users_per_type", "customers_without_orders",
+    "scrub_terms",
 ]
 
 
