@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE-ish regex token counting (RE2 pattern, identical engine on
         # both sides) — SQL-checked
         "bpe_token_counts": text.bpe_token_counts,
+        # grouped exact order statistics (per-lang histogram fold)
+        "lang_token_quantiles": text.lang_token_quantiles,
         "text_quality": text.text_quality,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_stats": text.lang_stats,
@@ -992,6 +994,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'"
             ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        "lang_token_quantiles": (
+            f"WITH c AS (SELECT lang, {n_tokens} AS v FROM documents), "
+            "o AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v)"
+            " - 1 AS r, count(*) OVER (PARTITION BY lang) AS n FROM c) "
+            "SELECT o.lang AS lang, qq.q AS q, o.v AS n_tokens "
+            "FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) qq(q) "
+            "JOIN o ON o.r = CAST(floor((o.n - 1) * qq.q) AS BIGINT)"
         ),
         "token_quantiles": (
             f"WITH c AS (SELECT {n_tokens} AS v FROM documents), "

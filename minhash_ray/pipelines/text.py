@@ -431,3 +431,80 @@ def scrub_terms(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def lang_token_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """(lang, q, n_tokens): EXACT per-language quantiles of the per-doc
+    token count — the grouped order-statistics operator (length cutoffs
+    per stratum, the per-language analog of ``token_quantiles``).
+
+    Scale shape: same histogram trick, grouped — each batch pre-aggregates
+    to distinct (lang, value, count) triples, one hash shuffle on lang
+    delivers a language's partial histograms to one task (histogram rows ≈
+    distinct values × batches, metadata-scale — NOT doc rows), and the
+    per-group fold merges counts and reads exact 'lower' order statistics
+    at ``floor((n-1)·q)``.  No global sort and nothing corpus-width."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empties = pc.equal(pc.utf8_trim_whitespace(text), "").to_numpy(
+            zero_copy_only=False
+        )
+        n[empties] = 0
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((n, codes))
+        cs, vs = codes[o], n[o]
+        first = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            first[1:] = (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(cs)))
+        return pa.table(
+            {
+                "lang": enc.dictionary.take(pa.array(cs[starts], pa.int64())),
+                "v": pa.array(vs[starts], pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")[0].as_py()
+        v = batch.column("v").to_numpy()
+        c = batch.column("c").to_numpy()
+        o = np.argsort(v, kind="stable")
+        v, c = v[o], c[o]
+        # merge duplicate values across batches
+        first = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            first[1:] = v[1:] != v[:-1]
+        vv = v[first]
+        cc = np.add.reduceat(c, np.flatnonzero(first)) if len(v) else c
+        cum = np.cumsum(cc)
+        n = int(cum[-1]) if len(cum) else 0
+        out_q, out_v = [], []
+        for q in qs:
+            if n == 0:
+                continue
+            idx = int(np.floor((n - 1) * q))
+            out_q.append(float(q))
+            out_v.append(int(vv[np.searchsorted(cum, idx, side="right")]))
+        return pa.table(
+            {
+                "lang": pa.array([lang] * len(out_q), pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "n_tokens": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(fold, batch_format="pyarrow")
+    )
