@@ -375,3 +375,25 @@ def test_stratified_sample_is_exact_per_stratum_topk(ray_session, sf_dir):
         ["lang", "rnk"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["lang", "doc_id", "rnk"]], want)
+
+
+def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
+    """Anti-join, count-distinct and per-group top-k give identical results
+    at different partition counts (the partitioning is an implementation
+    detail, never a semantics knob)."""
+    import pandas as pd
+
+    from minhash_ray.pipelines.events import distinct_users_per_type
+    from minhash_ray.pipelines.relational import (
+        customers_without_orders,
+        top_orders_per_customer,
+    )
+
+    for fn, kw in [
+        (customers_without_orders, {}),
+        (distinct_users_per_type, {}),
+        (top_orders_per_customer, {}),
+    ]:
+        a = _canon(_pdf(fn(sf_dir, num_partitions=3, **kw)))
+        b = _canon(_pdf(fn(sf_dir, num_partitions=32, **kw)))
+        pd.testing.assert_frame_equal(a, b), fn.__name__
