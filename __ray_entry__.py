@@ -291,6 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": text.bpe_token_counts,
         # grouped exact order statistics (per-lang histogram fold)
         "lang_token_quantiles": text.lang_token_quantiles,
+        # tf-idf-shaped salient-term extraction (two-pass composite:
+        # vocabulary df aggregate -> broadcast -> per-doc segmented top-k)
+        "salient_terms": text.salient_terms,
         "text_quality": text.text_quality,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_stats": text.lang_stats,
@@ -994,6 +997,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'"
             ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        # integer-exact tf-idf ordering: tf DESC, df ASC, term ASC
+        "salient_terms": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "trim(lower(text)), '\\s+')) AS term FROM documents "
+            "WHERE trim(text) <> ''), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "WHERE term <> '' GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "WHERE term <> '' GROUP BY term), "
+            "r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rnk "
+            "FROM tf JOIN df USING (term)) "
+            "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, "
+            "CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk "
+            "FROM r WHERE rnk <= 3"
         ),
         "lang_token_quantiles": (
             f"WITH c AS (SELECT lang, {n_tokens} AS v FROM documents), "

@@ -161,6 +161,15 @@ def run_bench() -> dict:
         ("simhash_dup_pairs", dedup_text.simhash_dup_pairs),
         ("token_quantiles", text.token_quantiles),
         ("corpus_curation", curation.corpus_curation),
+        # round-4 operators
+        ("decontaminate", dedup_text.decontaminate),
+        ("term_doc_freq", text.term_doc_freq),
+        ("stratified_sample_docs", text.stratified_sample_docs),
+        ("scrub_terms", text.scrub_terms),
+        ("lang_token_quantiles", text.lang_token_quantiles),
+        ("distinct_users_per_type", events.distinct_users_per_type),
+        ("customers_without_orders", relational.customers_without_orders),
+        ("top_orders_per_customer", relational.top_orders_per_customer),
     ):
         queries[name], queries_runs[name] = timed2(fn)
 

@@ -508,3 +508,136 @@ def lang_token_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
         .groupby("lang")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def salient_terms(sf_dir: str, k: int = 3):
+    """(doc_id, term, tf, df, rnk): the k most salient terms per document —
+    ranked by term frequency DESC, corpus document-frequency ASC, term ASC
+    (the integer-exact tf-idf ordering: most frequent in the doc, rarest
+    in the corpus; float idf = ln(N/df) would rank identically for fixed
+    tf but is libm-dependent, so the engine and the SQL oracle both use
+    the exact integer ordering).
+
+    Scale shape: a two-pass composite.  Pass 1 is ``term_doc_freq``'s
+    partial+final df aggregate; the resulting VOCABULARY-scale table
+    (Zipf-bounded, ≪ corpus) is collected once, sorted, and broadcast via
+    ``ray.put`` — the same derived-small-side pattern as
+    ``orders_by_segment``'s dimension table.  Pass 2 streams the corpus:
+    per-batch (doc, term) counts via one lexsort, df attach via
+    searchsorted into the broadcast pack, and a segmented top-k per doc.
+    Contract: the min_df-gated vocabulary must fit worker memory (a
+    10^8-term vocab at ~20 B/term is 2 GB — above that, swap pass 2's
+    attach for a partitioned join on term, the ``_ngram_verify_join``
+    pattern)."""
+    import ray
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # distinct terms per doc, then per-term doc counts (same kernel
+        # as term_doc_freq, kept local so the two ops stay independent)
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_ids = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, row_ids = flat.filter(pa.array(keep)), row_ids[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        o = np.lexsort((codes, row_ids))
+        rs, cs = row_ids[o], codes[o]
+        first = np.ones(len(rs), dtype=bool)
+        first[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+        dfp = np.bincount(cs[first], minlength=len(enc.dictionary))
+        present = np.flatnonzero(dfp)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(present, pa.int64())),
+                "df": pa.array(dfp[present], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = pa.concat_tables(
+        list(
+            _docs(sf_dir, ["text"])
+            .map_batches(df_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    vocab = df_tbl.column("term").to_numpy(zero_copy_only=False).astype("U")
+    dfs = df_tbl.column("df").to_numpy()
+    o = np.argsort(vocab, kind="stable")     # codepoint order == SQL binary collation
+    vocab, dfs = vocab[o], dfs[o]
+    pack_ref = ray.put((vocab, dfs))
+
+    def per_doc_topk(batch: pa.Table) -> pa.Table:
+        voc, dfv = ray.get(pack_ref)
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_ids = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, row_ids = flat.filter(pa.array(keep)), row_ids[keep]
+        if len(row_ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        # global vocab index = lexicographic rank (doubles as the tie-break)
+        vidx = np.searchsorted(voc, flat.to_numpy(zero_copy_only=False).astype("U"))
+        # per-(doc, term) tf via one lexsort
+        o = np.lexsort((vidx, row_ids))
+        rs, vs = row_ids[o], vidx[o]
+        first = np.ones(len(rs), dtype=bool)
+        first[1:] = (rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(rs))).astype(np.int64)
+        drow, dterm = rs[starts], vs[starts]
+        ddf = dfv[dterm]
+        # segmented top-k per doc under (tf DESC, df ASC, term ASC)
+        o2 = np.lexsort((dterm, ddf, -tf, drow))
+        rs2 = drow[o2]
+        n = len(o2)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = rs2[1:] != rs2[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        r = idx - start
+        sel = o2[r < k]
+        rk = r[r < k]
+        doc_ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[drow[sel]], pa.int64()),
+                "term": pa.array(voc[dterm[sel]], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "df": pa.array(ddf[sel], pa.int64()),
+                "rnk": pa.array(rk + 1, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc_topk, batch_format="pyarrow"
+    )
