@@ -48,7 +48,7 @@ SQL_QUERIES = [
     "range_join_recent", "clips_minhash_slots", "sliding_window_counts",
     "top_orders_per_customer", "term_doc_freq", "stratified_sample_docs",
     "decontaminate", "distinct_users_per_type", "customers_without_orders",
-    "scrub_terms", "lang_token_quantiles", "salient_terms",
+    "scrub_terms", "lang_token_quantiles", "salient_terms", "nation_revenue",
 ]
 
 
