@@ -154,6 +154,34 @@ def _clips_minhash_slots_sql() -> str:
     )
 
 
+def _clips_parquet_path() -> str:
+    from minhash_ray.sources.synth import clips_dir_for
+
+    return os.path.join(clips_dir_for(ORACLE_SF_DIR()), "clips.parquet")
+
+
+def _audio_stats_sql() -> str:
+    path = _clips_parquet_path()
+    return (
+        "SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz, count(*) AS n_clips, "
+        "CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes, "
+        "CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms, "
+        "CAST(min(dur_ms) AS BIGINT) AS min_dur_ms, "
+        "CAST(max(dur_ms) AS BIGINT) AS max_dur_ms "
+        f"FROM read_parquet('{path}') GROUP BY codec, sr_hz"
+    )
+
+
+def _audio_exact_dedup_sql() -> str:
+    path = _clips_parquet_path()
+    return (
+        "SELECT clip_id, "
+        "min(clip_id) OVER (PARTITION BY bytes) AS rep_clip_id, "
+        "count(*) OVER (PARTITION BY bytes) AS group_size "
+        f"FROM read_parquet('{path}')"
+    )
+
+
 def audio_frame_features(sf_dir: str):
     from minhash_ray.pipelines.multimodal import audio_frame_features as affn
 
@@ -183,6 +211,35 @@ def audio_resample(sf_dir: str):
         )
 
     return out.map_batches(slim, batch_format="pyarrow")
+
+
+def audio_stats(sf_dir: str):
+    """Per-(codec, sr_hz) storage/duration aggregate over the audio
+    payloads (pipelines/audio.py)."""
+    from minhash_ray.pipelines.audio import audio_stats as fn
+    from minhash_ray.sources.clips import read_clips
+    from minhash_ray.sources.synth import clips_dir_for
+
+    d = clips_dir_for(sf_dir)
+    clips = read_clips(
+        os.path.join(d, "clips.parquet"),
+        columns=["codec", "sr_hz", "dur_ms", "bytes"],
+    )
+    return fn(clips)
+
+
+def audio_exact_dedup(sf_dir: str):
+    """Exact byte-identical audio dedup: (clip_id, rep_clip_id,
+    group_size) — the audio exact tier (pipelines/audio.py)."""
+    from minhash_ray.pipelines.audio import audio_exact_dedup as fn
+    from minhash_ray.sources.clips import read_clips
+    from minhash_ray.sources.synth import clips_dir_for
+
+    d = clips_dir_for(sf_dir)
+    clips = read_clips(
+        os.path.join(d, "clips.parquet"), columns=["clip_id", "bytes"]
+    )
+    return fn(clips)
 
 
 def substring_pairs(sf_dir: str, broadcast_max_rows: int = 2_000_000):
@@ -391,6 +448,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_minhash_slots": clips_minhash_slots,
         "audio_frame_features": audio_frame_features,
         "substring_pairs": substring_pairs,
+        # --- audio-payload ops (SQL-checked: oracle groups by the raw
+        # BLOB, engine by its 128-bit payload digest) ---
+        "audio_stats": audio_stats,
+        "audio_exact_dedup": audio_exact_dedup,
     }
 
 
@@ -1041,6 +1102,11 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprints": _rolling_fp_sql(),
         "doc_minhash_slots": _minhash_slots_sql(),
         "clips_minhash_slots": _clips_minhash_slots_sql(),
+        # audio-payload ops: the oracle groups/partitions by the raw BLOB;
+        # the engine shuffles a 128-bit payload digest instead — an
+        # independent identity check of the digest channel
+        "audio_stats": _audio_stats_sql(),
+        "audio_exact_dedup": _audio_exact_dedup_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),

@@ -1,0 +1,124 @@
+"""Audio-payload operators over the clips table (binary column + typed
+metadata, no decode):
+
+* :func:`audio_stats` — per-(codec, sr_hz) storage/duration aggregate; the
+  "how much audio do I have" scan every corpus run starts with.
+* :func:`audio_exact_dedup` — exact byte-identical audio dedup: every clip
+  routed to the minimum clip_id of its payload-identical group.  This is
+  the AUDIO exact tier of a tiered dedup (cf. ``dedup_text.doc_dedup_tiered``
+  tier 1): at 100 TB it removes re-uploads/re-encodes-of-nothing before any
+  sketching happens, and its shuffle moves 16-byte digests, never payloads.
+
+Both are SQL-oracle-checked (the oracle groups/partitions by the raw BLOB,
+the engine by its 128-bit word-polynomial digest — an independent identity
+check of the digest channel the flagship's exact channel rides on,
+stages/signature.py content_hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from minhash_ray.util import (
+    DIGEST_PARAMS,
+    binary_flat_offsets,
+    wordpoly_digest_rows,
+)
+
+
+def _combined(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _add_audio_digest(batch: pa.Table) -> pa.Table:
+    """(clip_id, ag0, ag1): the 128-bit payload digest as two int64 key
+    columns — the exact-identity shuffle key (16 bytes/row instead of the
+    payload; same two-channel word-polynomial as the signature stage's
+    content hash, computed zero-copy off the Arrow binary buffer)."""
+    flat, offs = binary_flat_offsets(_combined(batch.column("bytes")))
+    cols = {"clip_id": batch.column("clip_id")}
+    with np.errstate(over="ignore"):
+        for i, (seed, mult) in enumerate(DIGEST_PARAMS):
+            M = np.uint64(mult)
+            d = np.uint64(seed) * M + wordpoly_digest_rows(flat, offs, mult)
+            cols[f"ag{i}"] = pa.array(d.view(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def audio_exact_dedup(clips, num_partitions: int = 8):
+    """One row per clip: ``(clip_id, rep_clip_id, group_size)`` where
+    ``rep_clip_id`` is the minimum clip_id among clips with a byte-identical
+    audio payload and ``group_size`` that group's cardinality.
+
+    Scale shape: one map pass digests the payload (it never leaves the read
+    task), then a 16-byte-key groupby produces per-group (rep, size) and one
+    partitioned hash join routes every clip through its group — no stage
+    holds payloads or the corpus on the driver.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from minhash_ray.util import clamp_partitions
+
+    keyed = clips.map_batches(_add_audio_digest, batch_format="pyarrow").materialize()
+    np_parts = clamp_partitions(num_partitions)
+    reps = keyed.groupby(["ag0", "ag1"]).aggregate(
+        Min("clip_id", alias_name="rep_clip_id"),
+        Count(alias_name="group_size"),
+    )
+    out = keyed.join(
+        reps, join_type="inner", on=("ag0", "ag1"), num_partitions=np_parts
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "rep_clip_id": batch.column("rep_clip_id"),
+                "group_size": batch.column("group_size"),
+            }
+        )
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
+def audio_stats(clips):
+    """Per-(codec, sr_hz): clip count, total payload bytes, total/min/max
+    duration — vectorized per-batch partials (Arrow ``group_by`` inside the
+    map task) folded by a tiny final groupby, so the shuffle moves one row
+    per (batch, codec, sr) instead of one per clip."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "codec": batch.column("codec"),
+                # int64 key: Ray's hash aggregate widens key columns anyway,
+                # so pin the type explicitly (oracle CASTs to BIGINT)
+                "sr_hz": pc.cast(batch.column("sr_hz"), pa.int64()),
+                "nb": pc.binary_length(_combined(batch.column("bytes"))).cast(pa.int64()),
+                "dur": pc.cast(batch.column("dur_ms"), pa.int64()),
+            }
+        )
+        g = t.group_by(["codec", "sr_hz"]).aggregate(
+            [("nb", "count"), ("nb", "sum"), ("dur", "sum"), ("dur", "min"), ("dur", "max")]
+        )
+        return g
+
+    parts = clips.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby(["codec", "sr_hz"]).aggregate(
+        Sum("nb_count", alias_name="n_clips"),
+        Sum("nb_sum", alias_name="total_bytes"),
+        Sum("dur_sum", alias_name="total_dur_ms"),
+        Min("dur_min", alias_name="min_dur_ms"),
+        Max("dur_max", alias_name="max_dur_ms"),
+    )
+
+    def order(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["codec", "sr_hz", "n_clips", "total_bytes",
+             "total_dur_ms", "min_dur_ms", "max_dur_ms"]
+        )
+
+    return agg.map_batches(order, batch_format="pyarrow")
