@@ -74,6 +74,18 @@ def clips_dedup_edges(sf_dir: str):
     return _clips_dedup(sf_dir).edges
 
 
+def clips_dedup_tiered(sf_dir: str):
+    """(clip_id, cluster_id, keep, tier) — tiered flagship: exact content
+    tier → LSH over exact representatives → components (rows-only: sketch/
+    LSH semantics; partition-equality with run_dedup is pytest-asserted)."""
+    from minhash_ray.pipelines.dedup import run_dedup_tiered
+
+    clips, _ = _clips_ds(sf_dir)
+    from minhash_ray.config import PipelineConfig
+
+    return run_dedup_tiered(clips, PipelineConfig(), num_partitions=8)
+
+
 def clips_signatures(sf_dir: str):
     """clip_id, simhash+audio_fp (as int64), n_shingles — the signature
     stage output in SQL-friendly dtypes (full list<u64> signatures are
@@ -443,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship clips pipelines (rows-only: sketch/LSH semantics) ---
         "clips_dedup_assignments": clips_dedup_assignments,
         "clips_dedup_edges": clips_dedup_edges,
+        # rows-only: tiered flagship (exact tier -> LSH over reps);
+        # partition-equality with run_dedup proven in pytest
+        "clips_dedup_tiered": clips_dedup_tiered,
         "clips_signatures": clips_signatures,
         # SQL-checked: the flagship text sketch chain replayed in HUGEINT
         "clips_minhash_slots": clips_minhash_slots,

@@ -262,6 +262,225 @@ def run_dedup(
     return DedupResult(validated, signatures, edges, assignments)
 
 
+def run_dedup_tiered(
+    clips,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 32,
+    stage_times: dict | None = None,
+):
+    """TIERED flagship (tier dedup × audio): exact tier → LSH tier over
+    exact representatives → connected components, every clip routed
+    through its exact rep to its cluster root.
+
+    Produces the SAME final cluster partition as :func:`run_dedup` (exact
+    duplicates share every signature bit, so their LSH buckets, verified
+    pairs and hence components coincide — asserted in
+    tests/test_round4_fixes.py), but the wide stages (banding shuffle,
+    candidate self-join, verify) process ONE clip per byte-identical
+    (transcript, payload) group: on a re-upload-heavy web-audio corpus
+    (commonly 30-50% exact dups) the expensive stages shrink
+    proportionally.  This is the audio instance of the production tier
+    shape in ``dedup_text.doc_dedup_tiered`` (tier 1 = the reference's
+    min-fold idempotence applied to whole rows: inserting a byte-identical
+    clip twice cannot change any sketch, src/utils/utils.c:3-33).
+
+    Scale shape: one fused read+signature payload pass (the payload never
+    crosses the object store), a 16-byte content-digest groupby, ONE
+    signature-width partitioned join (routing + rep filter share it), the
+    LSH pipeline over survivors, and one slim routing join; nothing
+    corpus-width touches the driver.
+
+    Returns a Dataset ``(clip_id, cluster_id, keep, tier)`` — ``keep=1``
+    iff the clip is its cluster's canonical representative (min clip_id,
+    the same deterministic min-fold canonicalization as everywhere else);
+    ``tier`` is ``'rep'`` for tier-2 survivors, ``'exact'`` for clips
+    folded away in tier 1.
+    """
+    import time as _time
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from minhash_ray.stages.signature import make_signature_fn
+    from minhash_ray.util import clamp_partitions, strip_empty_blocks
+
+    _t0 = _time.perf_counter()
+
+    def _mark(name):
+        nonlocal _t0
+        if stage_times is not None:
+            now = _time.perf_counter()
+            stage_times[name] = round(now - _t0, 3)
+            _t0 = now
+
+    cfg = cfg or PipelineConfig()
+    if isinstance(clips, str):
+        clips = read_clips(clips)
+    np_parts = clamp_partitions(num_partitions)
+
+    signatures = clips.map_batches(
+        make_signature_fn(cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size or None,
+    ).materialize()
+    _mark("signatures")
+
+    # --- tier 1: exact groups on the content digest, as ONE groupby over
+    # the packed signature rows.  Within a content_hash group every column
+    # is byte-identical except clip_id (the rows ARE byte-identical clips),
+    # so Min() is simultaneously the rep selector (min clip_id) and an
+    # arbitrary-pick for every other column — the rep's full signature row
+    # falls out of the same shuffle that finds the rep, with no
+    # signature-side join (Acero rejects list payloads in joins anyway;
+    # the u64 vectors ride packed as large_binary, the verify_shuffle
+    # pattern, stages/verify.py:_pack_u64_column). ---
+    from minhash_ray.stages.verify import _pack_u64_column, _unpack_u64_column
+
+    def pack(batch: pa.Table) -> pa.Table:
+        def u64_as_i64(name):
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pa.array(
+                np.ascontiguousarray(col.to_numpy(zero_copy_only=False)).view(np.int64),
+                pa.int64(),
+            )
+
+        return pa.table(
+            {
+                "content_hash": batch.column("content_hash"),
+                "clip_id": batch.column("clip_id"),
+                "transcript": batch.column("transcript"),
+                "sig_pk": _pack_u64_column(batch.column("signature")),
+                "audio_sig_pk": _pack_u64_column(batch.column("audio_sig")),
+                "shingles_pk": _pack_u64_column(batch.column("shingles")),
+                "simhash_i": u64_as_i64("simhash"),
+                "audio_fp_i": u64_as_i64("audio_fp"),
+                "n_shingles": batch.column("n_shingles"),
+            }
+        )
+
+    packed = signatures.map_batches(pack, batch_format="pyarrow").materialize()
+    reps_packed = packed.groupby("content_hash").aggregate(
+        Min("clip_id", alias_name="rep_id"),
+        Min("transcript", alias_name="transcript"),
+        Min("sig_pk", alias_name="sig_pk"),
+        Min("audio_sig_pk", alias_name="audio_sig_pk"),
+        Min("shingles_pk", alias_name="shingles_pk"),
+        Min("simhash_i", alias_name="simhash_i"),
+        Min("audio_fp_i", alias_name="audio_fp_i"),
+        Min("n_shingles", alias_name="n_shingles"),
+    ).materialize()
+
+    # member → rep routing: slim (clip_id, content_hash) ⋈ (content_hash,
+    # rep_id) — 16-byte-ish rows both sides.  strip_empty_blocks is the
+    # mandatory barrier before route feeds the tier-3 join (util.py doc).
+    route = strip_empty_blocks(
+        packed.select_columns(["clip_id", "content_hash"]).join(
+            reps_packed.select_columns(["content_hash", "rep_id"]),
+            join_type="inner", on=("content_hash",), num_partitions=np_parts,
+        )
+    ).select_columns(["clip_id", "rep_id"])
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        def fixed(name, k):
+            flat, _ = _unpack_u64_column(batch.column(name))
+            return pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.uint64()), k)
+
+        def i64_as_u64(name):
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pa.array(
+                np.ascontiguousarray(col.to_numpy(zero_copy_only=False)).view(np.uint64),
+                pa.uint64(),
+            )
+
+        sh_flat, sh_offs = _unpack_u64_column(batch.column("shingles_pk"))
+        return pa.table(
+            {
+                "clip_id": batch.column("rep_id"),
+                "transcript": batch.column("transcript"),
+                "signature": fixed("sig_pk", cfg.num_perm),
+                "simhash": i64_as_u64("simhash_i"),
+                "audio_fp": i64_as_u64("audio_fp_i"),
+                "audio_sig": fixed("audio_sig_pk", cfg.audio_num_perm),
+                "content_hash": batch.column("content_hash"),
+                "n_shingles": batch.column("n_shingles"),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(sh_offs, pa.int32()), pa.array(sh_flat, pa.uint64())
+                ),
+            }
+        )
+
+    reps_sigs = reps_packed.map_batches(unpack, batch_format="pyarrow").materialize()
+    _mark("exact_tier")
+
+    # --- tier 2: the LSH pipeline over survivors only (no exact channel —
+    # byte-identity was tier 1) ---
+    band_rows = reps_sigs.map_batches(
+        make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm),
+        batch_format="pyarrow",
+    )
+    if cfg.use_simhash_channel:
+        band_rows = band_rows.union(
+            reps_sigs.map_batches(
+                make_simhash_band_fn(cfg.simhash_max_hamming + 1),
+                batch_format="pyarrow",
+            )
+        )
+    if cfg.use_audio_channel:
+        from minhash_ray.stages.banding import make_audio_band_fn
+
+        band_rows = band_rows.union(
+            reps_sigs.map_batches(
+                make_audio_band_fn(
+                    cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm,
+                    min_filled=cfg.audio_min_filled,
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    n_reps = reps_sigs.count()
+    pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
+    _mark("candidates")
+    edges = verify_pairs(
+        pairs, reps_sigs, cfg, n_clips=n_reps, num_partitions=num_partitions
+    ).materialize()
+    _mark("verify")
+
+    # --- tier 3: components over rep edges, members inherit via routing.
+    # Component roots are min over reps = min over ALL members (each rep
+    # is already its group's min), so cluster_id is globally canonical.
+    assign = assign_clusters(reps_sigs, edges, cfg, num_partitions=num_partitions)
+    routed = route.join(
+        strip_empty_blocks(assign).map_batches(
+            lambda b: pa.table(
+                {"rep_id": b.column("clip_id"), "cluster_id": b.column("cluster_id")}
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner", on=("rep_id",), num_partitions=np_parts,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cid = batch.column("clip_id")
+        cluster = batch.column("cluster_id")
+        keep = pc.cast(pc.equal(cid, cluster), pa.int64())
+        tier = pc.if_else(
+            pc.equal(cid, batch.column("rep_id")),
+            pa.scalar("rep", pa.string()), pa.scalar("exact", pa.string()),
+        )
+        return pa.table(
+            {"clip_id": cid, "cluster_id": cluster, "keep": keep, "tier": tier}
+        )
+
+    out = routed.map_batches(finalize, batch_format="pyarrow")
+    if stage_times is not None:
+        out = out.materialize()
+    _mark("cluster")
+    return out
+
+
 def append_clips(
     new_clips,
     cfg: PipelineConfig | None = None,

@@ -236,3 +236,60 @@ def _pa_table(res) -> pa.Table:
     return pa.concat_tables(
         list(res.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     )
+
+
+def test_tiered_flagship_matches_run_dedup_partition(ray_session, small_fixture):
+    """run_dedup_tiered must produce the SAME cluster partition as the
+    flagship run_dedup (exact dups share every signature bit, so folding
+    them into tier 1 cannot change connectivity), with keep = is-root and
+    tier marking how each clip was routed."""
+    import collections
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup, run_dedup_tiered
+    from minhash_ray.sources.clips import read_clips
+
+    path = str(small_fixture / "clips.parquet")
+    cfg = PipelineConfig()
+    base = run_dedup(read_clips(path), cfg, num_partitions=4).assignments.to_pandas()
+    tier = run_dedup_tiered(read_clips(path), cfg, num_partitions=4).to_pandas()
+    assert len(base) == len(tier)
+
+    def part(df):
+        m = collections.defaultdict(set)
+        for c, i in zip(df.cluster_id, df.clip_id):
+            m[c].add(i)
+        return set(frozenset(v) for v in m.values())
+
+    assert part(base) == part(tier)
+    # keep iff canonical root; exactly one keep per cluster
+    assert all((k == 1) == (c == i) for k, c, i in zip(tier.keep, tier.cluster_id, tier.clip_id))
+    assert tier.keep.sum() == tier.cluster_id.nunique()
+    # every exact-tier clip shares content with its rep: it must NOT be
+    # its own cluster root (its rep has a smaller id in the same cluster)
+    ex = tier[tier.tier == "exact"]
+    assert (ex.keep == 0).all()
+    # the fixture plants exact duplicates, so tier 1 must fold some rows
+    assert len(ex) > 0
+
+
+def test_tiered_flagship_partition_invariance(ray_session, small_fixture):
+    """Same output at a different partition count / block layout (the
+    reference's own permutation-invariance oracle, SURVEY §5.2)."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup_tiered
+    from minhash_ray.sources.clips import read_clips
+
+    path = str(small_fixture / "clips.parquet")
+    cfg = PipelineConfig()
+    a = (
+        run_dedup_tiered(read_clips(path), cfg, num_partitions=2)
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    b = (
+        run_dedup_tiered(
+            read_clips(path).repartition(7), cfg, num_partitions=5
+        )
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
