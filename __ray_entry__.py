@@ -427,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         # partitioned anti-join (NOT EXISTS), both sides large
         "customers_without_orders": relational.customers_without_orders,
+        # left-outer join (zero-order customers included)
+        "customer_order_counts": relational.customer_order_counts,
         # PII/denylist scrubbing (vectorized RE2 replace + count)
         "scrub_terms": text.scrub_terms,
         "supplier_regions": relational.supplier_regions,
@@ -439,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of join exactly) ---
         # exact per-group COUNT(DISTINCT) via two-level pair dedup
         "distinct_users_per_type": events.distinct_users_per_type,
+        # set intersection (INTERSECT shape) via per-batch distinct + flag max
+        "users_with_both": events.users_with_both,
         "window_counts": events.window_counts,
         "sliding_window_counts": events.sliding_window_counts,
         "sessionize": events.sessionize,
@@ -1066,6 +1070,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "customer_order_counts": (
+            "SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders "
+            "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_name"
+        ),
+        "users_with_both": (
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'purchase'"
         ),
         # exact 'lower' order statistics: value at sorted index
         # floor((n-1)·q) — same definition the Ray histogram fold uses

@@ -415,3 +415,62 @@ def distinct_users_per_type(sf_dir: str, num_partitions: int = 32):
         per_partition_count, batch_format="pyarrow"
     )
     return per_part.groupby("event_type").aggregate(Sum("n_partial", alias_name="n_users"))
+
+
+def users_with_both(sf_dir: str, type_a: str = "click", type_b: str = "purchase"):
+    """user_id of every user with at least one ``type_a`` AND one
+    ``type_b`` event — the set-intersection shape (SQL INTERSECT).
+
+    Scale shape: each batch collapses to its distinct (user_id, flag)
+    pairs (flag = which of the two types), so at most two rows per user
+    per batch cross the shuffle; a groupby-max then keeps users where
+    both flags are set.  No broadcast, no driver state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        is_a = pc.equal(et, type_a).to_numpy(zero_copy_only=False)
+        is_b = pc.equal(et, type_b).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy()
+        rows = np.unique(
+            np.stack(
+                [
+                    np.concatenate([uid[is_a], uid[is_b]]),
+                    np.concatenate(
+                        [
+                            np.zeros(int(is_a.sum()), np.int64),
+                            np.ones(int(is_b.sum()), np.int64),
+                        ]
+                    ),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(rows[:, 0], pa.int64()),
+                "has_a": pa.array((rows[:, 1] == 0).astype(np.int64), pa.int64()),
+                "has_b": pa.array((rows[:, 1] == 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("has_a", alias_name="ha"), Max("has_b", alias_name="hb"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("ha"), 1), pc.equal(batch.column("hb"), 1)
+        )
+        return batch.filter(keep).select(["user_id"])
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

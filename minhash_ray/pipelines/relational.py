@@ -438,3 +438,41 @@ def customers_without_orders(
         probe_side, batch_format="pyarrow"
     )
     return cust.union(orders).groupby("pkey").map_groups(anti, batch_format="pyarrow")
+
+
+def customer_order_counts(sf_dir: str, num_partitions: int = 32):
+    """(c_custkey, c_name, n_orders) for EVERY customer, zero-order
+    customers included — the left-outer-join shape (complements the
+    anti-join :func:`customers_without_orders`).
+
+    Scale shape: the orders side pre-aggregates to ONE row per custkey
+    before the join (partial count inside the hash aggregate), so the
+    left-outer hash join moves counts, never order history; both sides
+    hash-partition on the key."""
+    from ray.data.aggregate import Count
+
+    from minhash_ray.util import clamp_partitions
+
+    np_parts = clamp_partitions(num_partitions)
+    customers = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    counts = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = customers.join(
+        counts, join_type="left_outer", on=("c_custkey",),
+        right_on=("o_custkey",), num_partitions=np_parts,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(batch.column("n_orders"), pa.int64()), 0)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "n_orders": n,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -49,7 +49,8 @@ SQL_QUERIES = [
     "top_orders_per_customer", "term_doc_freq", "stratified_sample_docs",
     "decontaminate", "distinct_users_per_type", "customers_without_orders",
     "scrub_terms", "lang_token_quantiles", "salient_terms", "nation_revenue",
-    "audio_stats", "audio_exact_dedup",
+    "audio_stats", "audio_exact_dedup", "customer_order_counts",
+    "users_with_both",
 ]
 
 
