@@ -267,6 +267,8 @@ def run_dedup_tiered(
     cfg: PipelineConfig | None = None,
     num_partitions: int = 32,
     stage_times: dict | None = None,
+    ckpt_root: str | None = None,
+    resume: bool = True,
 ):
     """TIERED flagship (tier dedup × audio): exact tier → LSH tier over
     exact representatives → connected components, every clip routed
@@ -295,6 +297,14 @@ def run_dedup_tiered(
     the same deterministic min-fold canonicalization as everywhere else);
     ``tier`` is ``'rep'`` for tier-2 survivors, ``'exact'`` for clips
     folded away in tier 1.
+
+    With ``ckpt_root`` each tier publishes an atomic checkpoint
+    (``signatures`` / ``tier1_reps`` / ``tier2_edges`` / ``tier3_assign``,
+    the same ``CheckpointManager`` contract as the flagship and
+    ``doc_dedup_tiered``); a rerun loads completed tiers instead of
+    recomputing them and a finished run returns ``tier3_assign``
+    immediately.  The ``signatures`` stage is content-identical to
+    run_dedup's, so the two pipelines can share a checkpoint root.
     """
     import time as _time
 
@@ -318,10 +328,28 @@ def run_dedup_tiered(
         clips = read_clips(clips)
     np_parts = clamp_partitions(num_partitions)
 
-    signatures = clips.map_batches(
-        make_signature_fn(cfg), batch_format="pyarrow",
-        batch_size=cfg.batch_size or None,
-    ).materialize()
+    ckpt = CheckpointManager(ckpt_root, cfg) if ckpt_root else None
+    if ckpt:
+        ckpt.clear_stale_temps()
+        if resume and ckpt.is_complete("tier3_assign"):
+            return ckpt.load("tier3_assign")
+
+    if ckpt and resume and ckpt.is_complete("signatures"):
+        signatures = ckpt.load("signatures").materialize()
+    else:
+        signatures = clips.map_batches(
+            make_signature_fn(cfg), batch_format="pyarrow",
+            batch_size=cfg.batch_size or None,
+        )
+        if ckpt:
+            from minhash_ray.stages.signature import full_signatures_schema
+
+            signatures = ckpt.save(
+                "signatures", signatures, input_stage="input",
+                schema=full_signatures_schema(cfg.num_perm, cfg.audio_num_perm),
+            )
+        else:
+            signatures = signatures.materialize()
     _mark("signatures")
 
     # --- tier 1: exact groups on the content digest, as ONE groupby over
@@ -359,17 +387,41 @@ def run_dedup_tiered(
             }
         )
 
+    # the packed projection over every clip is required for tier-3 routing
+    # even on resume (every clip gets an output row); it is map-only
     packed = signatures.map_batches(pack, batch_format="pyarrow").materialize()
-    reps_packed = packed.groupby("content_hash").aggregate(
-        Min("clip_id", alias_name="rep_id"),
-        Min("transcript", alias_name="transcript"),
-        Min("sig_pk", alias_name="sig_pk"),
-        Min("audio_sig_pk", alias_name="audio_sig_pk"),
-        Min("shingles_pk", alias_name="shingles_pk"),
-        Min("simhash_i", alias_name="simhash_i"),
-        Min("audio_fp_i", alias_name="audio_fp_i"),
-        Min("n_shingles", alias_name="n_shingles"),
-    ).materialize()
+    if ckpt and resume and ckpt.is_complete("tier1_reps"):
+        reps_packed = ckpt.load("tier1_reps").materialize()
+    else:
+        reps_packed = packed.groupby("content_hash").aggregate(
+            Min("clip_id", alias_name="rep_id"),
+            Min("transcript", alias_name="transcript"),
+            Min("sig_pk", alias_name="sig_pk"),
+            Min("audio_sig_pk", alias_name="audio_sig_pk"),
+            Min("shingles_pk", alias_name="shingles_pk"),
+            Min("simhash_i", alias_name="simhash_i"),
+            Min("audio_fp_i", alias_name="audio_fp_i"),
+            Min("n_shingles", alias_name="n_shingles"),
+        )
+        if ckpt:
+            reps_packed = ckpt.save(
+                "tier1_reps", reps_packed, input_stage="signatures",
+                schema=pa.schema(
+                    [
+                        ("content_hash", pa.string()),
+                        ("rep_id", pa.string()),
+                        ("transcript", pa.string()),
+                        ("sig_pk", pa.large_binary()),
+                        ("audio_sig_pk", pa.large_binary()),
+                        ("shingles_pk", pa.large_binary()),
+                        ("simhash_i", pa.int64()),
+                        ("audio_fp_i", pa.int64()),
+                        ("n_shingles", pa.int64()),
+                    ]
+                ),
+            ).materialize()
+        else:
+            reps_packed = reps_packed.materialize()
 
     # member → rep routing: slim (clip_id, content_hash) ⋈ (content_hash,
     # rep_id) — 16-byte-ish rows both sides.  strip_empty_blocks is the
@@ -440,13 +492,26 @@ def run_dedup_tiered(
                 batch_format="pyarrow",
             )
         )
-    n_reps = reps_sigs.count()
-    pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
-    _mark("candidates")
-    edges = verify_pairs(
-        pairs, reps_sigs, cfg, n_clips=n_reps, num_partitions=num_partitions
-    ).materialize()
-    _mark("verify")
+    if ckpt and resume and ckpt.is_complete("tier2_edges"):
+        edges = ckpt.load("tier2_edges").materialize()
+        _mark("candidates")
+        _mark("verify")
+    else:
+        n_reps = reps_sigs.count()
+        pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
+        _mark("candidates")
+        edges = verify_pairs(
+            pairs, reps_sigs, cfg, n_clips=n_reps, num_partitions=num_partitions
+        )
+        if ckpt:
+            from minhash_ray.stages.verify import EDGES_SCHEMA
+
+            edges = ckpt.save(
+                "tier2_edges", edges, input_stage="tier1_reps", schema=EDGES_SCHEMA
+            ).materialize()
+        else:
+            edges = edges.materialize()
+        _mark("verify")
 
     # --- tier 3: components over rep edges, members inherit via routing.
     # Component roots are min over reps = min over ALL members (each rep
@@ -475,7 +540,19 @@ def run_dedup_tiered(
         )
 
     out = routed.map_batches(finalize, batch_format="pyarrow")
-    if stage_times is not None:
+    if ckpt:
+        out = ckpt.save(
+            "tier3_assign", out, input_stage="tier2_edges",
+            schema=pa.schema(
+                [
+                    ("clip_id", pa.string()),
+                    ("cluster_id", pa.string()),
+                    ("keep", pa.int64()),
+                    ("tier", pa.string()),
+                ]
+            ),
+        )
+    elif stage_times is not None:
         out = out.materialize()
     _mark("cluster")
     return out

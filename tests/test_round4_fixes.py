@@ -293,3 +293,55 @@ def test_tiered_flagship_partition_invariance(ray_session, small_fixture):
         .to_pandas().sort_values("clip_id").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_tiered_flagship_checkpoint_resume(ray_session, small_fixture, tmp_path, monkeypatch):
+    """Same kill-after-tier-1 resume contract for the CLIPS tiered
+    pipeline: tier-1 reps reused from the published checkpoint, final
+    output bit-identical, finished run short-circuits to tier3."""
+    import shutil
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup_tiered
+    from minhash_ray.sources.clips import read_clips
+    from minhash_ray.state.checkpoint import CheckpointManager
+
+    path = str(small_fixture / "clips.parquet")
+    cfg = PipelineConfig()
+
+    def sorted_out(ds) -> pa.Table:
+        return _canon(ds).sort_by([("clip_id", "ascending")])
+
+    root = str(tmp_path / "ckpt")
+    full = sorted_out(
+        run_dedup_tiered(read_clips(path), cfg, num_partitions=4, ckpt_root=root)
+    )
+    mgr = CheckpointManager(root, cfg)
+    for st in ("signatures", "tier1_reps", "tier2_edges", "tier3_assign"):
+        assert mgr.is_complete(st), st
+
+    loads: list[str] = []
+    orig_load = CheckpointManager.load
+
+    def spy_load(self, stage):
+        loads.append(stage)
+        return orig_load(self, stage)
+
+    monkeypatch.setattr(CheckpointManager, "load", spy_load)
+    again = sorted_out(
+        run_dedup_tiered(read_clips(path), cfg, num_partitions=4, ckpt_root=root)
+    )
+    assert loads == ["tier3_assign"]
+    assert full.equals(again)
+
+    # crash after tier 1: wipe tier 2+3, rerun — signatures and tier-1
+    # reps load, the near tier recomputes, output identical
+    shutil.rmtree(mgr.stage_dir("tier2_edges"))
+    shutil.rmtree(mgr.stage_dir("tier3_assign"))
+    loads.clear()
+    resumed = sorted_out(
+        run_dedup_tiered(read_clips(path), cfg, num_partitions=4, ckpt_root=root)
+    )
+    assert "signatures" in loads and "tier1_reps" in loads
+    assert full.equals(resumed)
+    assert mgr.is_complete("tier2_edges") and mgr.is_complete("tier3_assign")
