@@ -308,7 +308,6 @@ def run_dedup_tiered(
     """
     import time as _time
 
-    import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
     from minhash_ray.stages.signature import make_signature_fn
@@ -352,15 +351,88 @@ def run_dedup_tiered(
             signatures = signatures.materialize()
     _mark("signatures")
 
-    # --- tier 1: exact groups on the content digest, as ONE groupby over
-    # the packed signature rows.  Within a content_hash group every column
-    # is byte-identical except clip_id (the rows ARE byte-identical clips),
-    # so Min() is simultaneously the rep selector (min clip_id) and an
-    # arbitrary-pick for every other column — the rep's full signature row
-    # falls out of the same shuffle that finds the rep, with no
-    # signature-side join (Acero rejects list payloads in joins anyway;
-    # the u64 vectors ride packed as large_binary, the verify_shuffle
-    # pattern, stages/verify.py:_pack_u64_column). ---
+    # --- tier 1: exact groups on the content digest.  Two paths, forced-
+    # path-tested identical (tests/test_round4_fixes.py):
+    #
+    # * FAST (≤ cfg.driver_agg_max_rows, no checkpointing): the tier is
+    #   metadata-scale — ONE gather of (clip_id, 32-char digest) to the
+    #   driver, a lexsort rep-find, and a broadcast sorted-key filter over
+    #   the signature blocks.  Replaces two hash shuffles whose
+    #   aggregator-actor spin-up dominates at bench scale (the same
+    #   small/huge auto-switch as exact_edges and the cluster stage).
+    # * DISTRIBUTED (beyond the cap, or whenever checkpoints are on): one
+    #   groupby over the packed signature rows.  Within a content_hash
+    #   group every column is byte-identical except clip_id (the rows ARE
+    #   byte-identical clips), so Min() is simultaneously the rep selector
+    #   (min clip_id) and an arbitrary-pick for every other column — the
+    #   rep's full signature row falls out of the same shuffle that finds
+    #   the rep, with no signature-side join (Acero rejects list payloads
+    #   in joins anyway; the u64 vectors ride packed as large_binary, the
+    #   verify_shuffle pattern, stages/verify.py:_pack_u64_column). ---
+    n_rows = signatures.count()
+    use_fast = ckpt is None and n_rows <= cfg.driver_agg_max_rows
+    if use_fast:
+        import ray as _ray
+        import ray.data as _rd
+
+        from minhash_ray.util import bytes_key_array
+
+        slim_batches = list(
+            signatures.select_columns(["clip_id", "content_hash"])
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        slim = (
+            pa.concat_tables(slim_batches)
+            if slim_batches
+            else pa.table(
+                {
+                    "clip_id": pa.array([], pa.string()),
+                    "content_hash": pa.array([], pa.string()),
+                }
+            )
+        )
+        ids = slim.column("clip_id").combine_chunks()
+        kid = bytes_key_array(ids)
+        kh = bytes_key_array(slim.column("content_hash").combine_chunks())
+        order = np.lexsort((kid, kh))
+        kh_s = kh[order]
+        new_run = np.ones(len(kh_s), dtype=bool)
+        new_run[1:] = kh_s[1:] != kh_s[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(len(kh_s)), 0)
+        )
+        rep_row = np.empty(len(kid), dtype=np.int64)
+        rep_row[order] = order[run_start]     # rep's original row, per row
+        route = _rd.from_arrow(
+            pa.table(
+                {
+                    "clip_id": ids,
+                    "rep_id": ids.take(pa.array(rep_row, pa.int64())),
+                }
+            )
+        )
+        rep_ref = [_ray.put(np.unique(kid[order[run_start]]))]
+
+        def rep_filter(batch: pa.Table) -> pa.Table:
+            from minhash_ray.util import bytes_key_array as _bka
+            from minhash_ray.util import cached_get
+
+            keys_s = cached_get(rep_ref[0])
+            if len(keys_s) == 0:
+                return batch.slice(0, 0)
+            ids_b = _bka(batch.column("clip_id"))
+            pos = np.minimum(np.searchsorted(keys_s, ids_b), len(keys_s) - 1)
+            return batch.filter(pa.array(keys_s[pos] == ids_b))
+
+        reps_sigs = signatures.map_batches(
+            rep_filter, batch_format="pyarrow"
+        ).materialize()
+        _mark("exact_tier")
+        return _tiered_lsh_and_route(
+            cfg, None, resume, num_partitions, _mark, stage_times,
+            reps_sigs, route, None, use_fast=True,
+        )
+
     from minhash_ray.stages.verify import _pack_u64_column, _unpack_u64_column
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -390,10 +462,14 @@ def run_dedup_tiered(
     # the packed projection over every clip is required for tier-3 routing
     # even on resume (every clip gets an output row); it is map-only
     packed = signatures.map_batches(pack, batch_format="pyarrow").materialize()
+    # every hash-shuffle partition spins an aggregator actor (~seconds of
+    # startup — stages/candidates.py learned this the hard way): size the
+    # tier shuffles by data volume, not by the requested ceiling
+    tier_parts = max(2, min(np_parts, (n_rows // 200_000) + 1))
     if ckpt and resume and ckpt.is_complete("tier1_reps"):
         reps_packed = ckpt.load("tier1_reps").materialize()
     else:
-        reps_packed = packed.groupby("content_hash").aggregate(
+        reps_packed = packed.groupby("content_hash", num_partitions=tier_parts).aggregate(
             Min("clip_id", alias_name="rep_id"),
             Min("transcript", alias_name="transcript"),
             Min("sig_pk", alias_name="sig_pk"),
@@ -429,7 +505,7 @@ def run_dedup_tiered(
     route = strip_empty_blocks(
         packed.select_columns(["clip_id", "content_hash"]).join(
             reps_packed.select_columns(["content_hash", "rep_id"]),
-            join_type="inner", on=("content_hash",), num_partitions=np_parts,
+            join_type="inner", on=("content_hash",), num_partitions=tier_parts,
         )
     ).select_columns(["clip_id", "rep_id"])
 
@@ -466,9 +542,32 @@ def run_dedup_tiered(
 
     reps_sigs = reps_packed.map_batches(unpack, batch_format="pyarrow").materialize()
     _mark("exact_tier")
+    return _tiered_lsh_and_route(
+        cfg, ckpt, resume, num_partitions, _mark, stage_times,
+        reps_sigs, route, tier_parts, use_fast=False,
+    )
 
-    # --- tier 2: the LSH pipeline over survivors only (no exact channel —
-    # byte-identity was tier 1) ---
+
+def _tiered_lsh_and_route(
+    cfg, ckpt, resume, num_partitions, _mark, stage_times,
+    reps_sigs, route, tier_parts, use_fast: bool,
+):
+    """Tiers 2+3 of :func:`run_dedup_tiered`, shared by its fast
+    (driver-scale exact tier) and distributed paths.
+
+    Tier 2 is the LSH pipeline over survivors only (no exact channel —
+    byte-identity was tier 1).  Tier 3 computes components over rep edges
+    and routes members through their rep: component roots are min over
+    reps = min over ALL members (each rep is already its group's min), so
+    cluster_id is globally canonical.  On the fast path the rep →
+    cluster map is metadata-scale and rides a broadcast sorted-key probe
+    (the cluster stage's pattern); the distributed path uses a
+    partitioned join.
+    """
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import strip_empty_blocks
+
     band_rows = reps_sigs.map_batches(
         make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm),
         batch_format="pyarrow",
@@ -513,10 +612,64 @@ def run_dedup_tiered(
             edges = edges.materialize()
         _mark("verify")
 
-    # --- tier 3: components over rep edges, members inherit via routing.
-    # Component roots are min over reps = min over ALL members (each rep
-    # is already its group's min), so cluster_id is globally canonical.
     assign = assign_clusters(reps_sigs, edges, cfg, num_partitions=num_partitions)
+
+    if use_fast:
+        import ray as _ray
+
+        from minhash_ray.util import bytes_key_array
+
+        abatches = list(
+            assign.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        atbl = (
+            pa.concat_tables(abatches)
+            if abatches
+            else pa.table(
+                {
+                    "clip_id": pa.array([], pa.string()),
+                    "cluster_id": pa.array([], pa.string()),
+                }
+            )
+        )
+        akeys = bytes_key_array(atbl.column("clip_id").combine_chunks())
+        aorder = np.argsort(akeys)
+        amap_ref = [
+            _ray.put(
+                {
+                    "keys": akeys[aorder],
+                    "cluster": atbl.column("cluster_id")
+                    .combine_chunks()
+                    .take(pa.array(aorder, pa.int64())),
+                }
+            )
+        ]
+
+        def finalize_fast(batch: pa.Table) -> pa.Table:
+            from minhash_ray.util import bytes_key_array as _bka
+            from minhash_ray.util import cached_get
+
+            pack = cached_get(amap_ref[0])
+            rk = _bka(batch.column("rep_id"))
+            # every rep_id is present in the assignment map by construction
+            pos = np.searchsorted(pack["keys"], rk)
+            cluster = pack["cluster"].take(pa.array(pos, pa.int64()))
+            cid = batch.column("clip_id")
+            keep = pc.cast(pc.equal(cid, cluster), pa.int64())
+            tier = pc.if_else(
+                pc.equal(cid, batch.column("rep_id")),
+                pa.scalar("rep", pa.string()), pa.scalar("exact", pa.string()),
+            )
+            return pa.table(
+                {"clip_id": cid, "cluster_id": cluster, "keep": keep, "tier": tier}
+            )
+
+        out = route.map_batches(finalize_fast, batch_format="pyarrow")
+        if stage_times is not None:
+            out = out.materialize()
+        _mark("cluster")
+        return out
+
     routed = route.join(
         strip_empty_blocks(assign).map_batches(
             lambda b: pa.table(
@@ -524,7 +677,7 @@ def run_dedup_tiered(
             ),
             batch_format="pyarrow",
         ),
-        join_type="inner", on=("rep_id",), num_partitions=np_parts,
+        join_type="inner", on=("rep_id",), num_partitions=tier_parts,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -345,3 +345,25 @@ def test_tiered_flagship_checkpoint_resume(ray_session, small_fixture, tmp_path,
     assert "signatures" in loads and "tier1_reps" in loads
     assert full.equals(resumed)
     assert mgr.is_complete("tier2_edges") and mgr.is_complete("tier3_assign")
+
+
+def test_tiered_fast_path_matches_distributed(ray_session, small_fixture):
+    """driver_agg_max_rows=0 forces the tiered pipeline's distributed
+    exact tier (packed groupby + joins); default config takes the
+    driver-gather fast path. Outputs must be bit-identical."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup_tiered
+    from minhash_ray.sources.clips import read_clips
+
+    path = str(small_fixture / "clips.parquet")
+    fast = (
+        run_dedup_tiered(read_clips(path), PipelineConfig(), num_partitions=4)
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    slow = (
+        run_dedup_tiered(
+            read_clips(path), PipelineConfig(driver_agg_max_rows=0), num_partitions=4
+        )
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert fast.equals(slow)
