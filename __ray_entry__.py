@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": dedup_text.minhash_dup_pairs,
         # exact prefix-filtered similarity self-join — SQL-checked
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
+        # exact weighted (multiset) Jaccard via occurrence-indexed tokens
+        "weighted_jaccard_pairs": dedup_text.weighted_jaccard_pairs,
         # TIERED dedup: exact digest tier → LSH near tier over survivors →
         # connected-components cluster tier → per-doc keep flag.  The
         # clustering itself is SQL-checked (recursive reachability CTE)
@@ -1151,6 +1153,34 @@ def oracle_sql() -> dict[str, str]:
         # uses AllPairs prefix filtering over 64-bit shingle hashes; the
         # hash is injective on the corpus so set sizes agree, and both
         # sides compute jaccard as int64/int64 IEEE double division)
+        # weighted (multiset) Jaccard >= 0.4 over whitespace tokens: the
+        # oracle computes the min/max-of-tf formula directly (sum max =
+        # tot_a + tot_b - sum min); the Ray side runs set Jaccard over
+        # occurrence-indexed 64-bit token hashes — equality holds by the
+        # same hash-injectivity assumption as the ngram oracle, and both
+        # sides divide the identical int64s as IEEE doubles
+        "weighted_jaccard_pairs": (
+            "WITH toks AS ("
+            "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+            "         THEN CAST([] AS VARCHAR[])"
+            "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+            "  FROM documents"
+            "), tf AS ("
+            "  SELECT doc_id, u.term AS term, count(*) AS tf"
+            "  FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, u.term"
+            "), tot AS (SELECT doc_id, sum(tf) AS tot FROM tf GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS da, b.doc_id AS db, sum(least(a.tf, b.tf)) AS smin"
+            "  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id"
+            "  GROUP BY da, db"
+            ") SELECT i.da AS doc_id_a, i.db AS doc_id_b, "
+            "CAST(i.smin AS DOUBLE) / CAST(ta.tot + tb.tot - i.smin AS DOUBLE)"
+            " AS wjaccard "
+            "FROM inter i JOIN tot ta ON ta.doc_id = i.da "
+            "JOIN tot tb ON tb.doc_id = i.db "
+            "WHERE CAST(i.smin AS DOUBLE) / CAST(ta.tot + tb.tot - i.smin AS DOUBLE)"
+            " >= 0.4"
+        ),
         "ngram_jaccard_pairs": (
             "WITH toks AS ("
             "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"

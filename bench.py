@@ -188,6 +188,7 @@ def run_bench() -> dict:
         ("sliding_window_counts", events.sliding_window_counts),
         ("range_join_recent", events.range_join_recent),
         ("salient_terms", text.salient_terms),
+        ("weighted_jaccard_pairs", dedup_text.weighted_jaccard_pairs),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

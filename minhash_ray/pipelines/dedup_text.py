@@ -426,12 +426,28 @@ def ngram_jaccard_pairs(
     length filter + exact-Jaccard gate (proven bit-identical in
     ``test_ngram_join_verify_path_is_bit_identical``).
     """
-    import ray.data as rd
+    sets_ds = _doc_shingle_sets(sf_dir, cfg, docs=docs).materialize()
+    return _set_jaccard_pairs(
+        sets_ds, cfg, threshold, broadcast_max_rows, num_partitions
+    )
 
+
+def _set_jaccard_pairs(
+    sets_ds,
+    cfg: PipelineConfig,
+    threshold: float,
+    broadcast_max_rows: int,
+    num_partitions: int,
+) -> pa.Table:
+    """The set-agnostic AllPairs/PPJoin machinery behind
+    :func:`ngram_jaccard_pairs` and :func:`weighted_jaccard_pairs`:
+    prefix-filter banding → candidate shuffle → exact-Jaccard verify
+    (broadcast pack below ``broadcast_max_rows``, partitioned join-attach
+    above, both bit-identical).  ``sets_ds`` is any Dataset shaped
+    {doc_id int64, shingles sorted-unique list<u64>, n int64}."""
     from minhash_ray.stages.candidates import candidate_pairs
     from minhash_ray.stages.verify import _list_flat_offsets
 
-    sets_ds = _doc_shingle_sets(sf_dir, cfg, docs=docs).materialize()
     n_docs = sets_ds.count()
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
@@ -956,3 +972,84 @@ def decontaminate(
         )
 
     return docs.map_batches(probe, batch_format="pyarrow")
+
+
+def _doc_weighted_sets(sf_dir: str, docs=None):
+    """documents → {doc_id, shingles (sorted list<u64>), n} where the
+    elements are OCCURRENCE-INDEXED token hashes: the i-th occurrence of
+    token t in a doc maps to ``splitmix64(hash(t) + i)`` (uint64 wrap) —
+    mixed AFTER the index is added, so indexed copies are scattered
+    across the 64-bit space (consecutive-integer elements would share
+    AllPairs prefix buckets, ``element >> 1``, and self-pair the doc).
+
+    This reduces weighted (multiset) Jaccard to plain set Jaccard —
+    ``|A∩B| = Σ_t min(tf_A, tf_B)`` because exactly the first
+    ``min(tf_A, tf_B)`` indexed copies of each shared token coincide — so
+    the AllPairs/PPJoin machinery runs unchanged.  Injectivity of the
+    mapping over the corpus vocabulary is the same 64-bit-hash assumption
+    the ngram oracle already documents."""
+    from minhash_ray.functions.shingles import tokenize_batch
+    from minhash_ray.stages.banding import splitmix64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        th, counts = tokenize_batch(texts, DOC_CFG.seed)
+        n = batch.num_rows
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        o = np.lexsort((th, row_ids))
+        rs, ts = row_ids[o], th[o]
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (rs[1:] != rs[:-1]) | (ts[1:] != ts[:-1])
+        run_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(ts)), 0)
+        )
+        occ = (np.arange(len(ts)) - run_start).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            elems = splitmix64(ts + occ)
+        # per-row sorted elements (the verify kernel's contract)
+        o2 = np.lexsort((elems, rs))
+        rs2, es2 = rs[o2], elems[o2]
+        c2 = np.bincount(rs2, minlength=n).astype(np.int64)
+        col = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(c2)]), pa.int32()),
+            pa.array(es2, pa.uint64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": col,
+                "n": pa.array(c2, pa.int64()),
+            }
+        )
+
+    if docs is None:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    broadcast_max_rows: int = 2_000_000,
+    num_partitions: int = 8,
+    docs=None,
+) -> pa.Table:
+    """EXACT weighted (multiset) Jaccard self-join: all doc pairs with
+    ``Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) >= threshold`` over
+    whitespace tokens — the frequency-aware near-dup measure (boilerplate
+    with different repetition counts scores lower than under set Jaccard).
+
+    Implementation: multisets become sets of occurrence-indexed token
+    hashes (:func:`_doc_weighted_sets`), then the identical
+    AllPairs/PPJoin prefix-filter pipeline as :func:`ngram_jaccard_pairs`
+    runs over them (one bucket shuffle + verified exact intersections;
+    broadcast/join-attach auto-switch).  The DuckDB oracle computes the
+    min/max-of-tf formula directly — an independent identity:
+    Σmax = tot_a + tot_b − Σmin."""
+    sets_ds = _doc_weighted_sets(sf_dir, docs=docs).materialize()
+    tbl = _set_jaccard_pairs(
+        sets_ds, DOC_CFG, threshold, broadcast_max_rows, num_partitions
+    )
+    return tbl.rename_columns(["doc_id_a", "doc_id_b", "wjaccard"])

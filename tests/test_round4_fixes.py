@@ -367,3 +367,16 @@ def test_tiered_fast_path_matches_distributed(ray_session, small_fixture):
         .to_pandas().sort_values("clip_id").reset_index(drop=True)
     )
     assert fast.equals(slow)
+
+
+def test_weighted_jaccard_join_path_matches_broadcast(ray_session, sf_dir):
+    """broadcast_max_rows=0 forces weighted_jaccard_pairs through the
+    partitioned join-attach verifier; output must be bit-identical to the
+    broadcast path (the shared _set_jaccard_pairs contract)."""
+    from minhash_ray.pipelines.dedup_text import weighted_jaccard_pairs
+
+    bro = _canon(weighted_jaccard_pairs(sf_dir))
+    shuf = _canon(weighted_jaccard_pairs(sf_dir, broadcast_max_rows=0))
+    key = [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
+    assert bro.sort_by(key).equals(shuf.sort_by(key))
+    assert bro.num_rows > 0
