@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
         # exact weighted (multiset) Jaccard via occurrence-indexed tokens
         "weighted_jaccard_pairs": dedup_text.weighted_jaccard_pairs,
+        # exact heavy hitters (Misra-Gries candidate pass + exact re-count)
+        "frequent_terms": text.frequent_terms,
         # TIERED dedup: exact digest tier → LSH near tier over survivors →
         # connected-components cluster tier → per-doc keep flag.  The
         # clustering itself is SQL-checked (recursive reachability CTE)
@@ -1060,6 +1062,18 @@ def oracle_sql() -> dict[str, str]:
             "    FROM documents WHERE trim(text) <> ''"
             "  ) WHERE term <> ''"
             ") GROUP BY term HAVING count(*) >= 5"
+        ),
+        # the Ray side's Misra-Gries pass only PRUNES candidates (with a
+        # deterministic superset guarantee); the final gate is exact, so
+        # the oracle is a plain count-all HAVING
+        "frequent_terms": (
+            "WITH tok AS ("
+            "  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term"
+            "  FROM documents WHERE trim(text) <> ''"
+            "), tok2 AS (SELECT term FROM tok WHERE term <> ''),"
+            "tot AS (SELECT count(*) AS n FROM tok2) "
+            "SELECT term, count(*) AS n_occurrences FROM tok2 GROUP BY term "
+            "HAVING count(*) >= (SELECT CAST(ceil(0.002 * n) AS BIGINT) FROM tot)"
         ),
         "stratified_sample_docs": _stratified_sample_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -189,6 +189,7 @@ def run_bench() -> dict:
         ("range_join_recent", events.range_join_recent),
         ("salient_terms", text.salient_terms),
         ("weighted_jaccard_pairs", dedup_text.weighted_jaccard_pairs),
+        ("frequent_terms", text.frequent_terms),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

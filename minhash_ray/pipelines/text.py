@@ -641,3 +641,117 @@ def salient_terms(sf_dir: str, k: int = 3):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         per_doc_topk, batch_format="pyarrow"
     )
+
+
+def _flat_tokens(batch: pa.Table):
+    """Lowercased whitespace tokens of a batch as a flat StringArray
+    (empty tokens dropped) — the tokenization every term-level oracle
+    replays with regexp_split_to_array(trim(lower(text)), '\\s+')."""
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def frequent_terms(sf_dir: str, phi: float = 0.002):
+    """(term, n_occurrences): every term whose global occurrence count is
+    >= ceil(phi * total_tokens) — EXACT heavy hitters, computed with a
+    mergeable Misra-Gries-style summary (Misra & Gries 1982) so no stage
+    ever shuffles the full Zipf vocabulary:
+
+    1. **Candidate pass**: each batch emits residual counts
+       ``max(0, c_t - floor(n_batch/(k+1)))`` with ``k = ceil(2/phi)``
+       counters — the batch form of a k-counter Misra-Gries summary
+       (every term loses at most n_batch/(k+1)).  Summing residuals over
+       batches undercounts any term by at most N/(k+1) <= phi*N/2, so
+       ``sum >= phi*N/2`` is a DETERMINISTIC superset of the true heavy
+       hitters; everything lighter is provably below phi*N.
+    2. **Exact pass**: the candidate set (metadata-scale, ~2/phi terms)
+       broadcasts once; batches re-count exactly for candidates only, a
+       tiny groupby-sum finalizes, and the exact ceil(phi*N) gate is
+       applied.  Output is exact — the sketch only pruned the candidate
+       space, the same two-pass shape as ``salient_terms``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from minhash_ray.util import bytes_key_array, cached_get
+
+    k = int(np.ceil(2.0 / phi))
+    ds = _docs(sf_dir, ["text"]).materialize()
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        flat = _flat_tokens(batch)
+        n_b = len(flat)
+        if n_b == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "r": pa.array([], pa.int64())}
+            )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        resid = c - (n_b // (k + 1))
+        pos = np.flatnonzero(resid > 0)
+        terms = enc.dictionary.take(pa.array(pos, pa.int64()))
+        # one sentinel row carries the batch's token total (the empty term
+        # cannot occur: _flat_tokens drops empty tokens)
+        return pa.table(
+            {
+                "term": pa.concat_arrays([terms, pa.array([""], pa.string())]),
+                "r": pa.array(np.concatenate([resid[pos], [n_b]]), pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("r", alias_name="r"))
+    )
+    st = pa.concat_tables(
+        list(summed.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    terms_all = st.column("term").combine_chunks()
+    r_all = st.column("r").to_numpy()
+    sentinel = pc.equal(terms_all, "").to_numpy(zero_copy_only=False)
+    n_total = int(r_all[sentinel].sum())
+    gate = int(np.ceil(phi * n_total))
+    cand_mask = (~sentinel) & (r_all >= max(1, gate - n_total // (k + 1)))
+    cand_keys = np.sort(bytes_key_array(terms_all.filter(pa.array(cand_mask))))
+    cand_ref = [ray.put(cand_keys)]
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        keys_s = cached_get(cand_ref[0])
+        flat = _flat_tokens(batch)
+        if len(flat) == 0 or len(keys_s) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dk = bytes_key_array(enc.dictionary)
+        pos = np.minimum(np.searchsorted(keys_s, dk), len(keys_s) - 1)
+        is_cand = keys_s[pos] == dk
+        c = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        sel = np.flatnonzero(is_cand & (c > 0))
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(sel, pa.int64())),
+                "c": pa.array(c[sel], pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="n_occurrences"))
+    )
+
+    def final_gate(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("n_occurrences"), gate)
+        return batch.filter(keep).select(["term", "n_occurrences"])
+
+    return exact.map_batches(final_gate, batch_format="pyarrow")
