@@ -423,6 +423,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cell assignment (argmax as ORDER BY ... LIMIT 1) and probed
         # scoring end-to-end
         "ann_topk_ivf": ann.ann_topk_ivf,
+        # SemDeDup-style semantic dedup: IVF cell assign → within-cell
+        # cosine pairs → per-cell components → min-id keep flag.
+        # SQL-checked end-to-end (centroid literals + recursive
+        # reachability CTE, the _tiered_dedup_sql cluster pattern)
+        "semantic_dedup": ann.semantic_dedup,
         # --- relational engine surface (SQL-checked) ---
         "lineitem_agg": relational.lineitem_agg,
         "orders_by_segment": relational.orders_by_segment,
@@ -940,6 +945,64 @@ def _ivf_topk_sql(query_vec_id: int = 0, k: int = 10, n_centroids: int = 16,
     )
 
 
+def _semantic_dedup_sql(n_centroids: int = 16, threshold: float = 0.3,
+                        seed: int = 42, sample: int = 8192) -> str:
+    """DuckDB replay of ``ann.semantic_dedup`` (SemDeDup): the seeded
+    k-means centroids are embedded as literals (shared pure-numpy
+    ``ivf_centroids``), cell assignment is argmax-over-centroid-dots
+    (norms cancel) replayed as a correlated ORDER BY ... LIMIT 1,
+    within-cell pairs are an O(cell^2) self-join gated at exact float64
+    cosine >= threshold, and the per-cell connected components + min-id
+    keep flag are a recursive label-reachability CTE — the same fixpoint
+    as ``_tiered_dedup_sql``'s cluster tier, over the embedding modality."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.ann import ivf_centroids
+
+    sf_dir = ORACLE_SF_DIR()
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    col = t.column("embedding").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(col), -1)
+    sub = mat[:sample]
+    norms = np.linalg.norm(sub, axis=1)
+    norms[norms == 0] = 1.0
+    cents = ivf_centroids(sub / norms[:, None], n_centroids, seed)
+    nc = len(cents)
+    d_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*{cents[c, i]!r}"
+            for i in range(cents.shape[1])
+        )
+        + f") AS d{c}"
+        for c in range(nc)
+    )
+    vals = ", ".join(f"({c}, d{c})" for c in range(nc))
+    return (
+        f"WITH RECURSIVE d AS (SELECT vec_id, embedding, {d_exprs} FROM embeddings), "
+        "cells AS (SELECT vec_id, embedding, "
+        f"(SELECT c FROM (VALUES {vals}) AS t(c, dd) ORDER BY dd DESC, c LIMIT 1) AS cell "
+        "FROM d), "
+        "ev AS (SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM cells), "
+        "pairs AS (SELECT x.vec_id AS a, y.vec_id AS b "
+        "FROM ev x JOIN ev y ON x.cell = y.cell AND x.vec_id < y.vec_id "
+        f"WHERE list_cosine_similarity(x.v, y.v) >= {threshold}), "
+        "edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs), "
+        "walk(node, label) AS ("
+        "  SELECT vec_id, vec_id FROM ev"
+        "  UNION"
+        "  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node"
+        "), "
+        "comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node) "
+        "SELECT c.node AS vec_id, CAST(c.cluster_id AS BIGINT) AS cluster_id, "
+        "CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM comp c"
+    )
+
+
 def _curation_sql(min_tokens: int = 10, punct_denom: int = 20) -> str:
     """WITH-composition of the three independently-verified sub-oracles
     (tiered dedup, language ID, quality counts) plus the same integer
@@ -1224,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_dup_pairs": _embedding_lsh_sql(),
         "ann_topk_ivf": _ivf_topk_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "ann_topk": (
             "SELECT vec_id, CAST(row_number() OVER ("
             "ORDER BY list_cosine_similarity(embedding, "

@@ -190,6 +190,7 @@ def run_bench() -> dict:
         ("salient_terms", text.salient_terms),
         ("weighted_jaccard_pairs", dedup_text.weighted_jaccard_pairs),
         ("frequent_terms", text.frequent_terms),
+        ("semantic_dedup", ann.semantic_dedup),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

@@ -481,3 +481,74 @@ def embedding_dup_pairs(
         )
 
     return with_ab.map_batches(verify_join, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    sf_dir: str,
+    n_centroids: int = 16,
+    threshold: float = 0.3,
+    seed: int = 42,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest k-means
+    centroid cell (the IVF coarse index, ``build_ivf_index``), find
+    within-cell pairs with cosine >= ``threshold``, connect them into
+    components, and keep exactly one vector (the min vec_id) per
+    component.  Returns (vec_id, cluster_id, keep) for EVERY vector —
+    singletons keep themselves.
+
+    Scale shape: pairs can only exist *inside* a cell, so the whole
+    find-pairs + connected-components step is embarrassingly parallel per
+    cell — one ``groupby("cell").map_groups`` pass emits final
+    assignments with no global pair shuffle and no driver union-find.
+    Cell size is bounded by n/n_centroids in expectation; at corpus scale
+    raise ``n_centroids`` (SemDeDup uses ~10^5 cells for 10^9 docs) so
+    the per-cell gram matrix stays cache-sized — the kernel below chunks
+    its rows, so a hot cell degrades gracefully instead of allocating
+    an n_cell^2 block.
+
+    Reference semantics anchor: components-over-verified-pairs with a
+    canonical min-id representative is the same cluster/keep contract as
+    ``dedup_text.doc_dedup_tiered`` (and the flagship), applied to the
+    embedding modality."""
+    index, cents, dim = build_ivf_index(sf_dir, n_centroids, seed)
+
+    def cell_components(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_numpy(), dtype=np.int64)
+        v = _unpack_f64_rows(group.column("nvec"), dim)
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.ascontiguousarray(v[order])
+        n = len(ids)
+        # union-find over cos-gated pairs; with rows sorted by vec_id and
+        # union-by-min, each root is the min positional index — hence the
+        # min vec_id — of its component
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        CH = 2048                       # gram-matrix row chunk (cache bound)
+        for s in range(0, n, CH):
+            g = v[s : s + CH] @ v.T
+            ii, jj = np.nonzero(g >= threshold)
+            ii = ii + s
+            m = jj > ii                 # upper triangle only (a < b)
+            for a, b in zip(ii[m], jj[m]):   # loop over EDGES (sparse), not rows
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+        cluster = ids[roots]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "keep": pa.array((cluster == ids).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return index.groupby("cell").map_groups(cell_components, batch_format="pyarrow")

@@ -51,6 +51,7 @@ SQL_QUERIES = [
     "scrub_terms", "lang_token_quantiles", "salient_terms", "nation_revenue",
     "audio_stats", "audio_exact_dedup", "customer_order_counts",
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
+    "semantic_dedup",
 ]
 
 
@@ -399,3 +400,48 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
         a = _canon(_pdf(fn(sf_dir, num_partitions=3, **kw)))
         b = _canon(_pdf(fn(sf_dir, num_partitions=32, **kw)))
         pd.testing.assert_frame_equal(a, b), fn.__name__
+
+
+def test_semantic_dedup_planted_clusters(ray_session, tmp_path):
+    """SemDeDup keep semantics on planted near-identical groups: each
+    planted (base, dup) pair lands in one component whose min vec_id is
+    the only kept row; unrelated vectors stay kept singletons."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 32))
+    dup = base[:30] + rng.standard_normal((30, 32)) * 0.03    # cos ~ 0.999
+    mat = np.vstack([base, dup]).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(mat), dtype=np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    from minhash_ray.pipelines.ann import semantic_dedup
+
+    out = _pdf(semantic_dedup(str(d), n_centroids=8, threshold=0.9))
+    assert len(out) == len(mat)                       # every vector assigned
+    by_id = out.set_index("vec_id")
+    hits = 0
+    for i in range(30):
+        # dup 120+i must co-cluster with base i (same IVF cell is expected
+        # at cos~0.999; a cell-boundary straddle is possible but rare)
+        if by_id.loc[120 + i, "cluster_id"] == by_id.loc[i, "cluster_id"]:
+            hits += 1
+            assert by_id.loc[120 + i, "keep"] == 0    # min-id rep keeps
+            assert by_id.loc[i, "keep"] == 1
+    assert hits >= 27, hits                           # >=90% recall
+    # exactly one keeper per cluster
+    g = out.groupby("cluster_id")["keep"].sum()
+    assert (g == 1).all()
+    # keep flag is min-id semantics
+    mins = out.groupby("cluster_id")["vec_id"].min()
+    kept = set(out[out.keep == 1].vec_id)
+    assert kept == set(mins)
