@@ -407,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # splitmix64(doc_id) — SQL-checked (row_number over the emulated
         # splitmix64 hash); doc_sample stays the RNG fraction sampler
         "stratified_sample_docs": text.stratified_sample_docs,
+        # Gopher-style repetition quality signals (SQL-checked)
+        "doc_repetition": text.doc_repetition,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,                            # SQL-checked
         "embedding_pairs_exact": ann.embedding_pairs_exact,  # SQL-checked
@@ -1139,6 +1141,40 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(*) >= (SELECT CAST(ceil(0.002 * n) AS BIGINT) FROM tot)"
         ),
         "stratified_sample_docs": _stratified_sample_sql(),
+        # Gopher-style repetition signals: exact (doc, gram) counts for
+        # tokens / adjacent 2-grams / 3-grams plus integer-cross-product
+        # gates — engine groups with Arrow group_by, oracle with UNNEST
+        "doc_repetition": (
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),"
+            " '\\s+') AS t FROM documents WHERE trim(text) <> ''), "
+            "tok AS (SELECT doc_id, unnest(t) AS g FROM toks), "
+            "t1 AS (SELECT doc_id, count(*) AS n_tokens,"
+            " count(DISTINCT g) AS n_distinct FROM tok GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g"
+            " FROM toks, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2), "
+            "bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g), "
+            "b1 AS (SELECT doc_id, sum(cnt) AS n_bigrams,"
+            " max(cnt) AS top_bigram FROM bgc GROUP BY doc_id), "
+            "tg AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g"
+            " FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i) WHERE len(t) >= 3), "
+            "tgc AS (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY doc_id, g), "
+            "t3 AS (SELECT doc_id, sum(cnt) AS n_trigrams,"
+            " sum(cnt - 1) AS dup_trigrams FROM tgc GROUP BY doc_id) "
+            "SELECT d.doc_id AS doc_id, "
+            "CAST(COALESCE(t1.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(t1.n_distinct, 0) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(COALESCE(b1.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(b1.top_bigram, 0) AS BIGINT) AS top_bigram_count, "
+            "CAST(COALESCE(t3.n_trigrams, 0) AS BIGINT) AS n_trigrams, "
+            "CAST(COALESCE(t3.dup_trigrams, 0) AS BIGINT) AS dup_trigram_count, "
+            "CAST(CASE WHEN COALESCE(b1.top_bigram, 0) * 100 >"
+            " COALESCE(b1.n_bigrams, 0) * 18"
+            " OR COALESCE(t3.dup_trigrams, 0) * 100 >"
+            " COALESCE(t3.n_trigrams, 0) * 16"
+            " THEN 1 ELSE 0 END AS BIGINT) AS flagged "
+            "FROM documents d LEFT JOIN t1 USING (doc_id) "
+            "LEFT JOIN b1 USING (doc_id) LEFT JOIN t3 USING (doc_id)"
+        ),
         "decontaminate": _decontaminate_sql(),
         "scrub_terms": _scrub_terms_sql(),
         "customers_without_orders": (

@@ -191,6 +191,7 @@ def run_bench() -> dict:
         ("weighted_jaccard_pairs", dedup_text.weighted_jaccard_pairs),
         ("frequent_terms", text.frequent_terms),
         ("semantic_dedup", ann.semantic_dedup),
+        ("doc_repetition", text.doc_repetition),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

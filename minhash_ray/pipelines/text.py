@@ -755,3 +755,113 @@ def frequent_terms(sf_dir: str, phi: float = 0.002):
         return batch.filter(keep).select(["term", "n_occurrences"])
 
     return exact.map_batches(final_gate, batch_format="pyarrow")
+
+
+def doc_repetition(sf_dir: str, docs=None):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) per document — the "is this doc degenerate
+    boilerplate?" gate of a training-data pipeline:
+
+    * ``n_tokens`` / ``n_distinct_tokens`` — type-token repetition
+    * ``n_bigrams`` / ``top_bigram_count`` — fraction of the doc covered
+      by its single most frequent 2-gram
+    * ``n_trigrams`` / ``dup_trigram_count`` — occurrences beyond first of
+      every 3-gram (Gopher's duplicate-n-gram fraction)
+    * ``flagged`` — 1 iff top-2-gram fraction > 0.18 or dup-3-gram
+      fraction > 0.16 (Gopher-shaped thresholds as integer cross-products
+      so the gate is float-free and hash-stable)
+
+    All counts are exact: one vectorized pass builds the token list array,
+    adjacency within a doc gives 2/3-grams (no per-row Python), and Arrow
+    ``group_by`` on (doc, gram) does the counting in C++.  Every doc emits
+    a row (empty docs → all-zero counts)."""
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nrows = len(text)
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text))
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parents = toks.value_parent_indices()
+        # trim+split leaves [''] for empty text: drop empty tokens
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parents = parents.filter(mask)
+        p = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = len(flat)
+
+        def scatter(idx, vals, op=np.add):
+            out = np.zeros(nrows, np.int64)
+            if len(idx):
+                op.at(out, idx, vals)
+            return out
+
+        # token counts + distinct tokens per doc
+        g1 = pa.table({"p": parents, "g": flat}).group_by(["p", "g"]).aggregate(
+            [("g", "count")]
+        )
+        g1p = g1.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        g1c = g1.column("g_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tokens = scatter(g1p, g1c)
+        n_distinct = scatter(g1p, np.ones(len(g1p), np.int64))
+
+        # adjacent 2-grams / 3-grams within a doc (flatten preserves the
+        # original token order, so adjacency in `flat` + same-parent masks
+        # give the grams with two vectorized joins)
+        if nt >= 2:
+            same2 = p[1:] == p[:-1]
+            bg = pc.binary_join_element_wise(
+                flat.slice(0, nt - 1), flat.slice(1, nt - 1), " "
+            ).filter(pa.array(same2))
+            bp = pa.array(p[:-1][same2], pa.int64())
+            g2 = pa.table({"p": bp, "g": bg}).group_by(["p", "g"]).aggregate(
+                [("g", "count")]
+            )
+            g2p = g2.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+            g2c = g2.column("g_count").to_numpy(zero_copy_only=False).astype(np.int64)
+            n_bigrams = scatter(g2p, g2c)
+            top_bigram = scatter(g2p, g2c, op=np.maximum)
+        else:
+            n_bigrams = np.zeros(nrows, np.int64)
+            top_bigram = np.zeros(nrows, np.int64)
+        if nt >= 3:
+            same3 = (p[2:] == p[:-2]) & (p[1:-1] == p[:-2])
+            tg = pc.binary_join_element_wise(
+                flat.slice(0, nt - 2), flat.slice(1, nt - 2), flat.slice(2, nt - 2), " "
+            ).filter(pa.array(same3))
+            tp = pa.array(p[:-2][same3], pa.int64())
+            g3 = pa.table({"p": tp, "g": tg}).group_by(["p", "g"]).aggregate(
+                [("g", "count")]
+            )
+            g3p = g3.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+            g3c = g3.column("g_count").to_numpy(zero_copy_only=False).astype(np.int64)
+            n_trigrams = scatter(g3p, g3c)
+            dup_trigrams = scatter(g3p, g3c - 1)
+        else:
+            n_trigrams = np.zeros(nrows, np.int64)
+            dup_trigrams = np.zeros(nrows, np.int64)
+
+        flagged = (
+            (top_bigram * 100 > n_bigrams * 18)
+            | (dup_trigrams * 100 > n_trigrams * 16)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "top_bigram_count": pa.array(top_bigram, pa.int64()),
+                "n_trigrams": pa.array(n_trigrams, pa.int64()),
+                "dup_trigram_count": pa.array(dup_trigrams, pa.int64()),
+                "flagged": pa.array(flagged, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -51,7 +51,7 @@ SQL_QUERIES = [
     "scrub_terms", "lang_token_quantiles", "salient_terms", "nation_revenue",
     "audio_stats", "audio_exact_dedup", "customer_order_counts",
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
-    "semantic_dedup",
+    "semantic_dedup", "doc_repetition",
 ]
 
 
@@ -445,3 +445,50 @@ def test_semantic_dedup_planted_clusters(ray_session, tmp_path):
     mins = out.groupby("cluster_id")["vec_id"].min()
     kept = set(out[out.keep == 1].vec_id)
     assert kept == set(mins)
+
+
+def test_doc_repetition_flags_planted_degenerates(ray_session, tmp_path):
+    """Planted degenerate docs trip the Gopher-style gates (and the DuckDB
+    oracle agrees on the planted fixture, where the flags actually fire —
+    the testdata corpus has no degenerate docs, so the parametrized
+    oracle check alone never exercises flagged=1)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near a quiet river bank",
+        "spam ham spam ham spam ham spam ham spam ham spam ham spam ham",   # top-bigram
+        "a b c a b c a b c a b c a b c a b c a b c",                        # dup-trigram
+        "",                                                                  # empty
+        "one two",                                                           # no trigrams
+        "solo",                                                              # no bigrams
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    from minhash_ray.pipelines.text import doc_repetition
+
+    out = _pdf(doc_repetition(str(d))).set_index("doc_id").sort_index()
+    assert out.loc[0, "flagged"] == 0
+    assert out.loc[1, "flagged"] == 1          # "spam ham" dominates bigrams
+    assert out.loc[2, "flagged"] == 1          # every trigram repeats
+    assert out.loc[3].tolist() == [0] * 7      # empty doc: all-zero counts
+    assert out.loc[4, "n_trigrams"] == 0 and out.loc[4, "n_bigrams"] == 1
+    assert out.loc[5, "n_bigrams"] == 0 and out.loc[5, "n_tokens"] == 1
+
+    # oracle agreement on the planted fixture
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    odf = _canon(con.execute(E.oracle_sql()["doc_repetition"]).fetchdf())
+    assert _canon(out.reset_index()).equals(odf)
