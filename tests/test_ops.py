@@ -492,3 +492,36 @@ def test_doc_repetition_flags_planted_degenerates(ray_session, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
     odf = _canon(con.execute(E.oracle_sql()["doc_repetition"]).fetchdf())
     assert _canon(out.reset_index()).equals(odf)
+
+
+def test_read_docs_formats_equivalent(ray_session, sf_dir, tmp_path):
+    """JSONL and CSV exports of the documents table read back identical to
+    the parquet source, and the text operators accept any of them through
+    ``docs=``."""
+    import duckdb
+
+    from minhash_ray.pipelines.text import doc_repetition
+    from minhash_ray.sources.docs import read_docs
+
+    src = f"{sf_dir}/documents.parquet"
+    jl = tmp_path / "docs.jsonl"
+    cs = tmp_path / "docs.csv"
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT doc_id, text FROM '{src}' ORDER BY doc_id) "
+        f"TO '{jl}' (FORMAT JSON)"
+    )
+    con.execute(
+        f"COPY (SELECT doc_id, text FROM '{src}' ORDER BY doc_id) "
+        f"TO '{cs}' (FORMAT CSV, HEADER)"
+    )
+
+    base = _canon(read_docs(src, columns=["doc_id", "text"]).to_pandas())
+    for alt in (str(jl), str(cs)):
+        got = _canon(read_docs(alt, columns=["doc_id", "text"]).to_pandas())
+        assert got.equals(base), alt
+
+    # operators run unchanged over the non-parquet source
+    rep_pq = _canon(_pdf(doc_repetition(sf_dir)))
+    rep_jl = _canon(_pdf(doc_repetition("", docs=read_docs(str(jl)))))
+    assert rep_jl.equals(rep_pq)
