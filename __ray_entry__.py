@@ -452,6 +452,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of join exactly) ---
         # exact per-group COUNT(DISTINCT) via two-level pair dedup
         "distinct_users_per_type": events.distinct_users_per_type,
+        # mergeable HyperLogLog sketch (max-fold algebra = the reference's
+        # min-fold contract): deterministic but approximate by design →
+        # rows-only here; pytest gates the estimate vs the exact count and
+        # asserts partitioned == serial (test_hll_*)
+        "approx_distinct_users_per_type": events.approx_distinct_users_per_type,
         # set intersection (INTERSECT shape) via per-batch distinct + flag max
         "users_with_both": events.users_with_both,
         "window_counts": events.window_counts,

@@ -183,6 +183,7 @@ def run_bench() -> dict:
         ("scrub_terms", text.scrub_terms),
         ("lang_token_quantiles", text.lang_token_quantiles),
         ("distinct_users_per_type", events.distinct_users_per_type),
+        ("approx_distinct_users_per_type", events.approx_distinct_users_per_type),
         ("customers_without_orders", relational.customers_without_orders),
         ("top_orders_per_customer", relational.top_orders_per_customer),
         ("sliding_window_counts", events.sliding_window_counts),

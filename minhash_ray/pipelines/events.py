@@ -474,3 +474,79 @@ def users_with_both(sf_dir: str, type_a: str = "click", type_b: str = "purchase"
         return batch.filter(keep).select(["user_id"])
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def approx_distinct_users_per_type(sf_dir: str, num_partitions: int = 32):
+    """(event_type, n_users_approx): per-group COUNT(DISTINCT) via a
+    mergeable HyperLogLog sketch — the constant-memory scale path next to
+    the exact ``distinct_users_per_type`` (which shuffles one row per
+    distinct pair; at 10^9+ users per type the sketch moves 4 KB per
+    (batch, type) instead).
+
+    The sketch obeys the reference's partial-aggregation contract
+    exactly (insert = max-fold: commutative / associative / idempotent,
+    reference src/utils/utils.c:3-33; merge = elementwise max,
+    src/utils/utils.c:36-46): each batch folds its users into one
+    register array per event_type present, a ``groupby(event_type)``
+    merges the partials, and the estimator runs once per group —
+    partitioned == serial register-for-register
+    (test_hll_partition_invariance, the do_compare_with_serial anchor).
+
+    Deterministic given the data (hash-based, no RNG), but approximate
+    by design (~1.6% rel. err at 2^12 registers) → no SQL value oracle;
+    pytest gates the estimate against the exact count."""
+    from minhash_ray.functions.hll import (
+        HLL_M,
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+    from minhash_ray.stages.banding import splitmix64
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("event_type")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        enc = t.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        users = splitmix64(
+            batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        names: list[str] = []
+        packs: list[bytes] = []
+        # loop over the (few) event types present in the batch, not rows;
+        # each iteration is one vectorized register fold
+        for code, name in enumerate(enc.dictionary.to_pylist()):
+            regs = hll_partial(users[codes == code])
+            names.append(name)
+            packs.append(regs.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(names, pa.string()),
+                "regs": pa.array(packs, pa.binary()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        col = group.column("regs")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        merged = np.zeros(HLL_M, dtype=np.uint8)
+        # one elementwise-max per partial (len(group) partials, not rows)
+        buf = np.frombuffer(b"".join(col.to_pylist()), dtype=np.uint8).reshape(
+            len(col), HLL_M
+        )
+        merged = hll_merge(merged, buf.max(axis=0)) if len(col) else merged
+        est = int(round(hll_estimate(merged)))
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "n_users_approx": pa.array([est], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).map_groups(finalize, batch_format="pyarrow")

@@ -525,3 +525,73 @@ def test_read_docs_formats_equivalent(ray_session, sf_dir, tmp_path):
     rep_pq = _canon(_pdf(doc_repetition(sf_dir)))
     rep_jl = _canon(_pdf(doc_repetition("", docs=read_docs(str(jl)))))
     assert rep_jl.equals(rep_pq)
+
+
+def test_hll_approx_distinct_within_bound(ray_session, sf_dir):
+    """HLL estimate lands within the sketch's error envelope of the exact
+    per-type distinct count (2^12 registers → ~1.6% σ; gate at 5%)."""
+    import duckdb
+
+    from minhash_ray.pipelines.events import approx_distinct_users_per_type
+
+    got = _pdf(approx_distinct_users_per_type(sf_dir)).set_index("event_type")
+    exact = dict(
+        duckdb.connect().execute(
+            f"SELECT event_type, count(DISTINCT user_id) FROM "
+            f"'{sf_dir}/events.parquet' GROUP BY event_type"
+        ).fetchall()
+    )
+    assert set(got.index) == set(exact)
+    for et, n in exact.items():
+        est = int(got.loc[et, "n_users_approx"])
+        assert abs(est - n) <= max(3, 0.05 * n), (et, est, n)
+
+
+def test_hll_partition_invariance(ray_session, sf_dir):
+    """Partitioned == serial for the HLL sketch fold (the reference's
+    do_compare_with_serial contract, test/test_serial.c) — identical
+    estimates regardless of how the input is partitioned."""
+    import ray.data as rd
+
+    from minhash_ray.pipelines.events import approx_distinct_users_per_type
+
+    outs = []
+    for parts in (1, 7):
+        # repartition upstream of the op by pre-reading with a block cap
+        import os
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet")).repartition(parts)
+
+        from minhash_ray.pipelines import events as ev
+
+        orig = ev._events
+        try:
+            ev._events = lambda _sf, columns=None: ds.select_columns(columns) if columns else ds
+            outs.append(_canon(_pdf(approx_distinct_users_per_type(sf_dir))))
+        finally:
+            ev._events = orig
+    assert outs[0].equals(outs[1])
+
+
+def test_hll_kernel_merge_algebra():
+    """Sketch algebra invariants (the reference's insert/merge contracts):
+    merge is commutative + associative + idempotent; partitioned fold ==
+    serial fold register-for-register."""
+    from minhash_ray.functions.hll import (
+        hll_estimate,
+        hll_from_u64_values,
+        hll_merge,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.unique(rng.integers(0, 1 << 62, size=30000).astype(np.uint64))
+    a, b, c = vals[:9000], vals[9000:21000], vals[21000:]
+    sa, sb, sc = map(hll_from_u64_values, (a, b, c))
+    whole = hll_from_u64_values(vals)
+    assert np.array_equal(hll_merge(sa, hll_merge(sb, sc)), whole)
+    assert np.array_equal(hll_merge(hll_merge(sa, sb), sc), whole)
+    assert np.array_equal(hll_merge(sa, sb), hll_merge(sb, sa))
+    assert np.array_equal(hll_merge(sa, sa), sa)               # idempotent
+    # duplicate inserts don't move the estimate (idempotent insert)
+    dup = np.concatenate([vals, vals, vals[:5]])
+    assert hll_estimate(hll_from_u64_values(dup)) == hll_estimate(whole)
