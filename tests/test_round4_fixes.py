@@ -380,3 +380,55 @@ def test_weighted_jaccard_join_path_matches_broadcast(ray_session, sf_dir):
     key = [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
     assert bro.sort_by(key).equals(shuf.sort_by(key))
     assert bro.num_rows > 0
+
+
+def test_partitioned_sink_roundtrip_and_resume(ray_session, sf_dir, tmp_path):
+    """Resumable sharded sink: roundtrip == input, a rerun skips every
+    published shard, and a damaged shard (marker removed) is the ONLY one
+    rewritten."""
+    import json
+    import os
+    import time
+
+    import ray.data as rd
+
+    from minhash_ray.sinks import read_partitioned, write_partitioned
+
+    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    out = str(tmp_path / "sharded")
+    res1 = write_partitioned(src, out, key_col="doc_id", num_shards=8)
+    assert sorted(res1["written"]) == list(range(8)) and not res1["skipped"]
+    assert sum(res1["rows"].values()) == src.count()
+
+    back = read_partitioned(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(want)
+
+    # full rerun: everything skipped, no file touched
+    mtimes = {
+        s: os.path.getmtime(os.path.join(out, f"shard-{s:05d}", "part-0.parquet"))
+        for s in range(8)
+    }
+    res2 = write_partitioned(src, out, key_col="doc_id", num_shards=8)
+    assert not res2["written"] and sorted(res2["skipped"]) == list(range(8))
+    assert res2["rows"] == {int(k): v for k, v in res1["rows"].items()}
+
+    # damage one shard -> only it is rewritten
+    victim = 3
+    os.remove(os.path.join(out, f"shard-{victim:05d}", "_SUCCESS"))
+    time.sleep(0.05)
+    res3 = write_partitioned(src, out, key_col="doc_id", num_shards=8)
+    assert res3["written"] == [victim]
+    for s in range(8):
+        mt = os.path.getmtime(os.path.join(out, f"shard-{s:05d}", "part-0.parquet"))
+        assert (mt != mtimes[s]) == (s == victim), s
+    back2 = read_partitioned(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back2.equals(want)
+
+    # incomplete output refuses to read
+    os.remove(os.path.join(out, "shard-00005", "_SUCCESS"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no _SUCCESS"):
+        read_partitioned(out)
