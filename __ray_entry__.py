@@ -457,6 +457,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only here; pytest gates the estimate vs the exact count and
         # asserts partitioned == serial (test_hll_*)
         "approx_distinct_users_per_type": events.approx_distinct_users_per_type,
+        # bottom-k (KMV) sketch quantiles over the float value column —
+        # deterministic hash sample (set-min fold, partition-invariant by
+        # pytest) but approximate by design → rows-only
+        "approx_value_quantiles": events.approx_value_quantiles,
         # set intersection (INTERSECT shape) via per-batch distinct + flag max
         "users_with_both": events.users_with_both,
         "window_counts": events.window_counts,

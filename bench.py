@@ -184,6 +184,7 @@ def run_bench() -> dict:
         ("lang_token_quantiles", text.lang_token_quantiles),
         ("distinct_users_per_type", events.distinct_users_per_type),
         ("approx_distinct_users_per_type", events.approx_distinct_users_per_type),
+        ("approx_value_quantiles", events.approx_value_quantiles),
         ("customers_without_orders", relational.customers_without_orders),
         ("top_orders_per_customer", relational.top_orders_per_customer),
         ("sliding_window_counts", events.sliding_window_counts),

@@ -550,3 +550,74 @@ def approx_distinct_users_per_type(sf_dir: str, num_partitions: int = 32):
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "event_type"
     ).map_groups(finalize, batch_format="pyarrow")
+
+
+def approx_value_quantiles(
+    sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99), k: int = 4096
+):
+    """(q, value_approx): quantiles of the float ``value`` column via a
+    bottom-k (KMV) sketch — the scale path when the value domain is
+    unbounded (the exact histogram fold of ``text.token_quantiles``
+    assumes distinct values ≪ rows; floats break that).
+
+    Sketch algebra (the reference's contract again): the sketch is the k
+    rows with the SMALLEST ``splitmix64(event_id)`` — a set-min fold, so
+    insert/merge are commutative / associative / idempotent and the merged
+    sketch is independent of partitioning (Bar-Yossef et al. 2002 KMV;
+    the k=1 special case IS a MinHash slot).  Each batch keeps its local
+    bottom-k, one metadata-scale reduction keeps the global bottom-k, and
+    the quantiles of the k hash-uniform sampled values estimate the true
+    quantiles (±O(1/sqrt(k))).
+
+    Deterministic given the data (hash-ordered, no RNG) and
+    partition-invariant (pytest-asserted) but approximate by design → no
+    SQL value oracle; pytest gates it against the exact quantiles."""
+    from minhash_ray.stages.banding import splitmix64
+
+    ds = _events(sf_dir, columns=["event_id", "value"])
+
+    def local_bottom_k(batch: pa.Table) -> pa.Table:
+        h = splitmix64(
+            batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        v = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            h, v = h[idx], v[idx]
+        return pa.table(
+            {"h": pa.array(h, pa.uint64()), "value": pa.array(v, pa.float64())}
+        )
+
+    # the partials are ≤ k rows per batch — a driver fold is metadata-scale
+    # (k·n_batches rows), mirroring token_quantiles' histogram fold
+    parts = []
+    for b in ds.map_batches(local_bottom_k, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        parts.append(b)
+    if parts:
+        t = pa.concat_tables(parts)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            h, v = h[idx], v[idx]
+        # ties in h cannot occur across distinct event_ids (splitmix64 is a
+        # bijection), so the sample set is exactly determined
+        sample = np.sort(v)
+    else:
+        sample = np.empty(0, np.float64)
+    rows_q, rows_v = [], []
+    for q in qs:
+        rows_q.append(float(q))
+        rows_v.append(
+            float(sample[int(np.floor((len(sample) - 1) * q))]) if len(sample) else 0.0
+        )
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {"q": pa.array(rows_q, pa.float64()),
+             "value_approx": pa.array(rows_v, pa.float64())}
+        )
+    )

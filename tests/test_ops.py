@@ -595,3 +595,39 @@ def test_hll_kernel_merge_algebra():
     # duplicate inserts don't move the estimate (idempotent insert)
     dup = np.concatenate([vals, vals, vals[:5]])
     assert hll_estimate(hll_from_u64_values(dup)) == hll_estimate(whole)
+
+
+def test_bottom_k_quantiles_accuracy_and_invariance(ray_session, sf_dir):
+    """KMV bottom-k quantiles: within sampling tolerance of the exact
+    quantiles, and EXACTLY partition-invariant (set-min fold)."""
+    import duckdb
+    import os
+
+    import ray.data as rd
+
+    from minhash_ray.pipelines import events as ev
+    from minhash_ray.pipelines.events import approx_value_quantiles
+
+    got = _pdf(approx_value_quantiles(sf_dir)).set_index("q")["value_approx"]
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    for q in (0.25, 0.5, 0.75, 0.9):
+        exact_rank_lo = duckdb.connect().execute(
+            f"SELECT quantile_disc(value, {max(0.0, q - 0.08)}) FROM '{sf_dir}/events.parquet'"
+        ).fetchone()[0]
+        exact_rank_hi = duckdb.connect().execute(
+            f"SELECT quantile_disc(value, {min(1.0, q + 0.08)}) FROM '{sf_dir}/events.parquet'"
+        ).fetchone()[0]
+        assert exact_rank_lo <= got[q] <= exact_rank_hi, (q, got[q])
+
+    outs = []
+    for parts in (1, 9):
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet")).repartition(parts)
+        orig = ev._events
+        try:
+            ev._events = lambda _sf, columns=None: ds.select_columns(columns) if columns else ds
+            outs.append(_pdf(approx_value_quantiles(sf_dir)))
+        finally:
+            ev._events = orig
+    assert outs[0].equals(outs[1])
