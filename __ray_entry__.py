@@ -438,6 +438,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         # partitioned anti-join (NOT EXISTS), both sides large
         "customers_without_orders": relational.customers_without_orders,
+        # semi-join (EXISTS) twin of the anti-join above (SQL-checked)
+        "customers_with_orders": relational.customers_with_orders,
+        # unicode NFC + lower + whitespace-collapse normalization
+        # (SQL-checked: DuckDB nfc_normalize/lower/regexp_replace)
+        "normalize_text": text.normalize_text,
         # left-outer join (zero-order customers included)
         "customer_order_counts": relational.customer_order_counts,
         # PII/denylist scrubbing (vectorized RE2 replace + count)
@@ -1190,6 +1195,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_totalprice > 400000.0)"
+        ),
+        "customers_with_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 400000.0)"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)),"
+            " '\\s+', ' ', 'g')) AS text_norm FROM documents"
         ),
         "distinct_users_per_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "

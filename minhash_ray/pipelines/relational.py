@@ -383,6 +383,23 @@ def customers_without_orders(
     and no driver-resident state, so it holds when the probe side is 10^9
     rows; compare ``orders_by_segment`` for the broadcast shape used when
     one side is genuinely small."""
+    return _customer_order_exists(sf_dir, min_price, num_partitions, keep_if_exists=False)
+
+
+def customers_with_orders(
+    sf_dir: str, min_price: float = 400000.0, num_partitions: int = 32
+):
+    """(c_custkey, c_name): customers with at least one order above
+    ``min_price`` — the semi-join (``EXISTS``) twin of
+    ``customers_without_orders``: identical partitioned
+    distinct-probe/sorted-membership machinery, membership kept instead
+    of dropped."""
+    return _customer_order_exists(sf_dir, min_price, num_partitions, keep_if_exists=True)
+
+
+def _customer_order_exists(
+    sf_dir: str, min_price: float, num_partitions: int, keep_if_exists: bool
+):
     from minhash_ray.stages.banding import splitmix64
     from minhash_ray.util import clamp_partitions
 
@@ -427,7 +444,7 @@ def customers_without_orders(
             miss = present[pos] != lk
         else:
             miss = np.ones(len(lk), dtype=bool)
-        sel = np.flatnonzero(left)[miss]
+        sel = np.flatnonzero(left)[~miss if keep_if_exists else miss]
         t = batch.select(["c_custkey", "c_name"])
         return t.take(pa.array(sel, pa.int64()))
 

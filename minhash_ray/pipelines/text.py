@@ -865,3 +865,41 @@ def doc_repetition(sf_dir: str, docs=None):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text(sf_dir: str, docs=None):
+    """(doc_id, text_norm) — canonical text normalization, the first stage
+    of every curation pipeline (and the reason two byte-different documents
+    can still be exact duplicates): unicode NFC, lowercase, whitespace
+    runs collapsed to single spaces, ends trimmed.  One chain of four
+    vectorized Arrow kernels per batch; the DuckDB oracle replays
+    nfc_normalize + lower + regexp_replace with identical semantics (both
+    engines implement Unicode NFC and RE2 '\\s+')."""
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        # NFC: pyarrow 16's utf8_normalize DECOMPOSES but never composes
+        # (NFC output == NFD, verified against python unicodedata and
+        # DuckDB utf8proc), so it cannot be used.  ASCII is NFC-invariant,
+        # so the vectorized string_is_ascii mask skips the entire batch in
+        # the common case; only the non-ASCII minority pays a per-string
+        # unicodedata.normalize (inherently per-string work — there is no
+        # vectorized NFC kernel available).
+        ascii_mask = pc.string_is_ascii(t).to_numpy(zero_copy_only=False)
+        if not ascii_mask.all():
+            import unicodedata
+
+            vals = t.to_pylist()
+            for i in np.flatnonzero(~ascii_mask):
+                if vals[i] is not None:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+            t = pa.array(vals, pa.string())
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch.column("doc_id"), "text_norm": t})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

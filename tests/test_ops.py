@@ -51,8 +51,44 @@ SQL_QUERIES = [
     "scrub_terms", "lang_token_quantiles", "salient_terms", "nation_revenue",
     "audio_stats", "audio_exact_dedup", "customer_order_counts",
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
-    "semantic_dedup", "doc_repetition",
+    "semantic_dedup", "doc_repetition", "customers_with_orders",
+    "normalize_text",
 ]
+
+
+def test_normalize_text_unicode_and_whitespace(ray_session, tmp_path):
+    """Planted unicode/whitespace cases: NFC composition, lowercasing,
+    run collapse — and oracle agreement on the planted fixture (the
+    testdata corpus is plain ASCII, so the parametrized check alone never
+    exercises NFC)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    texts = [
+        "He\u0301llo   W\u00f6rld",     # combining acute -> NFC-precomposed \u00e9
+        "  MiXeD\tCase\r\nlines  ",
+        "",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    from minhash_ray.pipelines.text import normalize_text
+
+    out = _pdf(normalize_text(str(d))).set_index("doc_id")["text_norm"]
+    assert out[0] == "h\u00e9llo w\u00f6rld"
+    assert out[1] == "mixed case lines"
+    assert out[2] == ""
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    odf = _canon(con.execute(E.oracle_sql()["normalize_text"]).fetchdf())
+    assert _canon(out.reset_index()).equals(odf)
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
