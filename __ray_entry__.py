@@ -1289,7 +1289,7 @@ def oracle_sql() -> dict[str, str]:
         # uses AllPairs prefix filtering over 64-bit shingle hashes; the
         # hash is injective on the corpus so set sizes agree, and both
         # sides compute jaccard as int64/int64 IEEE double division)
-        # weighted (multiset) Jaccard >= 0.4 over whitespace tokens: the
+        # weighted (multiset) Jaccard >= 0.7 over whitespace tokens: the
         # oracle computes the min/max-of-tf formula directly (sum max =
         # tot_a + tot_b - sum min); the Ray side runs set Jaccard over
         # occurrence-indexed 64-bit token hashes — equality holds by the
@@ -1315,7 +1315,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN tot ta ON ta.doc_id = i.da "
             "JOIN tot tb ON tb.doc_id = i.db "
             "WHERE CAST(i.smin AS DOUBLE) / CAST(ta.tot + tb.tot - i.smin AS DOUBLE)"
-            " >= 0.4"
+            " >= 0.7"
         ),
         "ngram_jaccard_pairs": (
             "WITH toks AS ("
