@@ -385,6 +385,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected-components cluster tier → per-doc keep flag.  The
         # clustering itself is SQL-checked (recursive reachability CTE)
         "doc_dedup_tiered": dedup_text.doc_dedup_tiered,
+        # CCNet-style corpus-wide chunk (pseudo-paragraph) dedup: keep-first
+        # over fixed word windows, docs reassembled from surviving chunks
+        # (SQL-checked: DuckDB replays chunking + row_number keep-first)
+        "chunk_dedup_docs": dedup_text.chunk_dedup_docs,
         "rolling_fingerprints": dedup_text.rolling_fingerprints,   # SQL-checked
         # composite training-data pipeline: dedup keep flag + lang ID +
         # quality gates → curated corpus manifest (SQL-checked via a
@@ -1316,6 +1320,36 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tot tb ON tb.doc_id = i.db "
             "WHERE CAST(i.smin AS DOUBLE) / CAST(ta.tot + tb.tot - i.smin AS DOUBLE)"
             " >= 0.7"
+        ),
+        # CCNet-style chunk dedup: DuckDB rebuilds the same fixed 20-word
+        # chunks (single-space split, so the oracle splits on ' ' too, NOT
+        # \\s+ — chunk boundaries are token-index-exact), keeps the
+        # corpus-wide first occurrence of each distinct chunk string
+        # (row_number over (doc_id, cidx) — the engine's packed min key),
+        # and reassembles per doc in chunk order.  The engine groups by a
+        # 128-bit content digest instead of the string; equality holds by
+        # digest injectivity on the corpus (same assumption as
+        # exact_dedup_docs / the tiered exact tier)
+        "chunk_dedup_docs": (
+            "WITH toks AS ("
+            "  SELECT doc_id, L, CAST(i AS BIGINT) AS i,"
+            "         CAST((i - 1) // 20 AS BIGINT) AS cidx"
+            "  FROM (SELECT doc_id, string_split(text, ' ') AS L FROM documents) t,"
+            "       UNNEST(range(1, len(L) + 1)) AS r(i)"
+            "), chunks AS ("
+            "  SELECT doc_id, cidx, string_agg(L[i], ' ' ORDER BY i) AS chunk"
+            "  FROM toks GROUP BY doc_id, cidx"
+            "), ranked AS ("
+            "  SELECT doc_id, cidx, chunk, row_number() OVER ("
+            "    PARTITION BY chunk ORDER BY doc_id, cidx) AS rn"
+            "  FROM chunks"
+            ") "
+            "SELECT doc_id, "
+            "coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1), '')"
+            " AS clean_text, "
+            "count(*) AS n_chunks, "
+            "count(*) FILTER (WHERE rn = 1) AS n_kept "
+            "FROM ranked GROUP BY doc_id"
         ),
         "ngram_jaccard_pairs": (
             "WITH toks AS ("

@@ -1126,3 +1126,213 @@ def weighted_jaccard_pairs(
         sets_ds, DOC_CFG, threshold, broadcast_max_rows, num_partitions
     )
     return tbl.rename_columns(["doc_id_a", "doc_id_b", "wjaccard"])
+
+
+# --- corpus-wide chunk-level exact dedup (CCNet-style line dedup) ---------
+#
+# CCNet / RefinedWeb dedupe at sub-document granularity: every LINE
+# (paragraph) is hashed, the first occurrence corpus-wide is kept and
+# every later occurrence is dropped from its document.  The synthetic
+# corpus has no newline structure, so the unit here is a fixed window of
+# ``words_per_chunk`` whitespace tokens — the machinery (explode →
+# hash-keyed keep-first → reassemble in order) is identical.
+
+_CIDX_BITS = 21          # chunks-per-doc bound: 2^21 chunks ≈ 42M words/doc
+_CIDX_MASK = (1 << _CIDX_BITS) - 1
+
+
+def _explode_chunks(batch: pa.Table, words_per_chunk: int) -> pa.Table:
+    """Vectorized explode of (doc_id, text) into (doc_id, cidx, chunk):
+    one row per ``words_per_chunk``-token window, chunk text rebuilt with
+    single-space joins (``pc.binary_join`` over a re-offset list view of
+    the SAME flattened token buffer — no per-row Python, no token copy)."""
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cidx": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(texts, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    values = toks.flatten()                       # honors any list offset
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    ntok = offs[1:] - offs[:-1]                   # >= 1: split("") == [""]
+    W = int(words_per_chunk)
+    nch = (ntok + W - 1) // W
+    total = int(nch.sum())
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    starts_cum = np.concatenate(([0], np.cumsum(nch)))
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts_cum[:-1], nch)
+    chunk_start = np.repeat(offs[:-1], nch) + W * within
+    chunk_offsets = np.concatenate((chunk_start, offs[-1:]))
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(chunk_offsets, pa.int32()), values
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_ids, nch), pa.int64()),
+            "cidx": pa.array(within, pa.int64()),
+            "chunk": pc.binary_join(chunk_list, " "),
+        }
+    )
+
+
+def _chunk_pkey(batch: pa.Table):
+    """Packed (doc_id, cidx) key — int64, lexicographic order preserved.
+    Raises if the corpus exceeds the documented packing bounds instead of
+    silently corrupting keys."""
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    cidx = batch.column("cidx").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(cidx) and (int(cidx.max()) > _CIDX_MASK or int(doc.max()) >= (1 << (63 - _CIDX_BITS))):
+        raise ValueError(
+            f"chunk pkey overflow: need cidx <= {_CIDX_MASK} and doc_id < 2^{63 - _CIDX_BITS}"
+        )
+    return (doc << _CIDX_BITS) | cidx
+
+
+def chunk_dedup_docs(
+    sf_dir: str,
+    words_per_chunk: int = 20,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """Corpus-wide keep-first exact chunk dedup (CCNet-style line dedup,
+    Wenzek et al. 2020, over fixed ``words_per_chunk``-token windows):
+    every distinct chunk survives only at its first occurrence — minimum
+    (doc_id, cidx) corpus-wide — and each document is reassembled from its
+    surviving chunks in order.  Output per doc: (doc_id, clean_text,
+    n_chunks, n_kept); a doc whose every chunk appeared earlier elsewhere
+    survives with clean_text = ''.
+
+    Scale shape (three wide ops, none carries text more than once):
+      1. hash pass — explode → 128-bit chunk digest + packed order key,
+         chunk text DROPPED before the shuffle; ``groupby(digest).min(ord)``
+         is a partial+final aggregate over 24-byte rows.  The winning
+         (doc_id, cidx) set is DECODED from the min itself — no second
+         digest-keyed join.
+      2. keep attach — re-exploded chunks left-outer-join the winner pkey
+         table on one int64 key (text crosses the exchange exactly once).
+      3. reassembly — doc-hash partition, per-partition vectorized
+         lexsort + run-boundary ``binary_join`` (no per-doc Python).
+    """
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import clamp_partitions
+
+    np_parts = clamp_partitions(num_partitions)
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+    W = int(words_per_chunk)
+
+    exploded = ds.map_batches(
+        lambda b: _explode_chunks(b, W), batch_format="pyarrow"
+    )
+
+    def keys(batch: pa.Table) -> pa.Table:
+        flat, offs = _string_flat_offsets(batch.column("chunk"))
+        cols = {}
+        with np.errstate(over="ignore"):
+            for i, (seed, mult) in enumerate(_DIGEST_PARAMS):
+                d = np.uint64(seed) * np.uint64(mult) + _wordpoly_digest_rows(
+                    flat, offs, mult
+                )
+                cols[f"dg{i}"] = pa.array(d.view(np.int64), pa.int64())
+        cols["ord"] = pa.array(_chunk_pkey(batch), pa.int64())
+        return pa.table(cols)
+
+    winners = (
+        exploded.map_batches(keys, batch_format="pyarrow")
+        .groupby(["dg0", "dg1"])
+        .min("ord")
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        col = [c for c in batch.column_names if "ord" in c][0]
+        return pa.table(
+            {
+                "pkey": batch.column(col),
+                "keep": pa.array(np.ones(batch.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    kept_keys = winners.map_batches(decode, batch_format="pyarrow")
+
+    def with_pkey(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pkey", pa.array(_chunk_pkey(batch), pa.int64()))
+
+    flagged = exploded.map_batches(with_pkey, batch_format="pyarrow").join(
+        kept_keys,
+        join_type="left_outer",
+        on=("pkey",),
+        num_partitions=np_parts,
+    )
+
+    def with_ppart(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # splitmix64-style spread so sequential doc_ids don't skew partitions
+        h = (doc.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return batch.append_column(
+            "ppart", pa.array((h % np.uint64(np_parts)).astype(np.int64), pa.int64())
+        )
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_chunks": pa.array([], pa.int64()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cidx = batch.column("cidx").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.fill_null(pc.cast(batch.column("keep"), pa.int8()), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        chunks = batch.column("chunk")
+        if isinstance(chunks, pa.ChunkedArray):
+            chunks = chunks.combine_chunks()
+        order = np.lexsort((cidx, doc))
+        doc_s, keep_s = doc[order], keep[order]
+        new_doc = np.ones(len(doc_s), dtype=bool)
+        new_doc[1:] = doc_s[1:] != doc_s[:-1]
+        doc_start = np.flatnonzero(new_doc)                 # first row of each doc
+        out_docs = doc_s[doc_start]
+        n_chunks = np.diff(np.append(doc_start, len(doc_s)))
+        # per-doc kept counts: cumsum-difference over the sorted keep flags
+        kc = np.concatenate(([0], np.cumsum(keep_s.astype(np.int64))))
+        bounds = np.append(doc_start, len(doc_s))
+        n_kept = kc[bounds[1:]] - kc[bounds[:-1]]
+        # kept chunks, still in (doc, cidx) order → list offsets from n_kept
+        kept_rows = order[keep_s]
+        kept_vals = chunks.take(pa.array(kept_rows, pa.int64()))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(n_kept))), pa.int32()),
+                kept_vals,
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_docs, pa.int64()),
+                "clean_text": joined,
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+            }
+        )
+
+    return (
+        flagged.map_batches(with_ppart, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

@@ -52,7 +52,7 @@ SQL_QUERIES = [
     "audio_stats", "audio_exact_dedup", "customer_order_counts",
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
     "semantic_dedup", "doc_repetition", "customers_with_orders",
-    "normalize_text",
+    "normalize_text", "chunk_dedup_docs",
 ]
 
 
@@ -667,3 +667,45 @@ def test_bottom_k_quantiles_accuracy_and_invariance(ray_session, sf_dir):
         finally:
             ev._events = orig
     assert outs[0].equals(outs[1])
+
+
+def test_chunk_dedup_planted_cases(ray_session, tmp_path):
+    """Planted keep-first semantics: a doc that copies an earlier doc's
+    chunk loses it, a full copy is emptied to '', a within-doc repeated
+    chunk is dropped at its second position, and the survivor doc keeps
+    everything."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import chunk_dedup_docs
+
+    W = 4
+    a = " ".join(f"a{i}" for i in range(2 * W))            # 2 chunks, doc 1
+    b_chunks = [" ".join(f"a{i}" for i in range(W)),        # copy of A chunk 0
+                " ".join(f"b{i}" for i in range(W)),        # own
+                " ".join(f"b{i}" for i in range(W))]        # within-doc repeat
+    b = " ".join(b_chunks)
+    c = a                                                   # full copy → ''
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([a, b, c], pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    df = (
+        chunk_dedup_docs(str(d), words_per_chunk=W)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert df.loc[1, "clean_text"] == a
+    assert (df.loc[1, "n_chunks"], df.loc[1, "n_kept"]) == (2, 2)
+    # doc 2: loses A's chunk and its own repeated chunk → one survivor
+    assert df.loc[2, "clean_text"] == b_chunks[1]
+    assert (df.loc[2, "n_chunks"], df.loc[2, "n_kept"]) == (3, 1)
+    # doc 3: everything appeared earlier → present but empty
+    assert df.loc[3, "clean_text"] == ""
+    assert (df.loc[3, "n_chunks"], df.loc[3, "n_kept"]) == (2, 0)
