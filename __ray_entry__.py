@@ -364,6 +364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocabulary df aggregate -> broadcast -> per-doc segmented top-k)
         "salient_terms": text.salient_terms,
         "text_quality": text.text_quality,
+        # exact global percentile-rank annotate (adaptive-cutoff primitive:
+        # two slim passes + a histogram exchange, no global row sort)
+        "token_percent_rank": text.token_percent_rank,
+        # deterministic splitmix64 train/val/test assignment (SQL-checked)
+        "assign_splits": text.assign_splits,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_stats": text.lang_stats,
         # --- dedup over documents ---
@@ -1128,6 +1133,28 @@ def _stratified_sample_sql(k: int = 20) -> str:
     )
 
 
+def _assign_splits_sql(pct_train: int = 90, pct_val: int = 5) -> str:
+    """DuckDB replay of ``assign_splits``: the splitmix64(doc_id) HUGEINT
+    emulation of ``_stratified_sample_sql``, bucketed mod 100."""
+    m64 = 1 << 64
+    ns = 0x9E3779B97F4A7C15
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    lo_val, lo_test = pct_train, pct_train + pct_val
+    return (
+        f"WITH sm1 AS (SELECT doc_id, "
+        f"(CAST(doc_id AS HUGEINT) + {ns}) % {m64} AS x1 FROM documents), "
+        f"sm2 AS (SELECT doc_id, "
+        f"{_modmul64(_xor64('x1', 'x1 // 1073741824'), k1)} AS x2 FROM sm1), "
+        f"sm3 AS (SELECT doc_id, "
+        f"{_modmul64(_xor64('x2', 'x2 // 134217728'), k2)} AS x3 FROM sm2), "
+        f"hv AS (SELECT doc_id, {_xor64('x3', 'x3 // 2147483648')} AS h FROM sm3) "
+        "SELECT doc_id, CAST(h % 100 AS BIGINT) AS bucket, "
+        f"CASE WHEN h % 100 < {lo_val} THEN 'train' "
+        f"WHEN h % 100 < {lo_test} THEN 'val' ELSE 'test' END AS split "
+        "FROM hv"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     n_tokens = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -1135,6 +1162,16 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "token_counts": f"SELECT doc_id, {n_tokens} AS n_tokens FROM documents",
+        # exact global percent_rank of the token count: both sides compute
+        # (#strictly smaller)/(N-1) as an IEEE double of exact int64s
+        "token_percent_rank": (
+            f"WITH n AS (SELECT doc_id, {n_tokens} AS n_tokens FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "percent_rank() OVER (ORDER BY n_tokens) AS pct_rank FROM n"
+        ),
+        # deterministic hash split: splitmix64(doc_id) emulated in HUGEINT
+        # (the _stratified_sample_sql chain), bucket = h mod 100
+        "assign_splits": _assign_splits_sql(),
         # inverted-index document frequencies: distinct (doc, term) pairs
         # then count per term (lowercased whitespace tokens, df >= 5)
         "term_doc_freq": (

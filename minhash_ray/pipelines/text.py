@@ -903,3 +903,112 @@ def normalize_text(sf_dir: str, docs=None):
         return pa.table({"doc_id": batch.column("doc_id"), "text_norm": t})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _ntokens_np(batch: pa.Table) -> np.ndarray:
+    """Whitespace token counts (empty text → 0), int64 — the shared
+    counting rule of token_counts / token_quantiles."""
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch.column("text")))
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    empties = pc.equal(pc.utf8_trim_whitespace(batch.column("text")), "").to_numpy(
+        zero_copy_only=False
+    )
+    n[empties] = 0
+    return n
+
+
+def token_percent_rank(sf_dir: str):
+    """(doc_id, n_tokens, pct_rank): the EXACT global percentile rank of
+    every document's token count — ``percent_rank()`` window semantics,
+    (#docs with a strictly smaller count) / (N - 1) — the adaptive-cutoff
+    primitive of curation pipelines ("drop the shortest 10%", "keep below
+    the p90 perplexity") where the threshold is a data-derived quantile,
+    not a constant.
+
+    Scale shape: NO global row sort.  Pass 1 folds per-batch (value,
+    count) partials through a metadata-scale ``groupby(value).sum`` (the
+    ``token_quantiles`` histogram); the driver prefix-sums the sorted
+    histogram into a below-count table and broadcasts it once
+    (``ray.put``, distinct values ≪ docs).  Pass 2 re-streams the corpus
+    and annotates each row via one vectorized ``searchsorted`` against the
+    broadcast table.  Ranks over N rows cost two slim passes + a
+    histogram-sized exchange."""
+    import ray
+
+    from minhash_ray.util import cached_get
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(_ntokens_np(batch), return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    hist = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+    )
+    t = pa.concat_tables(
+        list(hist.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
+    )
+    ccol = [c for c in t.column_names if c != "v"][0]
+    v = t.column("v").to_numpy()
+    c = t.column(ccol).to_numpy()
+    o = np.argsort(v)
+    v, c = v[o], c[o]
+    below = np.concatenate(([0], np.cumsum(c)[:-1])).astype(np.int64)
+    n_total = int(c.sum())
+    pack_ref = ray.put((v, below, n_total))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        vs, bel, n = cached_get(pack_ref)
+        nt = _ntokens_np(batch)
+        idx = np.searchsorted(vs, nt)          # nt always present in vs
+        pct = (
+            bel[idx].astype(np.float64) / np.float64(n - 1)
+            if n > 1
+            else np.zeros(len(nt), dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        annotate, batch_format="pyarrow"
+    )
+
+
+def assign_splits(sf_dir: str, pct_train: int = 90, pct_val: int = 5):
+    """(doc_id, split): deterministic train/val/test assignment by
+    ``splitmix64(doc_id) mod 100`` — the reproducible content-independent
+    split every training pipeline needs (same doc always lands in the
+    same split, across runs, machines and corpus growth; no RNG state,
+    no shuffle, embarrassingly parallel).
+
+    Buckets: [0, pct_train) → train, [pct_train, pct_train+pct_val) →
+    val, the rest → test."""
+    from minhash_ray.stages.banding import splitmix64
+
+    lo_val = int(pct_train)
+    lo_test = int(pct_train + pct_val)
+    if not (0 < lo_val <= lo_test <= 100):
+        raise ValueError("invalid split percentages")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(ids.astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+        split = np.where(b < lo_val, "train", np.where(b < lo_test, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(b, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")

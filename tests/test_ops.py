@@ -52,7 +52,8 @@ SQL_QUERIES = [
     "audio_stats", "audio_exact_dedup", "customer_order_counts",
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
     "semantic_dedup", "doc_repetition", "customers_with_orders",
-    "normalize_text", "chunk_dedup_docs",
+    "normalize_text", "chunk_dedup_docs", "token_percent_rank",
+    "assign_splits",
 ]
 
 
@@ -709,3 +710,33 @@ def test_chunk_dedup_planted_cases(ray_session, tmp_path):
     # doc 3: everything appeared earlier → present but empty
     assert df.loc[3, "clean_text"] == ""
     assert (df.loc[3, "n_chunks"], df.loc[3, "n_kept"]) == (2, 0)
+
+
+def test_assign_splits_deterministic_and_reasonable(ray_session, sf_dir):
+    """Same doc → same split across runs; bucket == splitmix64 mod 100 is
+    content-independent so fractions land near 90/5/5 on 500 uniform ids."""
+    from minhash_ray.pipelines.text import assign_splits
+
+    a = _pdf(assign_splits(sf_dir)).sort_values("doc_id").reset_index(drop=True)
+    b = _pdf(assign_splits(sf_dir)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    frac = a.split.value_counts(normalize=True)
+    assert 0.80 <= frac.get("train", 0) <= 0.97
+    assert set(a.split) <= {"train", "val", "test"}
+
+
+def test_token_percent_rank_tie_and_extremes(ray_session, sf_dir):
+    """Tied token counts share one pct_rank; min group is exactly 0.0 and
+    every value is (#strictly smaller)/(N-1)."""
+    from minhash_ray.pipelines.text import token_percent_rank
+
+    df = _pdf(token_percent_rank(sf_dir))
+    n = len(df)
+    grp = df.groupby("n_tokens")["pct_rank"]
+    assert (grp.nunique() == 1).all()
+    below = 0
+    for val, cnt in df.n_tokens.value_counts().sort_index().items():
+        expect = below / (n - 1)
+        got = df.loc[df.n_tokens == val, "pct_rank"].iloc[0]
+        assert got == expect, (val, got, expect)
+        below += cnt
