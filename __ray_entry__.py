@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
         # exact weighted (multiset) Jaccard via occurrence-indexed tokens
         "weighted_jaccard_pairs": dedup_text.weighted_jaccard_pairs,
+        # exact DIRECTED containment |A∩B|/|A| (subset/quote detector):
+        # probe-prefix × full-index join, SQL-checked
+        "containment_pairs": dedup_text.containment_pairs,
         # exact heavy hitters (Misra-Gries candidate pass + exact re-count)
         "frequent_terms": text.frequent_terms,
         # TIERED dedup: exact digest tier → LSH near tier over survivors →
@@ -1387,6 +1390,30 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_chunks, "
             "count(*) FILTER (WHERE rn = 1) AS n_kept "
             "FROM ranked GROUP BY doc_id"
+        ),
+        # directed containment |A∩B|/|A| >= 0.8 over the same distinct
+        # trigram sets as ngram_jaccard_pairs (both sides gate on the
+        # IEEE double division of the identical exact int64 counts)
+        "containment_pairs": (
+            "WITH toks AS ("
+            "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+            "         THEN CAST([] AS VARCHAR[])"
+            "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+            "  FROM documents"
+            "), grams AS ("
+            "  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g"
+            "  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)"
+            "  WHERE len(t) >= 3"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c"
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id"
+            "  GROUP BY da, db"
+            ") "
+            "SELECT i.da AS doc_id_a, i.db AS doc_id_b, "
+            "CAST(i.c AS DOUBLE) / sa.n AS containment "
+            "FROM inter i JOIN sizes sa ON i.da = sa.doc_id "
+            "WHERE CAST(i.c AS DOUBLE) / sa.n >= 0.8"
         ),
         "ngram_jaccard_pairs": (
             "WITH toks AS ("

@@ -432,38 +432,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def _set_jaccard_pairs(
-    sets_ds,
-    cfg: PipelineConfig,
-    threshold: float,
-    broadcast_max_rows: int,
-    num_partitions: int,
-) -> pa.Table:
-    """The set-agnostic AllPairs/PPJoin machinery behind
-    :func:`ngram_jaccard_pairs` and :func:`weighted_jaccard_pairs`:
-    prefix-filter banding → candidate shuffle → exact-Jaccard verify
-    (broadcast pack below ``broadcast_max_rows``, partitioned join-attach
-    above, both bit-identical).  ``sets_ds`` is any Dataset shaped
-    {doc_id int64, shingles sorted-unique list<u64>, n int64}."""
+def _df_order_ref(sets_ds, n_docs: int):
+    """Build + broadcast the global document-frequency hot table backing
+    the AllPairs rare-first prefix order (Bayardo/Ma/Srikant §3.1): the
+    prefix-filter lemma holds for ANY total order shared by both sides,
+    and taking each set's RAREST elements first minimizes how often two
+    sets collide on a common element — without it, a corpus whose
+    elements are all frequent (small vocab, unigram multisets) floods
+    the bucket self-join with near-all-pairs candidates.  The order used:
+    elements absent from the hot table first (by value), then hot
+    elements by ascending document frequency (by value within ties).
+    The hot table is metadata-scale by construction (df >= hot floor,
+    capped at the hottest ``max_hot``) so it broadcasts at any corpus
+    size; a capped-out table only degrades ordering quality, never
+    exactness.  Returns a one-element list holding the ``ray.put`` ref
+    (list wrapper keeps the ref out of Ray's closure capture)."""
     import ray
 
-    from minhash_ray.stages.candidates import candidate_pairs
     from minhash_ray.stages.verify import _list_flat_offsets
 
-    n_docs = sets_ds.count()
-
-    # --- global prefix ordering (Bayardo/Ma/Srikant AllPairs §3.1): the
-    # prefix-filter lemma holds for ANY total order shared by both sides,
-    # and taking each set's RAREST elements first minimizes how often two
-    # sets collide on a common element — without it, a corpus whose
-    # elements are all frequent (small vocab, unigram multisets) floods
-    # the bucket self-join with near-all-pairs candidates.  The order used:
-    # elements absent from the hot table first (by value), then hot
-    # elements by ascending document frequency (by value within ties).
-    # The hot table is metadata-scale by construction (df >= hot floor,
-    # capped at the hottest ``max_hot``) so it broadcasts at any corpus
-    # size; a capped-out table only degrades ordering quality, never
-    # exactness.
     def df_partial(batch: pa.Table) -> pa.Table:
         flat, _offs = _list_flat_offsets(batch.column("shingles"))
         u, c = np.unique(flat, return_counts=True)     # per-doc unique already
@@ -503,7 +490,43 @@ def _set_jaccard_pairs(
         hot_pack = {"e": he[o_he], "df": hd[o_he]}
     else:
         hot_pack = {"e": np.empty(0, np.uint64), "df": np.empty(0, np.int64)}
-    hot_ref = [ray.put(hot_pack)]
+    return [ray.put(hot_pack)]
+
+
+def _df_order_perm(flat, offs, counts, hot):
+    """Per-batch permutation realizing the rare-first order of
+    :func:`_df_order_ref` within each set (sets stay contiguous)."""
+    parents = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if len(hot["e"]):
+        pos = np.searchsorted(hot["e"], flat)
+        pos = np.minimum(pos, len(hot["e"]) - 1)
+        is_hot = hot["e"][pos] == flat
+        df_key = np.where(is_hot, hot["df"][pos], 0)
+        return np.lexsort((flat, df_key, is_hot.astype(np.int8), parents))
+    return np.arange(len(flat))              # per-doc value order (sorted)
+
+
+def _set_jaccard_pairs(
+    sets_ds,
+    cfg: PipelineConfig,
+    threshold: float,
+    broadcast_max_rows: int,
+    num_partitions: int,
+) -> pa.Table:
+    """The set-agnostic AllPairs/PPJoin machinery behind
+    :func:`ngram_jaccard_pairs` and :func:`weighted_jaccard_pairs`:
+    prefix-filter banding → candidate shuffle → exact-Jaccard verify
+    (broadcast pack below ``broadcast_max_rows``, partitioned join-attach
+    above, both bit-identical).  ``sets_ds`` is any Dataset shaped
+    {doc_id int64, shingles sorted-unique list<u64>, n int64}."""
+    import ray
+
+    from minhash_ray.stages.candidates import candidate_pairs
+    from minhash_ray.stages.verify import _list_flat_offsets
+
+    n_docs = sets_ds.count()
+
+    hot_ref = _df_order_ref(sets_ds, n_docs)
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -516,16 +539,7 @@ def _set_jaccard_pairs(
         L = np.clip(
             counts - np.ceil(threshold * counts).astype(np.int64) + 1, 0, counts
         ).astype(np.int64)
-        hot = cached_get(hot_ref[0])
-        parents = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
-        if len(hot["e"]):
-            pos = np.searchsorted(hot["e"], flat)
-            pos = np.minimum(pos, len(hot["e"]) - 1)
-            is_hot = hot["e"][pos] == flat
-            df_key = np.where(is_hot, hot["df"][pos], 0)
-            perm = np.lexsort((flat, df_key, is_hot.astype(np.int8), parents))
-        else:
-            perm = np.arange(len(flat))          # per-doc value order (sorted)
+        perm = _df_order_perm(flat, offs, counts, cached_get(hot_ref[0]))
         sel = np.repeat(offs[:-1], L) + _seg_arange(L)
         gather = perm[sel]
         buckets = (flat[gather] >> np.uint64(1)).astype(np.int64)
@@ -1336,3 +1350,154 @@ def chunk_dedup_docs(
         .groupby("ppart")
         .map_groups(reassemble, batch_format="pyarrow")
     )
+
+
+def containment_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    num_partitions: int = 8,
+    docs=None,
+) -> "object":
+    """EXACT directed near-containment self-join: ordered pairs
+    (doc_id_a, doc_id_b, containment) with a != b and
+    ``containment = |S_a ∩ S_b| / |S_a| >= threshold`` over the distinct
+    token-trigram shingle sets of :func:`ngram_jaccard_pairs`.  Asymmetric
+    by design: a short doc embedded verbatim in a long one scores ~1.0
+    here while its Jaccard is tiny — the subset/quote/boilerplate detector
+    of a dedup suite (Broder's containment measure).
+
+    Scale shape (probe-prefix × full-index, the containment adaptation of
+    AllPairs): the PROBE side emits only its ``|A| - minreq + 1`` rarest
+    elements (rare-first global df order, shared machinery
+    :func:`_df_order_ref`); the INDEX side emits every element (no length
+    bound exists on the container, so the index cannot be prefixed).  One
+    partitioned hash join on the element key + a distinct-pair groupby
+    yields candidates; verification attaches the true sets by two slim
+    partitioned joins and gates ``inter / |A|`` computed from exact
+    segmented intersections — nothing driver-resident.  ``minreq`` is the
+    smallest integer k with ``k/|A| >= threshold`` under IEEE division
+    (float-edge-exact, so the prefix bound can never exclude a pair the
+    gate would keep)."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.functions.minhash import _seg_arange, segment_intersection_counts
+    from minhash_ray.stages.verify import (
+        _list_flat_offsets,
+        _pack_u64_column,
+        _unpack_u64_column,
+    )
+    from minhash_ray.util import cached_get, clamp_partitions, strip_empty_blocks
+
+    np_parts = clamp_partitions(num_partitions)
+    sets_ds = _doc_shingle_sets(sf_dir, DOC_CFG, docs=docs).materialize()
+    n_docs = sets_ds.count()
+    hot_ref = _df_order_ref(sets_ds, n_docs)
+
+    def _minreq(counts: np.ndarray) -> np.ndarray:
+        # smallest integer k with k/n >= t under the SAME IEEE ops the
+        # verify gate uses — ceil(t*n) alone can overshoot by 1 when t*n
+        # rounds just above an integer, silently shrinking the prefix
+        k = np.ceil(threshold * counts).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dec = (k - 1) / np.maximum(counts, 1) >= threshold
+        return np.where(dec & (k > 0), k - 1, k)
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        flat, offs = _list_flat_offsets(batch.column("shingles"))
+        counts = np.diff(offs)
+        L = np.clip(counts - _minreq(counts) + 1, 0, counts).astype(np.int64)
+        L[counts == 0] = 0                     # empty sets never contain
+        perm = _df_order_perm(flat, offs, counts, cached_get(hot_ref[0]))
+        sel = np.repeat(offs[:-1], L) + _seg_arange(L)
+        gather = perm[sel]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((flat[gather] >> np.uint64(1)).astype(np.int64), pa.int64()),
+                "doc_id_a": pa.array(np.repeat(ids, L), pa.int64()),
+            }
+        )
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        flat, offs = _list_flat_offsets(batch.column("shingles"))
+        counts = np.diff(offs)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((flat >> np.uint64(1)).astype(np.int64), pa.int64()),
+                "doc_id_b": pa.array(np.repeat(ids, counts), pa.int64()),
+            }
+        )
+
+    probes = sets_ds.map_batches(probe_rows, batch_format="pyarrow")
+    index = sets_ds.map_batches(index_rows, batch_format="pyarrow")
+    joined = probes.join(
+        index, join_type="inner", on=("bucket",), num_partitions=np_parts
+    )
+
+    def slim_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        keep = a != b
+        # batch-local distinct before the global one (candidate rows repeat
+        # once per shared prefix/index element)
+        pairs = np.stack([a[keep], b[keep]], axis=1)
+        if len(pairs):
+            pairs = np.unique(pairs, axis=0)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(pairs[:, 0], pa.int64()),
+                "doc_id_b": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    cand = strip_empty_blocks(
+        strip_empty_blocks(joined.map_batches(slim_pairs, batch_format="pyarrow"))
+        .groupby(["doc_id_a", "doc_id_b"])
+        .count()
+        .select_columns(["doc_id_a", "doc_id_b"])
+    )
+
+    def side(suffix: str):
+        def pack(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    f"sh_{suffix}": _pack_u64_column(batch.column("shingles")),
+                }
+            )
+
+        return sets_ds.map_batches(pack, batch_format="pyarrow")
+
+    with_a = cand.join(
+        side("a"), join_type="inner", on=("doc_id_a",), right_on=("doc_id",),
+        num_partitions=np_parts,
+    )
+    with_ab = strip_empty_blocks(with_a).join(
+        side("b"), join_type="inner", on=("doc_id_b",), right_on=("doc_id",),
+        num_partitions=np_parts,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        fa, oa = _unpack_u64_column(batch.column("sh_a"))
+        fb, ob = _unpack_u64_column(batch.column("sh_b"))
+        ca = np.diff(oa)
+        n = batch.num_rows
+        flat = np.concatenate([fa, fb])
+        offs = np.concatenate([oa, len(fa) + ob[1:]])
+        idx = np.arange(n, dtype=np.int64)
+        inter, _sa, _sb = segment_intersection_counts(flat, offs, idx, n + idx)
+        cont = np.zeros(n, dtype=np.float64)
+        nz = ca > 0
+        cont[nz] = inter[nz] / ca[nz]
+        keep = cont >= threshold
+        sel = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "doc_id_a": pc.take(batch.column("doc_id_a"), pa.array(sel)),
+                "doc_id_b": pc.take(batch.column("doc_id_b"), pa.array(sel)),
+                "containment": pa.array(cont[keep], pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)

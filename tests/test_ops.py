@@ -53,7 +53,7 @@ SQL_QUERIES = [
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
     "semantic_dedup", "doc_repetition", "customers_with_orders",
     "normalize_text", "chunk_dedup_docs", "token_percent_rank",
-    "assign_splits",
+    "assign_splits", "containment_pairs",
 ]
 
 
@@ -740,3 +740,34 @@ def test_token_percent_rank_tie_and_extremes(ray_session, sf_dir):
         got = df.loc[df.n_tokens == val, "pct_rank"].iloc[0]
         assert got == expect, (val, got, expect)
         below += cnt
+
+
+def test_containment_finds_planted_subset_doc(ray_session, tmp_path):
+    """A short doc embedded verbatim in a much longer one scores
+    containment 1.0 in the contained→container direction while its
+    Jaccard stays far below the pair threshold — the asymmetric semantics
+    the operator exists for."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import containment_pairs, ngram_jaccard_pairs
+
+    short = " ".join(f"s{i}" for i in range(12))
+    long = short + " " + " ".join(f"x{i}" for i in range(120))
+    other = " ".join(f"y{i}" for i in range(30))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([short, long, other], pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _pdf(containment_pairs(str(d), threshold=0.8))
+    pairs = {(a, b): c for a, b, c in zip(got.doc_id_a, got.doc_id_b, got.containment)}
+    assert pairs.get((1, 2)) == 1.0            # short ⊂ long, directed
+    assert (2, 1) not in pairs                  # reverse direction fails 0.8
+    assert all(a != 3 and b != 3 for a, b in pairs)
+    jac = _pdf(ngram_jaccard_pairs(str(d), threshold=0.3))
+    assert not ((jac.doc_id_a == 1) & (jac.doc_id_b == 2)).any()
