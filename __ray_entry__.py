@@ -369,6 +369,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_percent_rank": text.token_percent_rank,
         # deterministic splitmix64 train/val/test assignment (SQL-checked)
         "assign_splits": text.assign_splits,
+        # token-budget sequence packing via a distributed ordered prefix
+        # scan (range-partition on hash top bits + offset fold, no global
+        # row sort) — SQL-checked against a window running sum
+        "pack_sequences": text.pack_sequences,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_stats": text.lang_stats,
         # --- dedup over documents ---
@@ -1175,6 +1179,24 @@ def oracle_sql() -> dict[str, str]:
         # deterministic hash split: splitmix64(doc_id) emulated in HUGEINT
         # (the _stratified_sample_sql chain), bucket = h mod 100
         "assign_splits": _assign_splits_sql(),
+        # sequence packing: running token sum over the splitmix64 order
+        # (window fn) // budget — same integer arithmetic as the engine's
+        # partitioned prefix scan
+        "pack_sequences": (
+            "WITH sm1 AS (SELECT doc_id, "
+            f"{n_tokens} AS n_tokens, "
+            f"(CAST(doc_id AS HUGEINT) + {0x9E3779B97F4A7C15}) % {1 << 64} AS x1 "
+            "FROM documents), "
+            f"sm2 AS (SELECT doc_id, n_tokens, "
+            f"{_modmul64(_xor64('x1', 'x1 // 1073741824'), 0xBF58476D1CE4E5B9)} AS x2 FROM sm1), "
+            f"sm3 AS (SELECT doc_id, n_tokens, "
+            f"{_modmul64(_xor64('x2', 'x2 // 134217728'), 0x94D049BB133111EB)} AS x3 FROM sm2), "
+            f"hv AS (SELECT doc_id, n_tokens, {_xor64('x3', 'x3 // 2147483648')} AS h FROM sm3) "
+            "SELECT doc_id, n_tokens, CAST(("
+            "  sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)"
+            "  - n_tokens) // 256 AS BIGINT) AS seq_id "
+            "FROM hv"
+        ),
         # inverted-index document frequencies: distinct (doc, term) pairs
         # then count per term (lowercased whitespace tokens, df >= 5)
         "term_doc_freq": (

@@ -194,6 +194,9 @@ def run_bench() -> dict:
         ("frequent_terms", text.frequent_terms),
         ("semantic_dedup", ann.semantic_dedup),
         ("doc_repetition", text.doc_repetition),
+        ("chunk_dedup_docs", dedup_text.chunk_dedup_docs),
+        ("containment_pairs", dedup_text.containment_pairs),
+        ("token_percent_rank", text.token_percent_rank),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

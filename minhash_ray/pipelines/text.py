@@ -1012,3 +1012,91 @@ def assign_splits(sf_dir: str, pct_train: int = 90, pct_val: int = 5):
         )
 
     return _docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str, budget_tokens: int = 256, num_partitions: int = 32):
+    """(doc_id, n_tokens, seq_id): deterministic token-budget sequence
+    packing — the pre-training batching step that concatenates documents
+    into fixed-token-budget training sequences.  Global packing order is
+    (splitmix64(doc_id), doc_id): content-independent, reproducible, and
+    tie-free (splitmix64 is a bijection).  ``seq_id = tokens_before //
+    budget`` in that order — contiguous greedy fill where a straddling
+    doc joins the sequence its first token falls in (documented overflow
+    rule; the token-level split happens in the loader).
+
+    Scale shape — a distributed ORDERED PREFIX SCAN, the primitive this
+    op adds to the engine: partition by the TOP BITS of the hash (range
+    partitioning that agrees with the global order by construction),
+    per-partition vectorized sort + cumsum, and a metadata-scale fold of
+    per-partition token totals into starting offsets (P integers through
+    the driver, never rows).  Two slim passes, one hash exchange; no
+    global row sort."""
+    import ray
+
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import cached_get, clamp_partitions
+
+    B = int(budget_tokens)
+    if B <= 0:
+        raise ValueError("budget_tokens must be positive")
+    np_parts = clamp_partitions(num_partitions)
+    k = max(1, int(np.ceil(np.log2(max(2, np_parts)))))
+    shift = np.uint64(64 - k)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(_ntokens_np(batch), pa.int64()),
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "part": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    slim = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        widen, batch_format="pyarrow"
+    ).materialize()
+
+    # metadata-scale offset fold: P (part, total) rows -> starting offsets
+    totals = slim.groupby("part").sum("n_tokens")
+    tt = pa.concat_tables(
+        list(totals.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    scol = [c for c in tt.column_names if c != "part"][0]
+    parts_np = tt.column("part").to_numpy().astype(np.int64)
+    sums_np = tt.column(scol).to_numpy().astype(np.int64)
+    offsets = np.zeros(1 << k, dtype=np.int64)
+    offsets[parts_np] = sums_np
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    off_ref = [ray.put(offsets)]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                }
+            )
+        offs = cached_get(off_ref[0])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        part = int(batch.column("part")[0].as_py())   # one part per group
+        order = np.lexsort((ids, h))
+        cum_before = offs[part] + np.cumsum(n[order]) - n[order]
+        seq = cum_before // B
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "seq_id": pa.array(seq[inv], pa.int64()),
+            }
+        )
+
+    return slim.groupby("part").map_groups(scan, batch_format="pyarrow")

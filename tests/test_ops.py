@@ -53,7 +53,7 @@ SQL_QUERIES = [
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
     "semantic_dedup", "doc_repetition", "customers_with_orders",
     "normalize_text", "chunk_dedup_docs", "token_percent_rank",
-    "assign_splits", "containment_pairs",
+    "assign_splits", "containment_pairs", "pack_sequences",
 ]
 
 
@@ -771,3 +771,22 @@ def test_containment_finds_planted_subset_doc(ray_session, tmp_path):
     assert all(a != 3 and b != 3 for a, b in pairs)
     jac = _pdf(ngram_jaccard_pairs(str(d), threshold=0.3))
     assert not ((jac.doc_id_a == 1) & (jac.doc_id_b == 2)).any()
+
+
+def test_pack_sequences_budget_invariants(ray_session, sf_dir):
+    """Every non-terminal sequence's token mass sits within one document
+    of the budget (the documented straddle rule), ids are conserved, and
+    the packing is deterministic across runs and partition counts."""
+    from minhash_ray.pipelines.text import pack_sequences
+
+    B = 256
+    a = _pdf(pack_sequences(sf_dir, budget_tokens=B)).sort_values("doc_id").reset_index(drop=True)
+    b = _pdf(pack_sequences(sf_dir, budget_tokens=B, num_partitions=3)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)                       # partition-invariant scan
+    sums = a.groupby("seq_id")["n_tokens"].sum()
+    max_doc = int(a.n_tokens.max())
+    last = sums.index.max()
+    non_last = sums[sums.index != last]
+    assert (non_last > B - max_doc).all()
+    assert (non_last < B + max_doc).all()
+    assert a.doc_id.is_unique and len(a) == 500
