@@ -432,7 +432,32 @@ def ngram_jaccard_pairs(
     )
 
 
-def _df_order_ref(sets_ds, n_docs: int):
+def _df_table(sets_ds):
+    """Materialized (e, sum(c)) global document-frequency aggregate over
+    the sets' elements — the single df pass shared by the AllPairs prefix
+    order and the dense small-vocabulary switch.  Metadata-per-element:
+    stays a Dataset (never gathered) so the vocabulary can be corpus-scale."""
+    from minhash_ray.stages.verify import _list_flat_offsets
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, _offs = _list_flat_offsets(batch.column("shingles"))
+        u, c = np.unique(flat, return_counts=True)     # per-doc unique already
+        # int64 two's-complement view: Ray's groupby shuffle rejects
+        # uint64 values above int64 max (bijective, viewed back below)
+        return pa.table(
+            {"e": pa.array(u.view(np.int64), pa.int64()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    return (
+        sets_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("e")
+        .sum("c")
+        .materialize()
+    )
+
+
+def _df_order_ref(sets_ds, n_docs: int, df_agg=None):
     """Build + broadcast the global document-frequency hot table backing
     the AllPairs rare-first prefix order (Bayardo/Ma/Srikant §3.1): the
     prefix-filter lemma holds for ANY total order shared by both sides,
@@ -446,28 +471,20 @@ def _df_order_ref(sets_ds, n_docs: int):
     capped at the hottest ``max_hot``) so it broadcasts at any corpus
     size; a capped-out table only degrades ordering quality, never
     exactness.  Returns a one-element list holding the ``ray.put`` ref
-    (list wrapper keeps the ref out of Ray's closure capture)."""
+    (list wrapper keeps the ref out of Ray's closure capture).
+
+    ``df_agg`` optionally supplies the already-materialized (e, sum(c))
+    aggregate from :func:`_df_table` so callers that need the distinct
+    count too pay the df pass once."""
     import ray
 
-    from minhash_ray.stages.verify import _list_flat_offsets
-
-    def df_partial(batch: pa.Table) -> pa.Table:
-        flat, _offs = _list_flat_offsets(batch.column("shingles"))
-        u, c = np.unique(flat, return_counts=True)     # per-doc unique already
-        # int64 two's-complement view: Ray's groupby shuffle rejects
-        # uint64 values above int64 max (bijective, viewed back below)
-        return pa.table(
-            {"e": pa.array(u.view(np.int64), pa.int64()),
-             "c": pa.array(c.astype(np.int64), pa.int64())}
-        )
+    if df_agg is None:
+        df_agg = _df_table(sets_ds)
 
     hot_df_floor = max(64, n_docs // 1000)
     max_hot = 1 << 18
     df_ds = (
-        sets_ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("e")
-        .sum("c")
-        .map_batches(
+        df_agg.map_batches(
             lambda t: t.filter(
                 pa.array(
                     np.asarray(t.column("sum(c)").to_numpy(zero_copy_only=False))
@@ -506,6 +523,105 @@ def _df_order_perm(flat, offs, counts, hot):
     return np.arange(len(flat))              # per-doc value order (sorted)
 
 
+# dense small-vocabulary switch: when the GLOBAL distinct-element count
+# collapses (measured by the df pass we run anyway), AllPairs prefix
+# filtering degenerates — every element is frequent, candidates approach
+# all-pairs (measured 63M join rows for 5000 docs / 315 elements on the
+# sf0.1 unigram-multiset corpus) — while the whole corpus's incidence
+# structure fits in one broadcastable matrix.  The gate BOUNDS the
+# broadcast by construction: V <= _DENSE_VOCAB_MAX and n·V <=
+# _DENSE_CELLS_MAX cells (float32 pack <= 256 MB).  Real web-scale text
+# never trips it (trigram vocab is corpus-scale); degenerate/boilerplate
+# element spaces do, exactly where the prefix path melts down.
+_DENSE_VOCAB_MAX = 4096
+_DENSE_CELLS_MAX = 1 << 26
+
+
+def _dense_set_jaccard(sets_ds, df_agg, threshold: float, n_docs: int) -> pa.Table:
+    """Exact set-Jaccard self-join by blocked incidence matmul: docs ×
+    elements 0/1 matrix (gate-bounded, broadcast once), row-chunk tasks
+    compute chunk·Mᵀ (float32 dot products are EXACT here — every count
+    <= V <= 4096 < 2^24), gate ``inter/(na+nb-inter) >= t`` with the same
+    int64→float64 division as the sparse verify, emit a < b pairs.
+    Bit-identical to the AllPairs path (goldened + oracle-checked)."""
+    import ray
+
+    from minhash_ray.stages.verify import _list_flat_offsets
+
+    et = pa.concat_tables(
+        list(df_agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    elems = np.sort(
+        np.ascontiguousarray(
+            et.column("e").to_numpy(zero_copy_only=False).astype(np.int64)
+        ).view(np.uint64)
+    )
+    V = len(elems)
+
+    st = pa.concat_tables(
+        list(sets_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+    )
+    ids = np.asarray(st.column("doc_id").to_numpy(), dtype=np.int64)
+    col = st.column("shingles")
+    flat, offs = _list_flat_offsets(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    order = np.argsort(ids)
+    n = len(ids)
+    M = np.zeros((n, V), dtype=np.float32)
+    counts = np.diff(offs)
+    row_of = np.empty(n, dtype=np.int64)
+    row_of[order] = np.arange(n)
+    rows = np.repeat(row_of, counts)
+    M[rows, np.searchsorted(elems, flat)] = 1.0
+    ids_sorted = ids[order]
+    sizes = M.sum(axis=1).astype(np.int64)
+    pack_ref = ray.put((ids_sorted, M, sizes))
+
+    @ray.remote
+    def block(lo: int, hi: int, pack):
+        # pack is the ray.put ref passed as a task arg: Ray auto-resolves
+        # it to the (ids, M, sizes) tuple with zero-copy numpy views
+        ids_s, M_, sz = pack
+        S = M_[lo:hi] @ M_.T                      # exact integer values in f32
+        inter = np.rint(S).astype(np.int64)
+        na = sz[lo:hi, None]
+        union = na + sz[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jacc >= threshold
+        # strict upper triangle in GLOBAL row order → a < b, no self-pairs
+        gi = np.arange(lo, hi)[:, None]
+        keep &= np.arange(len(ids_s))[None, :] > gi
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids_s[lo + r], pa.int64()),
+                "doc_id_b": pa.array(ids_s[c], pa.int64()),
+                "jaccard": pa.array(jacc[r, c], pa.float64()),
+            }
+        )
+
+    chunk = max(256, min(4096, -(-n // max(1, 4 * 8))))
+    outs = ray.get(
+        [block.remote(lo, min(lo + chunk, n), pack_ref) for lo in range(0, n, chunk)]
+    )
+    nonempty = [o for o in outs if o.num_rows]
+    if not nonempty:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(nonempty)
+    a = t.column("doc_id_a").to_numpy()
+    b = t.column("doc_id_b").to_numpy()
+    o = np.lexsort((b, a))
+    return t.take(pa.array(o))
+
+
 def _set_jaccard_pairs(
     sets_ds,
     cfg: PipelineConfig,
@@ -521,12 +637,16 @@ def _set_jaccard_pairs(
     {doc_id int64, shingles sorted-unique list<u64>, n int64}."""
     import ray
 
-    from minhash_ray.stages.candidates import candidate_pairs
     from minhash_ray.stages.verify import _list_flat_offsets
 
     n_docs = sets_ds.count()
 
-    hot_ref = _df_order_ref(sets_ds, n_docs)
+    df_agg = _df_table(sets_ds)
+    n_distinct = df_agg.count()
+    if n_distinct <= _DENSE_VOCAB_MAX and n_docs * n_distinct <= _DENSE_CELLS_MAX:
+        return _dense_set_jaccard(sets_ds, df_agg, threshold, n_docs)
+
+    hot_ref = _df_order_ref(sets_ds, n_docs, df_agg=df_agg)
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -547,12 +667,70 @@ def _set_jaccard_pairs(
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         out_ids = ids.take(pa.array(np.repeat(np.arange(batch.num_rows), L)))
-        return pa.table({"bucket": pa.array(buckets, pa.int64()), "clip_id": out_ids})
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                "clip_id": out_ids,
+                "n": pa.array(np.repeat(counts, L), pa.int64()),
+                "p": pa.array(_seg_arange(L), pa.int64()),
+            }
+        )
 
-    band_rows = sets_ds.map_batches(prefix_rows, batch_format="pyarrow")
-    # exactness requires every within-bucket pair: no salting, no pair caps
-    exact_cfg = cfg.with_(salt_hot_bands=False, band_group_cap=1_000_000_000)
-    pairs = candidate_pairs(band_rows, exact_cfg, num_partitions=8).materialize()
+    # --- candidate generation: prefix self-join + PPJoin positional filter
+    # (Xiao et al. §3): a pair sharing only LATE prefix elements cannot
+    # reach the overlap the Jaccard gate requires — for the first common
+    # element (shared total order) at 0-based positions (pa, pb),
+    # overlap <= 1 + min(na-pa-1, nb-pb-1); pruning rows below o_min is
+    # exactness-preserving because a qualifying pair's first-common-element
+    # row always satisfies the bound.  o_min is the smallest integer o with
+    # o/(na+nb-o) >= t under the SAME IEEE ops as the verify gate (±1
+    # float-edge adjusted).  The length filter (min/max >= t) runs here
+    # too, so size-implausible pairs never reach the distinct shuffle.
+    from minhash_ray.stages.candidates import dedupe_pairs
+    from minhash_ray.util import bytes_key_array, strip_empty_blocks
+
+    pr = strip_empty_blocks(
+        sets_ds.map_batches(prefix_rows, batch_format="pyarrow")
+    ).materialize()
+    joined = pr.join(
+        pr, join_type="inner", on=("bucket",), right_suffix="_r",
+        num_partitions=8,
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ka = bytes_key_array(batch.column("clip_id"))
+        kb = bytes_key_array(batch.column("clip_id_r"))
+        na = batch.column("n").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_r").to_numpy(zero_copy_only=False)
+        pa_ = batch.column("p").to_numpy(zero_copy_only=False)
+        pb_ = batch.column("p_r").to_numpy(zero_copy_only=False)
+        keep = ka < kb
+        keep &= np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        s = na + nb
+        o = np.maximum(
+            np.ceil(threshold * s / (1.0 + threshold)).astype(np.int64), 1
+        )
+        om1 = np.maximum(o - 1, 1)
+        o = np.where(om1 / (s - om1) >= threshold, om1, o)
+        o = np.where(o / np.maximum(s - o, 1) >= threshold, o, o + 1)
+        keep &= (1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)) >= o
+        idx = np.flatnonzero(keep)
+        if len(idx):
+            comb = np.char.add(ka[idx], kb[idx])
+            _, first = np.unique(comb, return_index=True)   # batch-local distinct
+            idx = idx[np.sort(first)]
+        sel = pa.array(idx, pa.int64())
+        return pa.table(
+            {
+                "clip_id_a": batch.column("clip_id").take(sel),
+                "clip_id_b": batch.column("clip_id_r").take(sel),
+            }
+        )
+
+    pruned = strip_empty_blocks(joined.map_batches(prune, batch_format="pyarrow"))
+    pairs = dedupe_pairs(
+        pruned, driver_max_rows=cfg.driver_agg_max_rows, num_partitions=8
+    ).materialize()
 
     if n_docs > broadcast_max_rows:
         # scale path: attach the true shingle sets to the candidate pairs
@@ -1415,17 +1593,24 @@ def containment_pairs(
             {
                 "bucket": pa.array((flat[gather] >> np.uint64(1)).astype(np.int64), pa.int64()),
                 "doc_id_a": pa.array(np.repeat(ids, L), pa.int64()),
+                "na": pa.array(np.repeat(counts, L), pa.int64()),
+                "pa_": pa.array(_seg_arange(L), pa.int64()),
             }
         )
 
     def index_rows(batch: pa.Table) -> pa.Table:
         flat, offs = _list_flat_offsets(batch.column("shingles"))
         counts = np.diff(offs)
+        # SAME rare-first order as the probe prefixes so the positional
+        # bound below argues about one shared total order
+        perm = _df_order_perm(flat, offs, counts, cached_get(hot_ref[0]))
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array((flat >> np.uint64(1)).astype(np.int64), pa.int64()),
+                "bucket": pa.array((flat[perm] >> np.uint64(1)).astype(np.int64), pa.int64()),
                 "doc_id_b": pa.array(np.repeat(ids, counts), pa.int64()),
+                "nb": pa.array(np.repeat(counts, counts), pa.int64()),
+                "pb_": pa.array(_seg_arange(counts), pa.int64()),
             }
         )
 
@@ -1438,7 +1623,17 @@ def containment_pairs(
     def slim_pairs(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        na = batch.column("na").to_numpy(zero_copy_only=False)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        pa_ = batch.column("pa_").to_numpy(zero_copy_only=False)
+        pb_ = batch.column("pb_").to_numpy(zero_copy_only=False)
+        o = _minreq(na)
         keep = a != b
+        # size filter: inter <= min(na, nb), so nb < minreq(na) can't pass
+        keep &= nb >= o
+        # positional filter (first-common-element bound, shared total
+        # order): overlap <= 1 + min(na-pa-1, nb-pb-1)
+        keep &= (1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)) >= o
         # batch-local distinct before the global one (candidate rows repeat
         # once per shared prefix/index element)
         pairs = np.stack([a[keep], b[keep]], axis=1)
