@@ -391,6 +391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact DIRECTED containment |A∩B|/|A| (subset/quote detector):
         # probe-prefix × full-index join, SQL-checked
         "containment_pairs": dedup_text.containment_pairs,
+        # cross-corpus fuzzy dedup vs a reference subset (incremental
+        # ingestion): thresholded exact Jaccard, ref pack broadcast once,
+        # corpus streams — SQL-checked
+        "near_dup_vs_reference": dedup_text.near_dup_vs_reference,
         # exact heavy hitters (Misra-Gries candidate pass + exact re-count)
         "frequent_terms": text.frequent_terms,
         # TIERED dedup: exact digest tier → LSH near tier over survivors →
@@ -1436,6 +1440,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(i.c AS DOUBLE) / sa.n AS containment "
             "FROM inter i JOIN sizes sa ON i.da = sa.doc_id "
             "WHERE CAST(i.c AS DOUBLE) / sa.n >= 0.8"
+        ),
+        # cross-corpus dedup: corpus (doc_id % 43 != 0) docs vs the
+        # reference subset (doc_id % 43 == 0), exact trigram Jaccard
+        "near_dup_vs_reference": (
+            "WITH toks AS ("
+            "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+            "         THEN CAST([] AS VARCHAR[])"
+            "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+            "  FROM documents"
+            "), grams AS ("
+            "  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g"
+            "  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)"
+            "  WHERE len(t) >= 3"
+            "), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c"
+            "  FROM grams a JOIN grams b ON a.g = b.g"
+            "  WHERE a.doc_id % 43 <> 0 AND b.doc_id % 43 = 0"
+            "  GROUP BY da, db"
+            ") "
+            "SELECT i.da AS doc_id, i.db AS ref_doc_id, "
+            "CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard "
+            "FROM inter i JOIN sizes sa ON i.da = sa.doc_id "
+            "JOIN sizes sb ON i.db = sb.doc_id "
+            "WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.3"
         ),
         "ngram_jaccard_pairs": (
             "WITH toks AS ("

@@ -1696,3 +1696,196 @@ def containment_pairs(
         )
 
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+
+
+def near_dup_vs_reference(
+    sf_dir: str,
+    threshold: float = 0.3,
+    ref_mod: int = 43,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """Cross-corpus fuzzy dedup — the incremental-ingestion operator: flag
+    every CORPUS doc whose exact trigram-set Jaccard against ANY
+    REFERENCE doc reaches ``threshold``; output (doc_id, ref_doc_id,
+    jaccard) pairs.  The reference here is the deterministic subset
+    ``doc_id % ref_mod == 0`` (the ``decontaminate`` convention);
+    ``decontaminate`` flags ANY shared w-gram, this op applies the
+    thresholded whole-document similarity a crawl-ingest dedup uses.
+
+    Scale shape: both sides emit AllPairs prefixes in ONE shared
+    rare-first order (the reference is part of the corpus's df mass), the
+    cross join runs prefix × prefix on the element key with the same
+    size + positional pruning as the self-join, and verification attaches
+    the corpus-side set by one partitioned join while the REFERENCE pack
+    (ids + flat + offsets) broadcasts once — the asymmetric small-side
+    broadcast an incremental pipeline wants (the reference index is the
+    small, reusable side; the crawl streams)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from minhash_ray.functions.minhash import (
+        _seg_arange,
+        exact_jaccard_for_pairs,
+    )
+    from minhash_ray.stages.verify import (
+        _list_flat_offsets,
+        _pack_u64_column,
+        _unpack_u64_column,
+    )
+    from minhash_ray.util import cached_get, clamp_partitions, strip_empty_blocks
+
+    np_parts = clamp_partitions(num_partitions)
+    sets_ds = _doc_shingle_sets(sf_dir, DOC_CFG, docs=docs).materialize()
+    n_docs = sets_ds.count()
+    hot_ref = _df_order_ref(sets_ds, n_docs)
+
+    def prefix_rows_for(side: str):
+        want_ref = side == "ref"
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ids_all = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = (ids_all % ref_mod == 0) == want_ref
+            sel_rows = np.flatnonzero(mask)
+            sub = batch.take(pa.array(sel_rows, pa.int64()))
+            flat, offs = _list_flat_offsets(sub.column("shingles"))
+            counts = np.diff(offs)
+            L = np.clip(
+                counts - np.ceil(threshold * counts).astype(np.int64) + 1, 0, counts
+            ).astype(np.int64)
+            perm = _df_order_perm(flat, offs, counts, cached_get(hot_ref[0]))
+            sel = np.repeat(offs[:-1], L) + _seg_arange(L)
+            gather = perm[sel]
+            ids = ids_all[mask]
+            sfx = "_r" if want_ref else ""
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        (flat[gather] >> np.uint64(1)).astype(np.int64), pa.int64()
+                    ),
+                    f"doc_id{sfx}": pa.array(np.repeat(ids, L), pa.int64()),
+                    f"n{sfx}": pa.array(np.repeat(counts, L), pa.int64()),
+                    f"p{sfx}": pa.array(_seg_arange(L), pa.int64()),
+                }
+            )
+
+        return fn
+
+    corpus_pref = strip_empty_blocks(
+        sets_ds.map_batches(prefix_rows_for("corpus"), batch_format="pyarrow")
+    )
+    ref_pref = strip_empty_blocks(
+        sets_ds.map_batches(prefix_rows_for("ref"), batch_format="pyarrow")
+    )
+    joined = corpus_pref.join(
+        ref_pref, join_type="inner", on=("bucket",), num_partitions=np_parts
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        na = batch.column("n").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_r").to_numpy(zero_copy_only=False)
+        pa_ = batch.column("p").to_numpy(zero_copy_only=False)
+        pb_ = batch.column("p_r").to_numpy(zero_copy_only=False)
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        s = na + nb
+        o = np.maximum(np.ceil(threshold * s / (1.0 + threshold)).astype(np.int64), 1)
+        om1 = np.maximum(o - 1, 1)
+        o = np.where(om1 / (s - om1) >= threshold, om1, o)
+        o = np.where(o / np.maximum(s - o, 1) >= threshold, o, o + 1)
+        keep &= (1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)) >= o
+        idx = np.flatnonzero(keep)
+        a = batch.column("doc_id").to_numpy(zero_copy_only=False)[idx]
+        b = batch.column("doc_id_r").to_numpy(zero_copy_only=False)[idx]
+        if len(idx):
+            pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+        else:
+            pairs = np.empty((0, 2), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(pairs[:, 0], pa.int64()),
+                "ref_doc_id": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    cand = strip_empty_blocks(
+        strip_empty_blocks(joined.map_batches(prune, batch_format="pyarrow"))
+        .groupby(["doc_id", "ref_doc_id"])
+        .count()
+        .select_columns(["doc_id", "ref_doc_id"])
+    )
+
+    # reference pack broadcast once (the small reusable index side)
+    def ref_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.take(pa.array(np.flatnonzero(ids % ref_mod == 0), pa.int64()))
+
+    rt = pa.concat_tables(
+        list(
+            sets_ds.map_batches(ref_only, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            )
+        )
+    )
+    rids = np.asarray(rt.column("doc_id").to_numpy(), dtype=np.int64)
+    rcol = rt.column("shingles")
+    rflat, roffs = _list_flat_offsets(
+        rcol.combine_chunks() if isinstance(rcol, pa.ChunkedArray) else rcol
+    )
+    ro = np.argsort(rids)
+    rc = np.diff(roffs)[ro]
+    seg = (
+        np.arange(int(rc.sum()), dtype=np.int64) - np.repeat(np.cumsum(rc) - rc, rc)
+        if rc.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    gather = np.repeat(roffs[:-1][ro], rc) + seg
+    ref_pack = [ray.put({
+        "ids": rids[ro],
+        "flat": np.ascontiguousarray(rflat[gather]),
+        "offs": np.concatenate([[0], np.cumsum(rc)]).astype(np.int64),
+    })]
+
+    # attach the corpus-side set by ONE partitioned join, verify per batch
+    def corpus_pack(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id_j": batch.column("doc_id"),
+                "sh_a": _pack_u64_column(batch.column("shingles")),
+            }
+        )
+
+    with_a = cand.join(
+        sets_ds.map_batches(corpus_pack, batch_format="pyarrow"),
+        join_type="inner",
+        on=("doc_id",),
+        right_on=("doc_id_j",),
+        num_partitions=np_parts,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        pack = cached_get(ref_pack[0])
+        fa, oa = _unpack_u64_column(batch.column("sh_a"))
+        b = pc.cast(batch.column("ref_doc_id"), pa.int64()).to_numpy()
+        idx_b = np.searchsorted(pack["ids"], b)
+        n = batch.num_rows
+        flat = np.concatenate([fa, pack["flat"]])
+        offs = np.concatenate([oa, len(fa) + pack["offs"][1:]])
+        # per-row corpus set index i pairs with reference set (n + idx_b)
+        jacc = (
+            exact_jaccard_for_pairs(
+                flat, offs, np.arange(n, dtype=np.int64), n + idx_b
+            )
+            if n
+            else np.empty(0, dtype=np.float64)
+        )
+        keep = jacc >= threshold
+        sel = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "doc_id": pc.take(batch.column("doc_id"), pa.array(sel)),
+                "ref_doc_id": pc.take(batch.column("ref_doc_id"), pa.array(sel)),
+                "jaccard": pa.array(jacc[keep], pa.float64()),
+            }
+        )
+
+    return with_a.map_batches(verify, batch_format="pyarrow", batch_size=8192)

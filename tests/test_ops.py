@@ -54,6 +54,7 @@ SQL_QUERIES = [
     "semantic_dedup", "doc_repetition", "customers_with_orders",
     "normalize_text", "chunk_dedup_docs", "token_percent_rank",
     "assign_splits", "containment_pairs", "pack_sequences",
+    "near_dup_vs_reference",
 ]
 
 
@@ -790,3 +791,32 @@ def test_pack_sequences_budget_invariants(ray_session, sf_dir):
     assert (non_last > B - max_doc).all()
     assert (non_last < B + max_doc).all()
     assert a.doc_id.is_unique and len(a) == 500
+
+
+def test_near_dup_vs_reference_planted(ray_session, tmp_path):
+    """Cross-corpus semantics: a corpus doc near-copying a reference doc
+    is flagged against it; reference docs never appear on the corpus
+    side; unrelated corpus docs stay clean."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import near_dup_vs_reference
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " tail1 tail2"                  # high trigram jaccard vs base
+    other = " ".join(f"z{i}" for i in range(40))
+    # doc 0 and 43 are reference (mod 43); 1, 2 are corpus
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 43, 1, 2], pa.int64()),
+            "text": pa.array([base, other, near, " ".join(f"q{i}" for i in range(30))], pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _pdf(near_dup_vs_reference(str(d), threshold=0.3))
+    pairs = set(zip(got.doc_id, got.ref_doc_id))
+    assert (1, 0) in pairs
+    assert all(a % 43 != 0 and b % 43 == 0 for a, b in pairs)
+    assert 2 not in set(got.doc_id)
