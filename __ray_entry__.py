@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (SQL-checked: DuckDB replays chunking + row_number keep-first)
         "chunk_dedup_docs": dedup_text.chunk_dedup_docs,
         "rolling_fingerprints": dedup_text.rolling_fingerprints,   # SQL-checked
+        # winnowing fingerprint sets (Schleimer et al. 2003 / MOSS):
+        # sliding-window min over the rolling gram hashes — SQL-checked
+        "winnowing_fingerprints": dedup_text.winnowing_fingerprints,
         # composite training-data pipeline: dedup keep flag + lang ID +
         # quality gates → curated corpus manifest (SQL-checked via a
         # WITH-composition of the three sub-oracles)
@@ -867,6 +870,40 @@ def _rolling_fp_sql(window: int = 16, seed: int = 42) -> str:
         "CAST(CASE WHEN m IS NULL THEN 0 WHEN m >= 9223372036854775808::HUGEINT "
         "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS min_gram_hash "
         "FROM stats st LEFT JOIN mins USING(doc_id)"
+    )
+
+
+def _winnowing_sql(window: int = 16, win: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of ``winnowing_fingerprints``: the same HUGEINT
+    rolling-hash chain as ``_rolling_fp_sql``, then a per-doc sliding
+    window MIN (frame truncates at the partition end, which realizes the
+    short-doc truncated-window rule) and DISTINCT (doc, fingerprint)."""
+    expr = f"CAST(xor(ascii(substr(norm, i, 1)), {seed}) AS HUGEINT)"
+    for j in range(1, window):
+        expr = (
+            f"((({expr}) * 1099511628211 + xor(ascii(substr(norm, i+{j}, 1)), {seed}))"
+            " % 18446744073709551616)"
+        )
+    return (
+        "WITH norms AS ("
+        "  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm"
+        "  FROM documents"
+        "), stats AS ("
+        f"  SELECT doc_id, norm, greatest(length(norm) - {window - 1}, 0) AS n_grams"
+        "  FROM norms"
+        "), hs AS ("
+        f"  SELECT s.doc_id, s.n_grams, CAST(r.i AS BIGINT) AS i, {expr} AS h"
+        "  FROM stats s, UNNEST(range(1, s.n_grams + 1)) AS r(i)"
+        "), wm AS ("
+        "  SELECT doc_id, n_grams, i, min(h) OVER ("
+        "    PARTITION BY doc_id ORDER BY i"
+        f"    ROWS BETWEEN CURRENT ROW AND {win - 1} FOLLOWING) AS m"
+        "  FROM hs"
+        ") "
+        "SELECT DISTINCT doc_id, "
+        "CAST(CASE WHEN m >= 9223372036854775808::HUGEINT "
+        "THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS fp_hash "
+        f"FROM wm WHERE i <= greatest(n_grams - {win} + 1, 1)"
     )
 
 
@@ -1337,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
         "rolling_fingerprints": _rolling_fp_sql(),
+        "winnowing_fingerprints": _winnowing_sql(),
         "doc_minhash_slots": _minhash_slots_sql(),
         "clips_minhash_slots": _clips_minhash_slots_sql(),
         # audio-payload ops: the oracle groups/partitions by the raw BLOB;

@@ -1889,3 +1889,85 @@ def near_dup_vs_reference(
         )
 
     return with_a.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+
+
+def winnowing_fingerprints(sf_dir: str, window: int = 16, win: int = 8, docs=None):
+    """(doc_id, fp_hash): the WINNOWING fingerprint set (Schleimer,
+    Wilkerson, Aiken 2003 — the MOSS local fingerprinting scheme): the
+    minimum rolling char-``window``-gram hash in every sliding window of
+    ``win`` consecutive gram positions, DISTINCT per document.  Winnowing
+    guarantees any match of length ``window + win - 1`` chars shares a
+    fingerprint — the position-robust dedup/plagiarism index that a
+    single whole-doc min (``rolling_fingerprints`` = 1-perm MinHash)
+    cannot give.  Documents with fewer than ``win`` grams contribute one
+    truncated-window fingerprint (the min of all their grams); empty
+    docs contribute none.
+
+    Scale shape: one vectorized pass per batch — the same
+    ``char_shingles`` kernel as ``rolling_fingerprints`` (hash chain
+    already SQL-oracle-anchored), a strided ``sliding_window_view`` min
+    (full windows never cross doc boundaries because short docs take the
+    reduceat path), and an in-batch lexsort dedup; output is the compact
+    (doc, fingerprint) index ready for a groupby(fp) candidate join."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from minhash_ray.functions.shingles import char_shingles
+
+    W = int(win)
+    if W < 1:
+        raise ValueError("win must be >= 1")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        shingles, counts = char_shingles(texts, window, DOC_CFG.seed)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        n = len(counts)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # long docs: every full window lies within one doc segment
+        long = counts >= W
+        if long.any() and len(shingles) >= W:
+            sw = sliding_window_view(shingles, W).min(axis=1)
+            n_win = (counts - W + 1)[long]
+            gs = np.repeat(starts[long], n_win) + (
+                np.arange(int(n_win.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(n_win) - n_win, n_win)
+            )
+            long_vals = sw[gs]
+            long_docs = np.repeat(doc_ids[long], n_win)
+        else:
+            long_vals = np.empty(0, dtype=np.uint64)
+            long_docs = np.empty(0, dtype=np.int64)
+
+        # short docs (0 < n_grams < win): one truncated window = segment min
+        short = (counts > 0) & ~long
+        if short.any():
+            short_vals = np.minimum.reduceat(shingles, starts[short])
+            short_docs = doc_ids[short]
+        else:
+            short_vals = np.empty(0, dtype=np.uint64)
+            short_docs = np.empty(0, dtype=np.int64)
+
+        vals = np.concatenate([long_vals, short_vals])
+        docs_r = np.concatenate([long_docs, short_docs])
+        if len(vals):
+            order = np.lexsort((vals, docs_r))
+            v_s, d_s = vals[order], docs_r[order]
+            first = np.ones(len(v_s), dtype=bool)
+            first[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+            v_s, d_s = v_s[first], d_s[first]
+        else:
+            v_s = np.empty(0, dtype=np.uint64)
+            d_s = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s, pa.int64()),
+                "fp_hash": pa.array(v_s.astype(np.int64), pa.int64()),
+            }
+        )
+
+    src = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+    return src.map_batches(fn, batch_format="pyarrow")

@@ -54,7 +54,7 @@ SQL_QUERIES = [
     "semantic_dedup", "doc_repetition", "customers_with_orders",
     "normalize_text", "chunk_dedup_docs", "token_percent_rank",
     "assign_splits", "containment_pairs", "pack_sequences",
-    "near_dup_vs_reference",
+    "near_dup_vs_reference", "winnowing_fingerprints",
 ]
 
 
@@ -820,3 +820,37 @@ def test_near_dup_vs_reference_planted(ray_session, tmp_path):
     assert (1, 0) in pairs
     assert all(a % 43 != 0 and b % 43 == 0 for a, b in pairs)
     assert 2 not in set(got.doc_id)
+
+
+def test_winnowing_guarantee_and_short_docs(ray_session, tmp_path):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= window + win - 1 chars share at least one fingerprint; a doc with
+    fewer grams than the window still yields exactly one fingerprint
+    (its min); disjoint docs share nothing."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import winnowing_fingerprints
+
+    window, win = 16, 8
+    shared = "the quick brown fox jumps over the lazy dog again"   # 50 chars
+    a = "prefix one " + shared + " suffix alpha"
+    b = "different lead " + shared + " other tail"
+    c = "zzz completely unrelated content qqq xyzzy plugh"
+    short = "tiny doc"                                             # < window+? grams
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([a, b, c, short], pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    df = _pdf(winnowing_fingerprints(str(d), window=window, win=win))
+    fps = {i: set(df.loc[df.doc_id == i, "fp_hash"]) for i in [1, 2, 3, 4]}
+    assert fps[1] & fps[2], "shared 50-char substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # 'tiny doc' has 8 chars -> 0 grams at window=16... use gram math:
+    n_grams = max(len(short) - (window - 1), 0)
+    assert len(fps[4]) == (1 if 0 < n_grams < win else (0 if n_grams == 0 else len(fps[4])))
