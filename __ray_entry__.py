@@ -475,6 +475,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_lineitem": relational.filtered_lineitem,
         "part_brand_stats": relational.part_brand_stats,
         "nation_revenue": relational.nation_revenue,
+        # ROLLUP(region, nation) multi-level aggregate: coarser levels
+        # derive from the fine partials, never a re-scan (SQL-checked
+        # against GROUP BY ROLLUP)
+        "revenue_rollup": relational.revenue_rollup,
         # --- event-stream window operators (SQL-checked: DuckDB window
         # functions replay tumbling windows, gap sessions and the per-user
         # as-of join exactly) ---
@@ -1633,6 +1637,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, count(*) AS n_parts, "
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size "
             "FROM part GROUP BY p_brand"
+        ),
+        "revenue_rollup": (
+            "WITH base AS ("
+            "  SELECT r_name, n_name, "
+            "  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rc"
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            "  JOIN customer ON o_custkey = c_custkey"
+            "  JOIN nation ON c_nationkey = n_nationkey"
+            "  JOIN region ON n_regionkey = r_regionkey"
+            ") "
+            "SELECT COALESCE(r_name, '<all>') AS r_name, "
+            "COALESCE(n_name, '<all>') AS n_name, "
+            "count(*) AS n_items, CAST(sum(rc) AS BIGINT) AS revenue_cents "
+            "FROM base GROUP BY ROLLUP(r_name, n_name)"
         ),
         "nation_revenue": (
             "SELECT n_name, count(*) AS n_items, "

@@ -493,3 +493,120 @@ def customer_order_counts(sf_dir: str, num_partitions: int = 32):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def revenue_rollup(sf_dir: str, num_partitions: int = 8):
+    """ROLLUP(region, nation) revenue aggregate — the multi-level
+    aggregate shape (GROUP BY ROLLUP) Ray Data has no native operator
+    for: (r_name, n_name) detail rows plus per-region subtotals plus a
+    grand total, '<all>' as the rolled-up sentinel.
+
+    Scale shape: ONE scan builds the finest-level aggregate exactly like
+    :func:`nation_revenue` (partitioned lineitem⋈orders join + broadcast
+    customer→(nation, region) lookup + partial/final hash aggregate);
+    every coarser level then derives from those FINE PARTIALS — a
+    metadata-scale fold over ≤ |nations| rows, never a re-scan.  This is
+    the rollup contract at any corpus size: level k+1 is a re-aggregation
+    of level k's (already tiny) output."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from minhash_ray.util import clamp_partitions, int_lookup_pack
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_widen(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    joined = li.map_batches(li_widen, batch_format="pyarrow").join(
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=clamp_partitions(num_partitions),
+    )
+
+    cust = pa.concat_tables(
+        list(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
+    )
+    nation = pa.concat_tables(
+        list(_t(sf_dir, "nation").iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    region = pa.concat_tables(
+        list(_t(sf_dir, "region").iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    r_of = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    n_region = {
+        nk: r_of[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    ck = cust["c_custkey"].to_numpy()
+    nk_list = cust["c_nationkey"].to_pylist()
+    # one combined lookup value "r_name|n_name" — a single broadcast pack
+    combined = [f"{n_region[nk]}|{n_name[nk]}" for nk in nk_list]
+    ref = [ray.put(int_lookup_pack(ck, combined))]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get, int_lookup_take
+
+        pack = cached_get(ref[0])
+        rn = int_lookup_take(pack, batch.column("o_custkey").to_numpy())
+        t = pa.table(
+            {"rn": rn, "revenue_cents": batch.column("revenue_cents")}
+        )
+        t = t.filter(pc.is_valid(t.column("rn")))
+        parts = pc.split_pattern(t.column("rn"), "|")
+        return pa.table(
+            {
+                "r_name": pc.list_element(parts, 0),
+                "n_name": pc.list_element(parts, 1),
+                "revenue_cents": t.column("revenue_cents"),
+            }
+        )
+
+    fine = (
+        joined.map_batches(attach, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_items"), Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    ft = pa.concat_tables(
+        list(fine.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    # coarser levels: metadata-scale folds of the fine partials
+    import numpy as np
+
+    r = ft.column("r_name").to_pylist()
+    n_items = np.asarray(ft.column("n_items").to_numpy(), dtype=np.int64)
+    rev = np.asarray(ft.column("revenue_cents").to_numpy(), dtype=np.int64)
+    by_region: dict = {}
+    for i, rn_ in enumerate(r):
+        c, s = by_region.get(rn_, (0, 0))
+        by_region[rn_] = (c + int(n_items[i]), s + int(rev[i]))
+    rows_r = sorted(by_region.items())
+    region_tbl = pa.table(
+        {
+            "r_name": pa.array([k for k, _ in rows_r], pa.string()),
+            "n_name": pa.array(["<all>"] * len(rows_r), pa.string()),
+            "n_items": pa.array([v[0] for _, v in rows_r], pa.int64()),
+            "revenue_cents": pa.array([v[1] for _, v in rows_r], pa.int64()),
+        }
+    )
+    total_tbl = pa.table(
+        {
+            "r_name": pa.array(["<all>"], pa.string()),
+            "n_name": pa.array(["<all>"], pa.string()),
+            "n_items": pa.array([int(n_items.sum())], pa.int64()),
+            "revenue_cents": pa.array([int(rev.sum())], pa.int64()),
+        }
+    )
+    return pa.concat_tables([ft.select(["r_name", "n_name", "n_items", "revenue_cents"]),
+                             region_tbl, total_tbl])

@@ -54,7 +54,7 @@ SQL_QUERIES = [
     "semantic_dedup", "doc_repetition", "customers_with_orders",
     "normalize_text", "chunk_dedup_docs", "token_percent_rank",
     "assign_splits", "containment_pairs", "pack_sequences",
-    "near_dup_vs_reference", "winnowing_fingerprints",
+    "near_dup_vs_reference", "winnowing_fingerprints", "revenue_rollup",
 ]
 
 
