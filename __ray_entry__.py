@@ -240,6 +240,16 @@ def audio_stats(sf_dir: str):
     return fn(clips)
 
 
+def audio_dup_pairs_q(sf_dir: str):
+    """(clip_id_a, clip_id_b, audio_sim) — audio-channel-only near-dup
+    pairs over the synthesized clips corpus (rows-only: OPH sketch
+    estimator; recall vs planted truth is pytest-asserted)."""
+    from minhash_ray.pipelines.audio import audio_dup_pairs
+
+    clips, _ = _clips_ds(sf_dir)
+    return audio_dup_pairs(clips)
+
+
 def audio_exact_dedup(sf_dir: str):
     """Exact byte-identical audio dedup: (clip_id, rep_clip_id,
     group_size) — the audio exact tier (pipelines/audio.py)."""
@@ -523,6 +533,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BLOB, engine by its 128-bit payload digest) ---
         "audio_stats": audio_stats,
         "audio_exact_dedup": audio_exact_dedup,
+        # audio-channel-only near-dup pairs (byte-OPH LSH + estimator
+        # gate; rows-only — float sketch semantics, pytest-covered
+        # against the fixture's planted near_audio truth pairs)
+        "audio_dup_pairs": audio_dup_pairs_q,
     }
 
 

@@ -122,3 +122,85 @@ def audio_stats(clips):
         )
 
     return agg.map_batches(order, batch_format="pyarrow")
+
+
+def audio_dup_pairs(clips, cfg=None, tau: float = 0.6, num_partitions: int = 8):
+    """Audio-channel-only near-duplicate pairs: (clip_id_a, clip_id_b,
+    audio_sim) with ``audio_similarity >= tau`` — the standalone audio
+    twin of the joint flagship (re-encoded / re-uploaded audio whose
+    transcript may differ entirely).
+
+    Scale shape: the fused read+signature task pool computes the byte-OPH
+    sketch (payload never crosses the object store), the audio LSH band
+    map + salted bucket shuffle produce candidates exactly as in the
+    flagship, and verification attaches each side's ``audio_sig`` by two
+    slim partitioned joins (sketches packed as large_binary, the
+    join-attach pattern) — nothing driver-resident, no broadcast of the
+    corpus.  The estimator is the reference query semantics
+    (src/serial/minhash-serial.c:16-26) with OPH empty-slot hygiene
+    (functions/audio.audio_similarity)."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.functions.audio import audio_similarity
+    from minhash_ray.stages.banding import make_audio_band_fn
+    from minhash_ray.stages.candidates import candidate_pairs
+    from minhash_ray.stages.signature import make_signature_fn
+    from minhash_ray.stages.verify import _pack_u64_column, _unpack_u64_column
+    from minhash_ray.util import clamp_partitions, strip_empty_blocks
+
+    cfg = cfg or PipelineConfig()
+    np_parts = clamp_partitions(num_partitions)
+    signatures = clips.map_batches(
+        make_signature_fn(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size or None,
+    ).materialize()
+
+    band_rows = signatures.map_batches(
+        make_audio_band_fn(
+            cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm,
+            min_filled=cfg.audio_min_filled,
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = candidate_pairs(band_rows, cfg, num_partitions=np_parts).materialize()
+
+    def side(suffix: str):
+        def pack(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "clip_id": batch.column("clip_id"),
+                    f"as_{suffix}": _pack_u64_column(batch.column("audio_sig")),
+                }
+            )
+
+        return signatures.map_batches(pack, batch_format="pyarrow")
+
+    with_a = pairs.join(
+        side("a"), join_type="inner", on=("clip_id_a",), right_on=("clip_id",),
+        num_partitions=np_parts,
+    )
+    with_ab = strip_empty_blocks(with_a).join(
+        side("b"), join_type="inner", on=("clip_id_b",), right_on=("clip_id",),
+        num_partitions=np_parts,
+    )
+
+    k = cfg.audio_num_perm
+    min_filled = cfg.audio_min_filled
+
+    def verify(batch: pa.Table) -> pa.Table:
+        fa, oa = _unpack_u64_column(batch.column("as_a"))
+        fb, ob = _unpack_u64_column(batch.column("as_b"))
+        a = fa.reshape(-1, k)
+        b = fb.reshape(-1, k)
+        sim = audio_similarity(a, b, min_filled=min_filled)
+        keep = sim >= tau
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "clip_id_a": pc.take(batch.column("clip_id_a"), sel),
+                "clip_id_b": pc.take(batch.column("clip_id_b"), sel),
+                "audio_sim": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)

@@ -854,3 +854,32 @@ def test_winnowing_guarantee_and_short_docs(ray_session, tmp_path):
     # 'tiny doc' has 8 chars -> 0 grams at window=16... use gram math:
     n_grams = max(len(short) - (window - 1), 0)
     assert len(fps[4]) == (1 if 0 < n_grams < win else (0 if n_grams == 0 else len(fps[4])))
+
+
+def test_audio_dup_pairs_recall_on_planted_audio_dups(ray_session, small_fixture):
+    """Audio-only near-dup pairs recover every truth pair whose PAYLOAD is
+    byte-identical: 'exact' and 'near_transcript' (same wave, edited
+    text — exactly the re-upload case the audio channel exists for).
+    'near_audio' pairs perturb the waveform, so their byte sketches
+    legitimately diverge and are the transcript channel's job."""
+    import duckdb
+    import ray.data as rd
+
+    from minhash_ray.pipelines.audio import audio_dup_pairs
+
+    clips = rd.read_parquet(str(small_fixture / "clips.parquet"))
+    got = _pdf(audio_dup_pairs(clips))
+    found = {tuple(sorted(p)) for p in zip(got.clip_id_a, got.clip_id_b)}
+
+    truth = duckdb.connect().execute(
+        f"SELECT clip_id_a, clip_id_b, kind FROM "
+        f"'{small_fixture}/truth_pairs.parquet' WHERE kind IN ('exact', 'near_transcript')"
+    ).fetchall()
+    want = {tuple(sorted((a, b))) for a, b, _ in truth}
+    assert want, "fixture must plant audio-duplicate pairs"
+    recall = len(found & want) / len(want)
+    assert recall >= 0.95, recall
+    # determinism
+    got2 = _pdf(audio_dup_pairs(rd.read_parquet(str(small_fixture / "clips.parquet"))))
+    found2 = {tuple(sorted(p)) for p in zip(got2.clip_id_a, got2.clip_id_b)}
+    assert found == found2
