@@ -197,6 +197,10 @@ def run_bench() -> dict:
         ("chunk_dedup_docs", dedup_text.chunk_dedup_docs),
         ("containment_pairs", dedup_text.containment_pairs),
         ("token_percent_rank", text.token_percent_rank),
+        ("near_dup_vs_reference", dedup_text.near_dup_vs_reference),
+        ("winnowing_fingerprints", dedup_text.winnowing_fingerprints),
+        ("pack_sequences", text.pack_sequences),
+        ("revenue_rollup", relational.revenue_rollup),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),
