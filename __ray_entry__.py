@@ -423,6 +423,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality gates → curated corpus manifest (SQL-checked via a
         # WITH-composition of the three sub-oracles)
         "corpus_curation": curation.corpus_curation,
+        # end-to-end manifest: curation keep x hash split x per-split
+        # token-budget sequence packing (SQL-checked, one WITH-composed
+        # oracle over the three sub-recipes)
+        "training_manifest": curation.training_manifest,
         # sampled exact-verify spot check of the curation output (rows-only:
         # Ray RNG sampling; the full-fraction path is pytest-asserted empty)
         "curation_audit": curation.curation_audit,
@@ -1117,6 +1121,34 @@ def _curation_sql(min_tokens: int = 10, punct_denom: int = 20) -> str:
     )
 
 
+def _training_manifest_sql(budget: int = 256) -> str:
+    """WITH-composition: the curation sub-oracle feeds the HUGEINT
+    splitmix64 chain (split assignment) and a per-split window running
+    sum (the packing scan) — one SQL replay of the full manifest."""
+    m64 = 1 << 64
+    ns = 0x9E3779B97F4A7C15
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    split_expr = (
+        "CASE WHEN h % 100 < 90 THEN 'train' "
+        "WHEN h % 100 < 95 THEN 'val' ELSE 'test' END"
+    )
+    return (
+        f"WITH cur AS ({_curation_sql()}), "
+        f"sm1 AS (SELECT doc_id, n_tokens, lang_pred, "
+        f"(CAST(doc_id AS HUGEINT) + {ns}) % {m64} AS x1 FROM cur), "
+        f"sm2 AS (SELECT doc_id, n_tokens, lang_pred, "
+        f"{_modmul64(_xor64('x1', 'x1 // 1073741824'), k1)} AS x2 FROM sm1), "
+        f"sm3 AS (SELECT doc_id, n_tokens, lang_pred, "
+        f"{_modmul64(_xor64('x2', 'x2 // 134217728'), k2)} AS x3 FROM sm2), "
+        f"hv AS (SELECT doc_id, n_tokens, lang_pred, "
+        f"{_xor64('x3', 'x3 // 2147483648')} AS h FROM sm3) "
+        f"SELECT doc_id, n_tokens, lang_pred, {split_expr} AS split, "
+        f"CAST((sum(n_tokens) OVER (PARTITION BY {split_expr} "
+        "ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) "
+        f"// {budget} AS BIGINT) AS seq_id FROM hv"
+    )
+
+
 def _decontaminate_sql(bench_mod: int = 43, seed: int = 42, w: int | None = None) -> str:
     """DuckDB replay of ``decontaminate``: the same FNV-1a token hash +
     w-gram polynomial chain as ``_minhash_slots_sql`` (general w), a
@@ -1405,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_pairs": _lsh_pairs_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "corpus_curation": _curation_sql(),
+        "training_manifest": _training_manifest_sql(),
         "lang_id": _lang_id_sql(),
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "

@@ -201,6 +201,7 @@ def run_bench() -> dict:
         ("winnowing_fingerprints", dedup_text.winnowing_fingerprints),
         ("pack_sequences", text.pack_sequences),
         ("revenue_rollup", relational.revenue_rollup),
+        ("training_manifest", curation.training_manifest),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

@@ -133,3 +133,120 @@ def curation_audit(
         sf_dir, cfg, threshold=cfg.tau, num_partitions=num_partitions,
         docs=sample_docs,
     )
+
+
+def training_manifest(
+    sf_dir: str,
+    budget_tokens: int = 256,
+    cfg: PipelineConfig = DOC_CFG,
+    min_tokens: int = 10,
+    punct_denom: int = 20,
+    num_partitions: int = 8,
+    ckpt_root: str | None = None,
+):
+    """(doc_id, n_tokens, lang_pred, split, seq_id): the END-TO-END
+    training-data manifest — every curated document (dedup keep ×
+    quality gates × language ID, :func:`corpus_curation`), assigned a
+    deterministic train/val/test split (splitmix64(doc_id) mod 100) and
+    packed into fixed-token-budget training sequences WITHIN its split
+    (the ``pack_sequences`` ordered-prefix-scan, partitioned by split).
+
+    This is the pipeline a user actually ships: curation feeds packing,
+    seq_id is stable across reruns/machines, and the whole composite is
+    replayed by ONE WITH-composed DuckDB oracle (curation sub-oracle →
+    HUGEINT splitmix chain → per-split window running sum).
+
+    Scale shape: curation's own three wide stages, then one slim
+    (doc_id, n_tokens) exchange range-partitioned on (split, hash top
+    bits) — partition order agrees with the packing order by
+    construction — with a metadata-scale per-(split, part) token-total
+    fold; no global row sort."""
+    import numpy as np
+    import ray
+
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import cached_get, clamp_partitions
+
+    B = int(budget_tokens)
+    np_parts = clamp_partitions(num_partitions)
+    k = max(1, int(np.ceil(np.log2(max(2, np_parts)))))
+    P = 1 << k
+    shift = np.uint64(64 - k)
+
+    curated = corpus_curation(
+        sf_dir, cfg, min_tokens=min_tokens, punct_denom=punct_denom,
+        num_partitions=num_partitions, ckpt_root=ckpt_root,
+    ).materialize()
+
+    def widen(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        b = (h % np.uint64(100)).astype(np.int64)
+        split_code = np.where(b < 90, 0, np.where(b < 95, 1, 2)).astype(np.int64)
+        part = (h >> shift).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": batch.column("n_tokens"),
+                "lang_pred": batch.column("lang_pred"),
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "spart": pa.array(split_code * P + part, pa.int64()),
+            }
+        )
+
+    slim = curated.map_batches(widen, batch_format="pyarrow").materialize()
+
+    totals = slim.groupby("spart").sum("n_tokens")
+    tt = pa.concat_tables(
+        list(totals.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    import numpy as np
+
+    scol = [c for c in tt.column_names if c != "spart"][0]
+    sp = tt.column("spart").to_numpy().astype(np.int64)
+    sums = tt.column(scol).to_numpy().astype(np.int64)
+    per = np.zeros(3 * P, dtype=np.int64)
+    per[sp] = sums
+    offsets = np.zeros(3 * P, dtype=np.int64)
+    for s in range(3):                       # offsets reset per split
+        seg = per[s * P : (s + 1) * P]
+        offsets[s * P : (s + 1) * P] = np.concatenate(([0], np.cumsum(seg)[:-1]))
+    off_ref = [ray.put(offsets)]
+    split_names = np.array(["train", "val", "test"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "split": pa.array([], pa.string()),
+                    "seq_id": pa.array([], pa.int64()),
+                }
+            )
+        offs = cached_get(off_ref[0])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        spart = int(batch.column("spart")[0].as_py())
+        order = np.lexsort((ids, h))
+        cum_before = offs[spart] + np.cumsum(n[order]) - n[order]
+        seq = cum_before // B
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "lang_pred": batch.column("lang_pred"),
+                "split": pa.array(split_names[np.full(len(ids), spart // P)], pa.string()),
+                "seq_id": pa.array(seq[inv], pa.int64()),
+            }
+        )
+
+    return slim.groupby("spart").map_groups(scan, batch_format="pyarrow")
