@@ -512,6 +512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_counts": events.window_counts,
         "sliding_window_counts": events.sliding_window_counts,
         "sessionize": events.sessionize,
+        # per-user event-type bigram counts (lag() window shape) —
+        # SQL-checked against a DuckDB lag() oracle
+        "event_type_transitions": events.event_type_transitions,
         "asof_prior": events.asof_prior,
         # banded time-range join (interval semantics Ray Data lacks
         # natively) — SQL-checked against a correlated-count oracle
@@ -1652,6 +1655,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM g"
+        ),
+        "event_type_transitions": (
+            "WITH lagged AS ("
+            "  SELECT user_id, event_type, lag(event_type) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type"
+            "  FROM events"
+            ") "
+            "SELECT prev_type, event_type, count(*) AS n_transitions "
+            "FROM lagged WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, event_type"
         ),
         "range_join_recent": (
             "SELECT e.event_id, CAST((SELECT count(*) FROM events c "

@@ -202,6 +202,7 @@ def run_bench() -> dict:
         ("pack_sequences", text.pack_sequences),
         ("revenue_rollup", relational.revenue_rollup),
         ("training_manifest", curation.training_manifest),
+        ("event_type_transitions", events.event_type_transitions),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

@@ -621,3 +621,73 @@ def approx_value_quantiles(
              "value_approx": pa.array(rows_v, pa.float64())}
         )
     )
+
+
+def event_type_transitions(sf_dir: str, num_partitions: int = 32):
+    """(prev_type, event_type, n_transitions): per-user consecutive
+    event-type bigram counts over the (ts, event_id)-ordered stream —
+    the Markov transition matrix of the event log (the lag() window
+    shape; ``asof_prior`` is the value-carrying cousin).
+
+    Scale shape: user-hash partitioning (one user's rows land in one
+    task, the ordering unit), per-partition vectorized lexsort + shifted
+    compare, then per-batch (prev, cur) partial counts folded through a
+    tiny groupby — the wide exchange carries only bigram partials."""
+    import pyarrow.compute as pc
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "event_type": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        o, _uid_s, _ts_s, _ids_s, new_user, _start = _user_sorted(batch)
+        et_s = et.take(pa.array(o))
+        n = len(o)
+        has_prev = ~new_user
+        cur_idx = np.flatnonzero(has_prev)
+        prev_idx = cur_idx - 1
+        prev = et_s.take(pa.array(prev_idx))
+        cur = et_s.take(pa.array(cur_idx))
+        t = pa.table({"prev_type": prev, "event_type": cur})
+        # batch-local partial count before the exchange
+        agg = t.group_by(["prev_type", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "prev_type": agg.column("prev_type"),
+                "event_type": agg.column("event_type"),
+                "c": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), num_partitions
+    )
+    out = (
+        ds.groupby("pkey")
+        .map_groups(per_partition, batch_format="pyarrow")
+        .groupby(["prev_type", "event_type"])
+        .sum("c")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ccol = [c for c in batch.column_names if c.startswith("sum")][0]
+        return pa.table(
+            {
+                "prev_type": batch.column("prev_type"),
+                "event_type": batch.column("event_type"),
+                "n_transitions": pc.cast(batch.column(ccol), pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
