@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing fingerprint sets (Schleimer et al. 2003 / MOSS):
         # sliding-window min over the rolling gram hashes — SQL-checked
         "winnowing_fingerprints": dedup_text.winnowing_fingerprints,
+        # MOSS match detection over the winnowing sets (SQL-checked)
+        "winnowing_dup_pairs": dedup_text.winnowing_dup_pairs,
         # composite training-data pipeline: dedup keep flag + lang ID +
         # quality gates → curated corpus manifest (SQL-checked via a
         # WITH-composition of the three sub-oracles)
@@ -1428,6 +1430,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
         "rolling_fingerprints": _rolling_fp_sql(),
         "winnowing_fingerprints": _winnowing_sql(),
+        "winnowing_dup_pairs": (
+            f"WITH w AS ({_winnowing_sql()}) "
+            "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+            "count(*) AS n_shared "
+            "FROM w a JOIN w b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id "
+            "GROUP BY doc_id_a, doc_id_b HAVING count(*) >= 2"
+        ),
         "doc_minhash_slots": _minhash_slots_sql(),
         "clips_minhash_slots": _clips_minhash_slots_sql(),
         # audio-payload ops: the oracle groups/partitions by the raw BLOB;

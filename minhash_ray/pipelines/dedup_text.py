@@ -1971,3 +1971,84 @@ def winnowing_fingerprints(sf_dir: str, window: int = 16, win: int = 8, docs=Non
 
     src = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
     return src.map_batches(fn, batch_format="pyarrow")
+
+
+def winnowing_dup_pairs(
+    sf_dir: str,
+    window: int = 16,
+    win: int = 8,
+    min_shared: int = 2,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(doc_id_a, doc_id_b, n_shared): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — the MOSS match-detection step
+    over :func:`winnowing_fingerprints` (any shared run of
+    ``window + win - 1`` chars guarantees a shared fingerprint, so
+    ``min_shared`` runs of shared prose force a pair out).
+
+    Scale shape: one partitioned self-join on the fingerprint key (the
+    inverted-index join), a<b ordering + batch-local partial pair counts
+    (Arrow ``group_by`` in the map task), then a groupby-sum over slim
+    (a, b, c) partials and the HAVING gate — the exchange carries pair
+    partials, never fingerprint lists.  Ultra-common fingerprints
+    (site boilerplate) are the skew risk; they are exactly the hot-key
+    story of every exact join here, and the count semantics forbid
+    dropping them by default."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import clamp_partitions, strip_empty_blocks
+
+    np_parts = clamp_partitions(num_partitions)
+    fps = winnowing_fingerprints(sf_dir, window=window, win=win, docs=docs).materialize()
+
+    def right(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"fp_hash": batch.column("fp_hash"), "doc_id_b": batch.column("doc_id")}
+        )
+
+    joined = fps.join(
+        fps.map_batches(right, batch_format="pyarrow"),
+        join_type="inner",
+        on=("fp_hash",),
+        num_partitions=np_parts,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        keep = a < b
+        t = pa.table(
+            {
+                "doc_id_a": pa.array(a[keep], pa.int64()),
+                "doc_id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+        agg = t.group_by(["doc_id_a", "doc_id_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id_a": agg.column("doc_id_a"),
+                "doc_id_b": agg.column("doc_id_b"),
+                "c": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    summed = (
+        strip_empty_blocks(joined.map_batches(partial, batch_format="pyarrow"))
+        .groupby(["doc_id_a", "doc_id_b"])
+        .sum("c")
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ccol = [c for c in batch.column_names if c.startswith("sum")][0]
+        n = pc.cast(batch.column(ccol), pa.int64())
+        t = pa.table(
+            {
+                "doc_id_a": batch.column("doc_id_a"),
+                "doc_id_b": batch.column("doc_id_b"),
+                "n_shared": n,
+            }
+        )
+        return t.filter(pc.greater_equal(t.column("n_shared"), min_shared))
+
+    return summed.map_batches(gate, batch_format="pyarrow")

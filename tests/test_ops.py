@@ -55,7 +55,7 @@ SQL_QUERIES = [
     "normalize_text", "chunk_dedup_docs", "token_percent_rank",
     "assign_splits", "containment_pairs", "pack_sequences",
     "near_dup_vs_reference", "winnowing_fingerprints", "revenue_rollup",
-    "training_manifest", "event_type_transitions",
+    "training_manifest", "event_type_transitions", "winnowing_dup_pairs",
 ]
 
 
