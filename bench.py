@@ -203,6 +203,8 @@ def run_bench() -> dict:
         ("revenue_rollup", relational.revenue_rollup),
         ("training_manifest", curation.training_manifest),
         ("event_type_transitions", events.event_type_transitions),
+        ("winnowing_dup_pairs", dedup_text.winnowing_dup_pairs),
+        ("audio_dup_pairs", lambda sf: __import__("minhash_ray.pipelines.audio", fromlist=["audio_dup_pairs"]).audio_dup_pairs(read_clips(clips_path))),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),
