@@ -141,6 +141,7 @@ def run_bench() -> dict:
 
     # audio/tiered ops run over the headline clips corpus (already cached
     # and page-warm), column-pruned at the read
+    from minhash_ray.pipelines.audio import audio_dup_pairs as _adp
     from minhash_ray.pipelines.audio import audio_exact_dedup as _aed
     from minhash_ray.pipelines.audio import audio_stats as _ast
     from minhash_ray.pipelines.dedup import run_dedup_tiered as _rdt
@@ -204,7 +205,7 @@ def run_bench() -> dict:
         ("training_manifest", curation.training_manifest),
         ("event_type_transitions", events.event_type_transitions),
         ("winnowing_dup_pairs", dedup_text.winnowing_dup_pairs),
-        ("audio_dup_pairs", lambda sf: __import__("minhash_ray.pipelines.audio", fromlist=["audio_dup_pairs"]).audio_dup_pairs(read_clips(clips_path))),
+        ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),
