@@ -517,6 +517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user event-type bigram counts (lag() window shape) —
         # SQL-checked against a DuckDB lag() oracle
         "event_type_transitions": events.event_type_transitions,
+        # ordered-funnel depth counts (sequential-pattern shape) —
+        # SQL-checked against a chained min-after-min oracle
+        "funnel_counts": events.funnel_counts,
         "asof_prior": events.asof_prior,
         # banded time-range join (interval semantics Ray Data lacks
         # natively) — SQL-checked against a correlated-count oracle
@@ -1154,6 +1157,33 @@ def _training_manifest_sql(budget: int = 256) -> str:
     )
 
 
+def _funnel_sql(steps: tuple | None = None) -> str:
+    """DuckDB replay of ``funnel_counts``: chained min-after-min CTEs —
+    step s's CTE is each surviving user's earliest step-s event STRICTLY
+    after their step-(s-1) time (the greedy-earliest chain the Ray scan
+    computes with ``minimum.reduceat``)."""
+    if steps is None:
+        from minhash_ray.pipelines.events import FUNNEL_STEPS
+
+        steps = FUNNEL_STEPS
+    ctes = [
+        "s0 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p ON p.user_id = e.user_id AND e.ts > p.t "
+            f"WHERE e.event_type = '{steps[i]}' GROUP BY e.user_id)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, '{steps[i]}' AS event_type, "
+        f"count(*) AS n_users FROM s{i}"
+        for i in range(len(steps))
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects
+
+
 def _decontaminate_sql(bench_mod: int = 43, seed: int = 42, w: int | None = None) -> str:
     """DuckDB replay of ``decontaminate``: the same FNV-1a token hash +
     w-gram polynomial chain as ``_minhash_slots_sql`` (general w), a
@@ -1675,6 +1705,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM lagged WHERE prev_type IS NOT NULL "
             "GROUP BY prev_type, event_type"
         ),
+        # ordered funnel: min-ts chain, each step strictly after the prior
+        # step's earliest feasible time (greedy-earliest is optimal) —
+        # generated from the SAME steps tuple the Ray operator defaults to
+        "funnel_counts": _funnel_sql(),
         "range_join_recent": (
             "SELECT e.event_id, CAST((SELECT count(*) FROM events c "
             "WHERE c.event_type = 'click' "

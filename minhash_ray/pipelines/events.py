@@ -691,3 +691,105 @@ def event_type_transitions(sf_dir: str, num_partitions: int = 32):
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase", "error")
+
+
+def funnel_counts(
+    sf_dir: str,
+    steps: tuple = FUNNEL_STEPS,
+    num_partitions: int = 32,
+):
+    """(step, event_type, n_users): ordered-funnel depth counts — how many
+    users performed ``steps[0]``, then ``steps[1]`` STRICTLY after it,
+    then ``steps[2]`` strictly after that, … (the product-analytics
+    funnel; the sequential-pattern cousin of
+    :func:`event_type_transitions`).  A user reaches step ``s`` iff there
+    is a strictly increasing timestamp chain through the first ``s+1``
+    step types; the greedy earliest-time chain is optimal (taking the
+    earliest feasible event at each step can only enlarge the feasible
+    set downstream), so per-user minima are exact.  Repeated types in
+    ``steps`` are allowed ("view, click, view again"): rows carry their
+    TYPE, and each scan pass matches the pass's step type, so one event
+    type can serve several steps (at distinct timestamps, strictness).
+
+    Scale shape: rows are filtered to the funnel's types at the read
+    (slim (user_id, ts, tid) rows), user-hash partitioned (one USER's
+    rows per task — the same partitioning contract as
+    :func:`sessionize`), and each partition computes its users' funnel
+    depth with k vectorized ``minimum.reduceat`` passes (k = number of
+    steps, no per-user Python).  Only k-row partial counts cross the
+    final exchange."""
+    from ray.data.aggregate import Sum
+
+    steps = tuple(steps)
+    k = len(steps)
+    types = sorted(set(steps))                      # distinct event types
+    tid_of_step = np.array([types.index(t) for t in steps], dtype=np.int64)
+    FAR = np.int64(1) << 62
+
+    def slim(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        tid = np.full(batch.num_rows, -1, dtype=np.int64)
+        for i, name in enumerate(types):
+            tid[pc.equal(et, name).to_numpy(zero_copy_only=False)] = i
+        keep = tid >= 0
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch.column("user_id").to_numpy()[keep], pa.int64()
+                ),
+                "ts_us": pa.array(_ts_us(batch.column("ts"))[keep], pa.int64()),
+                "tid": pa.array(tid[keep], pa.int64()),
+            }
+        )
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(k, dtype=np.int64)
+        if batch.num_rows:
+            uid = batch.column("user_id").to_numpy()
+            ts = batch.column("ts_us").to_numpy()
+            st = batch.column("tid").to_numpy()
+            o = np.lexsort((ts, uid))
+            uid_s, ts_s, st_s = uid[o], ts[o], st[o]
+            n = len(o)
+            new_user = np.ones(n, dtype=bool)
+            new_user[1:] = uid_s[1:] != uid_s[:-1]
+            seg_starts = np.flatnonzero(new_user)
+            useg = np.cumsum(new_user) - 1          # per-row user ordinal
+            n_users = len(seg_starts)
+            thr = np.full(n_users, -FAR, dtype=np.int64)
+            alive = np.ones(n_users, dtype=bool)
+            for s in range(k):
+                mask = (st_s == tid_of_step[s]) & alive[useg] & (ts_s > thr[useg])
+                vals = np.where(mask, ts_s, FAR)
+                mins = np.minimum.reduceat(vals, seg_starts)
+                alive &= mins < FAR
+                thr = np.where(alive, mins, thr)
+                counts[s] = int(alive.sum())
+                if not counts[s]:
+                    break
+        return pa.table(
+            {
+                "step": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                "event_type": pa.array(list(steps), pa.string()),
+                "n_partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["user_id", "ts", "event_type"]).map_batches(
+            slim, batch_format="pyarrow"
+        ),
+        num_partitions,
+    )
+    per_part = ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
+    out = per_part.groupby(["step", "event_type"]).aggregate(
+        Sum("n_partial", alias_name="n_users")
+    )
+    return out

@@ -56,6 +56,7 @@ SQL_QUERIES = [
     "assign_splits", "containment_pairs", "pack_sequences",
     "near_dup_vs_reference", "winnowing_fingerprints", "revenue_rollup",
     "training_manifest", "event_type_transitions", "winnowing_dup_pairs",
+    "funnel_counts",
 ]
 
 
@@ -884,3 +885,61 @@ def test_audio_dup_pairs_recall_on_planted_audio_dups(ray_session, small_fixture
     got2 = _pdf(audio_dup_pairs(rd.read_parquet(str(small_fixture / "clips.parquet"))))
     found2 = {tuple(sorted(p)) for p in zip(got2.clip_id_a, got2.clip_id_b)}
     assert found == found2
+
+
+def test_funnel_counts_planted_semantics(ray_session, tmp_path):
+    """Funnel strictness on a planted event log: equal timestamps never
+    chain, out-of-order steps reset nothing (the chain is earliest-
+    feasible), repeated step types need DISTINCT timestamps, and users
+    missing a step stop at the last reached depth."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.events import funnel_counts
+
+    us = 1_000_000
+
+    def ev(eid, uid, t, typ):
+        return {
+            "event_id": eid,
+            "ts": t * us,
+            "user_id": uid,
+            "event_type": typ,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    rows = [
+        # u1: clean chain -> depth 3
+        ev(1, 1, 1, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "purchase"),
+        # u2: click BEFORE its view -> only step 0 (view) reached
+        ev(4, 2, 1, "click"), ev(5, 2, 2, "view"), ev(6, 2, 3, "purchase"),
+        # u3: view and click at the SAME ts -> strict > fails step 1,
+        # but a later click rescues it; no purchase -> depth 2
+        ev(7, 3, 5, "view"), ev(8, 3, 5, "click"), ev(9, 3, 6, "click"),
+        # u4: view only -> depth 1
+        ev(10, 4, 1, "view"),
+        # u5: no view at all -> depth 0
+        ev(11, 5, 1, "purchase"), ev(12, 5, 2, "click"),
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    path = tmp_path / "ev"
+    path.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(path / "events.parquet"))
+
+    out = _canon(_pdf(funnel_counts(str(path), steps=("view", "click", "purchase"))))
+    got = {int(r.step): int(r.n_users) for r in out.itertuples()}
+    # u2's purchase@3 IS after its view@2 but click never chains -> depth 1
+    assert got == {0: 4, 1: 2, 2: 1}
+
+    # repeated step type: u1 has no second view after its click;
+    # u3's click@6 > view@5 but no view after 6 -> nobody reaches step 2
+    out2 = _canon(_pdf(funnel_counts(str(path), steps=("view", "click", "view"))))
+    got2 = {int(r.step): int(r.n_users) for r in out2.itertuples()}
+    assert got2 == {0: 4, 1: 2, 2: 0}
+
+    # partition invariance: one task vs many
+    a = _canon(_pdf(funnel_counts(str(path), num_partitions=2)))
+    b = _canon(_pdf(funnel_counts(str(path), num_partitions=32)))
+    pd.testing.assert_frame_equal(a, b)
