@@ -411,6 +411,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected-components cluster tier → per-doc keep flag.  The
         # clustering itself is SQL-checked (recursive reachability CTE)
         "doc_dedup_tiered": dedup_text.doc_dedup_tiered,
+        # tiered clusters with BOTH keep policies: keep-first (min doc_id)
+        # and keep-best (max token count, tiebreak min doc_id) — the
+        # per-cluster argmax rides one packed-int64 max aggregate
+        "doc_dedup_keep_best": dedup_text.doc_dedup_keep_best,
         # CCNet-style corpus-wide chunk (pseudo-paragraph) dedup: keep-first
         # over fixed word windows, docs reassembled from surviving chunks
         # (SQL-checked: DuckDB replays chunking + row_number keep-first)
@@ -1157,6 +1161,32 @@ def _training_manifest_sql(budget: int = 256) -> str:
     )
 
 
+def _keep_best_sql() -> str:
+    """WITH-composition for ``doc_dedup_keep_best``: the tiered-dedup
+    sub-oracle joined to whitespace token counts, per-cluster winner by
+    the SAME packed-int64 max the Ray aggregate computes (max tokens,
+    then min doc_id — one integer order, no row_number ties to argue
+    about)."""
+    hi = 1 << 32
+    n_tokens = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+    )
+    return (
+        f"WITH tiered AS ({_tiered_dedup_sql()}), "
+        f"tok AS (SELECT doc_id, {n_tokens} AS n_tokens FROM documents), "
+        "j AS (SELECT t.doc_id AS doc_id, t.cluster_id AS cluster_id, "
+        "t.keep AS keep_first, "
+        f"q.n_tokens * {hi} + ({hi - 1} - t.doc_id) AS packed "
+        "FROM tiered t JOIN tok q ON q.doc_id = t.doc_id), "
+        "best AS (SELECT cluster_id, max(packed) AS bp FROM j GROUP BY cluster_id) "
+        "SELECT j.doc_id AS doc_id, j.cluster_id AS cluster_id, "
+        "j.keep_first AS keep_first, "
+        "CAST(CASE WHEN j.packed = b.bp THEN 1 ELSE 0 END AS BIGINT) AS keep_best "
+        "FROM j JOIN best b ON b.cluster_id = j.cluster_id"
+    )
+
+
 def _funnel_sql(steps: tuple | None = None) -> str:
     """DuckDB replay of ``funnel_counts``: chained min-after-min CTEs —
     step s's CTE is each surviving user's earliest step-s event STRICTLY
@@ -1478,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
+        "doc_dedup_keep_best": _keep_best_sql(),
         "corpus_curation": _curation_sql(),
         "training_manifest": _training_manifest_sql(),
         "lang_id": _lang_id_sql(),

@@ -205,6 +205,8 @@ def run_bench() -> dict:
         ("training_manifest", curation.training_manifest),
         ("event_type_transitions", events.event_type_transitions),
         ("winnowing_dup_pairs", dedup_text.winnowing_dup_pairs),
+        ("funnel_counts", events.funnel_counts),
+        ("doc_dedup_keep_best", dedup_text.doc_dedup_keep_best),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),

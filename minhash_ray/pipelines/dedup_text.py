@@ -2052,3 +2052,89 @@ def winnowing_dup_pairs(
         return t.filter(pc.greater_equal(t.column("n_shared"), min_shared))
 
     return summed.map_batches(gate, batch_format="pyarrow")
+
+
+def doc_dedup_keep_best(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(doc_id, cluster_id, keep_first, keep_best): the tiered dedup
+    clusters of :func:`doc_dedup_tiered` with BOTH keep policies a
+    curation run chooses between — ``keep_first`` (min doc_id, the
+    deterministic canonical rep) and ``keep_best`` (the cluster member
+    with the MOST whitespace tokens, tie-broken to min doc_id) — the
+    production policy when dup clusters mix truncated and full copies of
+    a page and the longest copy is the one worth training on.
+
+    Scale shape: the assignment table (3 int64 columns) joins per-doc
+    token counts on a partitioned doc_id hash join; per-cluster argmax is
+    ONE packed-int64 max (``n_tokens * 2^32 + (2^32-1 - doc_id)`` —
+    lexicographic (max tokens, min doc_id) under plain integer max)
+    through Ray's partial+final hash aggregate, so the wide exchange
+    carries one row per cluster; a second slim join routes each winner
+    back to its members.  Packing headroom: doc_id < 2^32 and n_tokens <
+    2^31 (asserted per batch) — at larger id spaces widen to two-column
+    max_by semantics."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from minhash_ray.util import clamp_partitions
+
+    np_parts = clamp_partitions(num_partitions)
+    assign = doc_dedup_tiered(sf_dir, cfg, num_partitions, docs=docs)
+
+    def tok(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n[pc.equal(pc.utf8_trim_whitespace(text), "").to_numpy(zero_copy_only=False)] = 0
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    tokens = (_docs(sf_dir, ["doc_id", "text"]) if docs is None else docs).map_batches(
+        tok, batch_format="pyarrow"
+    )
+    joined = assign.join(
+        tokens, join_type="inner", on=("doc_id",), num_partitions=np_parts
+    )
+
+    HI = np.int64(1) << 32
+
+    def pack(batch: pa.Table) -> pa.Table:
+        doc = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        assert (doc >= 0).all() and (doc < HI).all(), "doc_id exceeds packing headroom"
+        assert (nt < (HI >> 1)).all(), "n_tokens exceeds packing headroom"
+        packed = nt * HI + (HI - 1 - doc)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "cluster_id": pc.cast(batch.column("cluster_id"), pa.int64()),
+                "keep_first": pc.cast(batch.column("keep"), pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    packed_ds = joined.map_batches(pack, batch_format="pyarrow").materialize()
+    best = packed_ds.groupby("cluster_id").aggregate(Max("packed", alias_name="bp"))
+    routed = packed_ds.join(
+        best, join_type="inner", on=("cluster_id",), num_partitions=np_parts
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "cluster_id": batch.column("cluster_id"),
+                "keep_first": batch.column("keep_first"),
+                "keep_best": pc.cast(
+                    pc.equal(batch.column("packed"), batch.column("bp")), pa.int64()
+                ),
+            }
+        )
+
+    return routed.map_batches(finalize, batch_format="pyarrow")

@@ -56,7 +56,7 @@ SQL_QUERIES = [
     "assign_splits", "containment_pairs", "pack_sequences",
     "near_dup_vs_reference", "winnowing_fingerprints", "revenue_rollup",
     "training_manifest", "event_type_transitions", "winnowing_dup_pairs",
-    "funnel_counts",
+    "funnel_counts", "doc_dedup_keep_best",
 ]
 
 
