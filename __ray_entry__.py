@@ -415,6 +415,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and keep-best (max token count, tiebreak min doc_id) — the
         # per-cluster argmax rides one packed-int64 max aggregate
         "doc_dedup_keep_best": dedup_text.doc_dedup_keep_best,
+        # near-dup fan-out per doc (boilerplate/skew diagnostic) and the
+        # estimator's equal-slot histogram (threshold tuning) — both are
+        # hash aggregates over the metadata-scale verified pair table
+        "dup_graph_degrees": dedup_text.dup_graph_degrees,
+        "minhash_sim_histogram": dedup_text.minhash_sim_histogram,
         # CCNet-style corpus-wide chunk (pseudo-paragraph) dedup: keep-first
         # over fixed word windows, docs reassembled from surviving chunks
         # (SQL-checked: DuckDB replays chunking + row_number keep-first)
@@ -1161,6 +1166,38 @@ def _training_manifest_sql(budget: int = 256) -> str:
     )
 
 
+def _dup_degrees_sql(seed: int = 42) -> str:
+    """Degrees over the gated LSH pair graph: both directions unioned,
+    one GROUP BY — composed from the same sims chain as
+    ``_lsh_pairs_sql``."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    return (
+        f"WITH {_lsh_sims_ctes(seed)}, "
+        f"pairs AS (SELECT da, db FROM sims WHERE sim >= {threshold}), "
+        "ends AS (SELECT da AS doc_id FROM pairs "
+        "UNION ALL SELECT db FROM pairs) "
+        "SELECT doc_id, count(*) AS n_dups FROM ends GROUP BY doc_id"
+    )
+
+
+def _sim_histogram_sql(seed: int = 42) -> str:
+    """Equal-slot histogram over the gated pairs: sim is always
+    n/num_perm with a power-of-two denominator, so floor(sim*k + 0.5)
+    recovers the integer slot count float-exactly in both engines."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    k = DOC_CFG.num_perm
+    return (
+        f"WITH {_lsh_sims_ctes(seed)} "
+        f"SELECT CAST(floor(sim * {k} + 0.5) AS BIGINT) AS n_eq_slots, "
+        f"count(*) AS n_pairs FROM sims WHERE sim >= {threshold} "
+        "GROUP BY 1"
+    )
+
+
 def _keep_best_sql() -> str:
     """WITH-composition for ``doc_dedup_keep_best``: the tiered-dedup
     sub-oracle joined to whitespace token counts, per-cluster winner by
@@ -1509,6 +1546,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_pairs": _lsh_pairs_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "doc_dedup_keep_best": _keep_best_sql(),
+        "dup_graph_degrees": _dup_degrees_sql(),
+        "minhash_sim_histogram": _sim_histogram_sql(),
         "corpus_curation": _curation_sql(),
         "training_manifest": _training_manifest_sql(),
         "lang_id": _lang_id_sql(),

@@ -2138,3 +2138,61 @@ def doc_dedup_keep_best(
         )
 
     return routed.map_batches(finalize, batch_format="pyarrow")
+
+
+def dup_graph_degrees(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(doc_id, n_dups): near-dup fan-out per document over the verified
+    LSH pair graph — the skew diagnostic a dedup run ships with (a doc
+    with hundreds of near-dups is boilerplate/template content and the
+    hot-bucket salting's natural customer; cf. ``find_hot_buckets``).
+
+    Scale shape: the verified pair table is metadata-scale by
+    construction (never all-pairs), so degrees are a both-direction
+    column concat + one distributed hash aggregate — no driver loop."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=docs)
+    both = pa.table(
+        {
+            "doc_id": pa.concat_arrays(
+                [
+                    pairs.column("doc_id_a").combine_chunks(),
+                    pairs.column("doc_id_b").combine_chunks(),
+                ]
+            )
+        }
+    )
+    return rd.from_arrow(both).groupby("doc_id").aggregate(
+        Count(alias_name="n_dups")
+    )
+
+
+def minhash_sim_histogram(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(n_eq_slots, n_pairs): distribution of the fraction-equal estimator
+    over the verified near-dup pairs, bucketed by the exact equal-slot
+    COUNT (``sim * num_perm`` recovered as an integer — every sim is
+    n/num_perm with a power-of-two denominator, so the recovery is
+    float-exact) — the threshold-sensitivity diagnostic for tuning tau."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=docs)
+    sims = pairs.column("sim").to_numpy()
+    n_eq = np.floor(sims * cfg.num_perm + 0.5).astype(np.int64)
+    t = pa.table({"n_eq_slots": pa.array(n_eq, pa.int64())})
+    return rd.from_arrow(t).groupby("n_eq_slots").aggregate(
+        Count(alias_name="n_pairs")
+    )

@@ -56,7 +56,8 @@ SQL_QUERIES = [
     "assign_splits", "containment_pairs", "pack_sequences",
     "near_dup_vs_reference", "winnowing_fingerprints", "revenue_rollup",
     "training_manifest", "event_type_transitions", "winnowing_dup_pairs",
-    "funnel_counts", "doc_dedup_keep_best",
+    "funnel_counts", "doc_dedup_keep_best", "dup_graph_degrees",
+    "minhash_sim_histogram",
 ]
 
 
