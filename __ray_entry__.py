@@ -420,6 +420,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash aggregates over the metadata-scale verified pair table
         "dup_graph_degrees": dedup_text.dup_graph_degrees,
         "minhash_sim_histogram": dedup_text.minhash_sim_histogram,
+        # scope-partitioned near-dup pairs (per-language dedup): the scope
+        # is XOR-folded into the LSH bucket key so cross-scope candidates
+        # never reach the pair shuffle or the verify gather
+        "scoped_dup_pairs": dedup_text.scoped_dup_pairs,
         # CCNet-style corpus-wide chunk (pseudo-paragraph) dedup: keep-first
         # over fixed word windows, docs reassembled from surviving chunks
         # (SQL-checked: DuckDB replays chunking + row_number keep-first)
@@ -1182,6 +1186,24 @@ def _dup_degrees_sql(seed: int = 42) -> str:
     )
 
 
+def _scoped_pairs_sql(seed: int = 42) -> str:
+    """Scope-restricted LSH pairs: the unscoped sims chain joined back to
+    ``documents`` for each side's lang, kept only when the langs agree —
+    equivalent to the engine's bucket-key salting because a same-scope
+    pair collides in salted buckets iff it collides unsalted, and a
+    cross-scope pair never survives either side."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    return (
+        f"WITH {_lsh_sims_ctes(seed)}, "
+        f"pairs AS (SELECT da, db, sim FROM sims WHERE sim >= {threshold}) "
+        "SELECT x.lang AS lang, p.da AS doc_id_a, p.db AS doc_id_b, p.sim AS sim "
+        "FROM pairs p JOIN documents x ON x.doc_id = p.da "
+        "JOIN documents y ON y.doc_id = p.db WHERE x.lang = y.lang"
+    )
+
+
 def _sim_histogram_sql(seed: int = 42) -> str:
     """Equal-slot histogram over the gated pairs: sim is always
     n/num_perm with a power-of-two denominator, so floor(sim*k + 0.5)
@@ -1548,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_keep_best": _keep_best_sql(),
         "dup_graph_degrees": _dup_degrees_sql(),
         "minhash_sim_histogram": _sim_histogram_sql(),
+        "scoped_dup_pairs": _scoped_pairs_sql(),
         "corpus_curation": _curation_sql(),
         "training_manifest": _training_manifest_sql(),
         "lang_id": _lang_id_sql(),

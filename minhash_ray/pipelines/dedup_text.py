@@ -2196,3 +2196,149 @@ def minhash_sim_histogram(
     return rd.from_arrow(t).groupby("n_eq_slots").aggregate(
         Count(alias_name="n_pairs")
     )
+
+
+def scoped_dup_pairs(
+    sf_dir: str,
+    scope_col: str = "lang",
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(lang, doc_id_a, doc_id_b, sim): near-duplicate pairs WITHIN each
+    scope — by default per language, the partition-scoped dedup a
+    multilingual corpus runs (cross-language "duplicates" are usually
+    translations worth keeping, and per-scope thresholds differ).
+
+    Scale shape: the scope is folded into the LSH bucket key itself
+    (``bucket ^= hash64(scope)`` on the band rows, one vectorized pass
+    over the dictionary-encoded scope prefix), so CROSS-scope candidates
+    never exist — the pair shuffle and the verify gather each cost what
+    the largest scope costs, not what the corpus costs.  This is the
+    bucket-salting machinery of the hot-band path reused as a semantic
+    partitioner.  A residual prefix-equality filter after verify drops
+    64-bit salt collisions (p ≈ 2^-64 per bucket pair; the filter also
+    makes the guarantee independent of hash quality).
+
+    Ids ride as ``rpad(scope, 8) | zero-padded doc_id`` strings through
+    the shared banding/verify stages, so the scope is recoverable from
+    the pair output without a join."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.functions.hashing import hash_str_array
+    from minhash_ray.stages.banding import make_minhash_band_fn
+    from minhash_ray.stages.candidates import candidate_pairs
+    from minhash_ray.stages.verify import verify_pairs
+
+    if docs is None:
+        docs = _docs(sf_dir, ["doc_id", "text", scope_col])
+
+    sig_fn = make_doc_signature_fn(cfg)
+
+    def sig_with_scope(batch: pa.Table) -> pa.Table:
+        out = sig_fn(batch)                     # row-aligned with input
+        return out.append_column("scope", batch.column(scope_col))
+
+    sigs = docs.map_batches(
+        sig_with_scope, batch_format="pyarrow", batch_size=cfg.batch_size or None
+    ).materialize()
+
+    def with_str_ids(batch: pa.Table) -> pa.Table:
+        scope = pc.utf8_rpad(pc.cast(batch.column("scope"), pa.string()), 8, " ")
+        did = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        ids = pc.binary_join_element_wise(scope, did, "|")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "clip_id": ids,
+                "signature": batch.column("signature"),
+                "simhash": batch.column("simhash"),
+                "n_shingles": batch.column("n_shingles"),
+            }
+        )
+
+    keyed = sigs.map_batches(with_str_ids, batch_format="pyarrow").materialize()
+    band_rows = keyed.map_batches(
+        make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm),
+        batch_format="pyarrow",
+    )
+
+    def salt_by_scope(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column("clip_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        prefix = pc.utf8_slice_codeunits(ids, 0, 8)
+        d = pc.dictionary_encode(prefix)
+        uniq = d.dictionary.to_pylist()          # a handful of scopes
+        salts = hash_str_array(uniq, seed=cfg.seed)
+        per_row = salts[d.indices.to_numpy(zero_copy_only=False)]
+        bucket = batch.column("bucket").to_numpy().astype(np.uint64) ^ per_row
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.view(np.int64), pa.int64()),
+                "clip_id": ids,
+            }
+        )
+
+    salted = band_rows.map_batches(salt_by_scope, batch_format="pyarrow")
+    pairs = candidate_pairs(salted, cfg, num_partitions=num_partitions).materialize()
+
+    def add_audio_fp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "audio_fp", pa.array(np.zeros(batch.num_rows, dtype=np.uint64), pa.uint64())
+        )
+
+    n_docs = keyed.count()
+    edges = verify_pairs(
+        pairs,
+        keyed.map_batches(add_audio_fp, batch_format="pyarrow"),
+        cfg,
+        n_clips=n_docs,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ia, ib = batch.column("clip_id_a"), batch.column("clip_id_b")
+        la = pc.utf8_trim_whitespace(pc.utf8_slice_codeunits(ia, 0, 8))
+        lb = pc.utf8_trim_whitespace(pc.utf8_slice_codeunits(ib, 0, 8))
+        same = pc.equal(la, lb)                  # salt-collision guard
+        t = pa.table(
+            {
+                "lang": la,
+                "doc_id_a": pc.cast(pc.utf8_slice_codeunits(ia, 9, 21), pa.int64()),
+                "doc_id_b": pc.cast(pc.utf8_slice_codeunits(ib, 9, 21), pa.int64()),
+                "sim": batch.column("sim"),
+            }
+        )
+        return t.filter(same)
+
+    parsed = edges.map_batches(parse, batch_format="pyarrow")
+    batches = list(parsed.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    vt = pa.concat_tables(batches)
+    a = vt.column("doc_id_a").to_numpy()
+    b = vt.column("doc_id_b").to_numpy()
+    o = np.lexsort((b, a))
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[o][1:] != a[o][:-1]) | (b[o][1:] != b[o][:-1])
+    sel = pa.array(o[first])
+    return pa.table(
+        {
+            "lang": vt.column("lang").take(sel),
+            "doc_id_a": vt.column("doc_id_a").take(sel),
+            "doc_id_b": vt.column("doc_id_b").take(sel),
+            "sim": vt.column("sim").take(sel),
+        }
+    )

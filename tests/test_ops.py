@@ -57,7 +57,7 @@ SQL_QUERIES = [
     "near_dup_vs_reference", "winnowing_fingerprints", "revenue_rollup",
     "training_manifest", "event_type_transitions", "winnowing_dup_pairs",
     "funnel_counts", "doc_dedup_keep_best", "dup_graph_degrees",
-    "minhash_sim_histogram",
+    "minhash_sim_histogram", "scoped_dup_pairs",
 ]
 
 
