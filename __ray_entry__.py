@@ -424,6 +424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is XOR-folded into the LSH bucket key so cross-scope candidates
         # never reach the pair shuffle or the verify gather
         "scoped_dup_pairs": dedup_text.scoped_dup_pairs,
+        # sorted-neighborhood (merge/purge) dedup: global order by a
+        # normalized key prefix via a distributed ordered prefix count,
+        # rank-banded neighbor candidates, exact-Jaccard gate
+        "snm_dup_pairs": dedup_text.snm_dup_pairs,
         # CCNet-style corpus-wide chunk (pseudo-paragraph) dedup: keep-first
         # over fixed word windows, docs reassembled from surviving chunks
         # (SQL-checked: DuckDB replays chunking + row_number keep-first)
@@ -1186,6 +1190,36 @@ def _dup_degrees_sql(seed: int = 42) -> str:
     )
 
 
+def _snm_pairs_sql(window: int = 8, key_chars: int = 24, threshold: float = 0.3) -> str:
+    """DuckDB replay of ``snm_dup_pairs``: row_number over the normalized
+    key order (binary collation = the engine's bytewise 'S' order),
+    rank-distance <= window candidate join, and the exact trigram-set
+    Jaccard gate shared with the ``ngram_jaccard_pairs`` oracle."""
+    return (
+        "WITH keyed AS (SELECT doc_id, "
+        f"substr(lower(trim(text)), 1, {key_chars}) AS k FROM documents), "
+        "ranked AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r "
+        "FROM keyed), "
+        "cand AS (SELECT a.doc_id AS da, b.doc_id AS db FROM ranked a "
+        f"JOIN ranked b ON b.r > a.r AND b.r <= a.r + {window}), "
+        "toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' "
+        "THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t "
+        "FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g "
+        "FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i) WHERE len(t) >= 3), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT c.da, c.db, count(*) AS c FROM cand c "
+        "JOIN grams ga ON ga.doc_id = c.da "
+        "JOIN grams gb ON gb.doc_id = c.db AND gb.g = ga.g GROUP BY c.da, c.db) "
+        "SELECT least(i.da, i.db) AS doc_id_a, greatest(i.da, i.db) AS doc_id_b, "
+        "CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard "
+        "FROM inter i JOIN sizes sa ON i.da = sa.doc_id "
+        "JOIN sizes sb ON i.db = sb.doc_id "
+        f"WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= {threshold}"
+    )
+
+
 def _scoped_pairs_sql(seed: int = 42) -> str:
     """Scope-restricted LSH pairs: the unscoped sims chain joined back to
     ``documents`` for each side's lang, kept only when the langs agree —
@@ -1571,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_degrees": _dup_degrees_sql(),
         "minhash_sim_histogram": _sim_histogram_sql(),
         "scoped_dup_pairs": _scoped_pairs_sql(),
+        "snm_dup_pairs": _snm_pairs_sql(),
         "corpus_curation": _curation_sql(),
         "training_manifest": _training_manifest_sql(),
         "lang_id": _lang_id_sql(),

@@ -2342,3 +2342,202 @@ def scoped_dup_pairs(
             "sim": vt.column("sim").take(sel),
         }
     )
+
+
+def snm_dup_pairs(
+    sf_dir: str,
+    window: int = 8,
+    key_chars: int = 24,
+    threshold: float = 0.3,
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 32,
+    docs=None,
+) -> pa.Table:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
+    merge/purge): documents are globally ordered by a normalized sort key
+    (first ``key_chars`` chars of ``lower(trim(text))``, tie-break
+    doc_id); every pair within ``window`` positions of that order is a
+    candidate; candidates gate on EXACT trigram-set Jaccard >=
+    ``threshold`` through the shared join-attach verifier.  The
+    complementary dedup family to LSH: O(n·window) candidates with recall
+    governed by the sort key instead of band-collision probabilities —
+    catches prefix-aligned near-dups deterministically.
+
+    Scale shape: the global rank is a distributed ordered prefix COUNT in
+    the :func:`~minhash_ray.pipelines.text.pack_sequences` pattern —
+    partition by the top bits of the key's first-8-byte integer (range
+    partitioning that agrees with the bytewise global order by
+    construction; at production scale swap for sampled range bounds if
+    key prefixes skew), per-partition lexsort gives local ranks, and P
+    partition COUNTS fold into global offsets on the driver (metadata,
+    never rows).  Neighbor candidates then ride the banded self-join of
+    :func:`~minhash_ray.pipelines.events.range_join_recent` (band =
+    rank // window; left copies to their own band, right copies to their
+    own and previous band, each pair resolved exactly once in the left
+    row's band).  Verification attaches shingle sets by partitioned
+    joins — nothing corpus-width ever sits on the driver."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import clamp_partitions, strip_empty_blocks
+
+    w = int(window)
+    if w <= 0:
+        raise ValueError("window must be positive")
+    np_parts = clamp_partitions(num_partitions)
+    k_bits = max(1, int(np.ceil(np.log2(max(2, np_parts)))))
+    shift = np.uint64(64 - k_bits)
+
+    if docs is None:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def keyed_rows(batch: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(
+            pc.utf8_lower(pc.utf8_trim_whitespace(batch.column("text"))), 0, key_chars
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        kb = key.cast(pa.binary())
+        # first-8-byte big-endian integer: ordering by (key8, key) equals
+        # bytewise ordering by key (numpy 'S' and DuckDB both compare
+        # UTF-8 bytes), so top-bit partitioning respects the global order
+        key8 = _prefix_bytes_matrix(kb, 8).view(">u8").reshape(-1).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "key": kb,
+                "part": pa.array((key8 >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    slim = docs.map_batches(keyed_rows, batch_format="pyarrow").materialize()
+
+    # metadata-scale offset fold: P (part, count) rows -> rank offsets
+    counts = slim.groupby("part").count()
+    ct = pa.concat_tables(
+        list(counts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    ccol = [c for c in ct.column_names if c != "part"][0]
+    offsets = np.zeros(1 << k_bits, dtype=np.int64)
+    offsets[ct.column("part").to_numpy().astype(np.int64)] = (
+        ct.column(ccol).to_numpy().astype(np.int64)
+    )
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+
+    def rank_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "r": pa.array([], pa.int64())}
+            )
+        ids = batch.column("doc_id").to_numpy()
+        kb = batch.column("key")
+        if isinstance(kb, pa.ChunkedArray):
+            kb = kb.combine_chunks()
+        # fixed-width 'S' view of the UTF-8 key bytes: \x00 padding sorts
+        # before every real byte, so 'S' order == bytewise prefix order
+        width = max(1, int(pc.max(pc.binary_length(kb)).as_py() or 1))
+        keys = _prefix_bytes_matrix(kb, width).reshape(-1).view(f"S{width}")
+        part = int(batch.column("part")[0].as_py())
+        order = np.lexsort((ids, keys))
+        r = np.empty(len(order), dtype=np.int64)
+        r[order] = offsets[part] + np.arange(len(order), dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "r": pa.array(r, pa.int64())}
+        )
+
+    ranked = slim.groupby("part").map_groups(rank_partition, batch_format="pyarrow")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        band = r // w
+        out_band = np.concatenate([band, band, band - 1])
+        out_r = np.concatenate([r, r, r])
+        out_ids = np.concatenate([ids, ids, ids])
+        is_left = np.zeros(3 * len(r), dtype=bool)
+        is_left[: len(r)] = True
+        keep = out_band >= 0
+        return pa.table(
+            {
+                "band": pa.array(out_band[keep], pa.int64()),
+                "r": pa.array(out_r[keep], pa.int64()),
+                "doc_id": pa.array(out_ids[keep], pa.int64()),
+                "is_left": pa.array(is_left[keep], pa.bool_()),
+            }
+        )
+
+    def per_band(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        left = batch.column("is_left").to_numpy(zero_copy_only=False)
+        lr, lid = r[left], ids[left]
+        rr, rid_all = r[~left], ids[~left]
+        o = np.argsort(rr)
+        rs, rid = rr[o], rid_all[o]
+        out_a, out_b = [], []
+        for d in range(1, w + 1):
+            pos = np.searchsorted(rs, lr + d)
+            ok = (pos < len(rs)) & (rs[np.minimum(pos, len(rs) - 1)] == lr + d)
+            out_a.append(lid[ok])
+            out_b.append(rid[pos[ok]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "clip_id_a": pa.array(a, pa.int64()),
+                "clip_id_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    cand = strip_empty_blocks(
+        ranked.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(per_band, batch_format="pyarrow")
+    )
+
+    sets_ds = _doc_shingle_sets(sf_dir, cfg, docs=docs).materialize()
+    verified = _ngram_verify_join(cand, sets_ds, threshold, num_partitions)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy()
+        b = batch.column("doc_id_b").to_numpy()
+        return pa.table(
+            {
+                "doc_id_a": pa.array(np.minimum(a, b), pa.int64()),
+                "doc_id_b": pa.array(np.maximum(a, b), pa.int64()),
+                "jaccard": batch.column("jaccard"),
+            }
+        )
+
+    return _dedupe_sorted_pairs(
+        verified.map_batches(normalize, batch_format="pyarrow")
+    )
+
+
+def _seg_arange_i64(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (int64)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lengths)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - lengths, lengths)
+    return out
+
+
+def _prefix_bytes_matrix(bin_arr: pa.Array, width: int) -> np.ndarray:
+    """(n, width) uint8 matrix of each binary value's first ``width``
+    bytes, zero-padded — one vectorized scatter from the Arrow buffers
+    (offset-safe), no per-row Python."""
+    n = len(bin_arr)
+    buf = np.zeros((n, width), dtype=np.uint8)
+    if n == 0:
+        return buf
+    flat = np.frombuffer(bin_arr.buffers()[2] or b"", dtype=np.uint8)
+    offs_all = np.frombuffer(bin_arr.buffers()[1], dtype=np.int32)
+    offs = offs_all[bin_arr.offset : bin_arr.offset + n + 1].astype(np.int64)
+    ln = np.minimum(np.diff(offs), width)
+    rows = np.repeat(np.arange(n), ln)
+    cols = _seg_arange_i64(ln)
+    buf[rows, cols] = flat[np.repeat(offs[:-1], ln) + cols]
+    return buf

@@ -57,7 +57,7 @@ SQL_QUERIES = [
     "near_dup_vs_reference", "winnowing_fingerprints", "revenue_rollup",
     "training_manifest", "event_type_transitions", "winnowing_dup_pairs",
     "funnel_counts", "doc_dedup_keep_best", "dup_graph_degrees",
-    "minhash_sim_histogram", "scoped_dup_pairs",
+    "minhash_sim_histogram", "scoped_dup_pairs", "snm_dup_pairs",
 ]
 
 
@@ -943,4 +943,17 @@ def test_funnel_counts_planted_semantics(ray_session, tmp_path):
     # partition invariance: one task vs many
     a = _canon(_pdf(funnel_counts(str(path), num_partitions=2)))
     b = _canon(_pdf(funnel_counts(str(path), num_partitions=32)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_snm_rank_partition_invariance(ray_session, sf_dir):
+    """The sorted-neighborhood global rank (and therefore the pair set)
+    is identical at different partition counts — the ordered prefix
+    count's range partitioning is an implementation detail."""
+    import pandas as pd
+
+    from minhash_ray.pipelines.dedup_text import snm_dup_pairs
+
+    a = _canon(_pdf(snm_dup_pairs(sf_dir, num_partitions=2)))
+    b = _canon(_pdf(snm_dup_pairs(sf_dir, num_partitions=32)))
     pd.testing.assert_frame_equal(a, b)
