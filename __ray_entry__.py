@@ -428,6 +428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # normalized key prefix via a distributed ordered prefix count,
         # rank-banded neighbor candidates, exact-Jaccard gate
         "snm_dup_pairs": dedup_text.snm_dup_pairs,
+        # dup-cluster size histogram (the end-of-run dedup report)
+        "dedup_cluster_sizes": dedup_text.dedup_cluster_sizes,
         # CCNet-style corpus-wide chunk (pseudo-paragraph) dedup: keep-first
         # over fixed word windows, docs reassembled from surviving chunks
         # (SQL-checked: DuckDB replays chunking + row_number keep-first)
@@ -1606,6 +1608,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sim_histogram": _sim_histogram_sql(),
         "scoped_dup_pairs": _scoped_pairs_sql(),
         "snm_dup_pairs": _snm_pairs_sql(),
+        "dedup_cluster_sizes": (
+            f"WITH tiered AS ({{TIERED}}), "
+            "sizes AS (SELECT cluster_id, count(*) AS cluster_size "
+            "FROM tiered GROUP BY cluster_id) "
+            "SELECT cluster_size, count(*) AS n_clusters "
+            "FROM sizes GROUP BY cluster_size"
+        ).format(TIERED=_tiered_dedup_sql()),
         "corpus_curation": _curation_sql(),
         "training_manifest": _training_manifest_sql(),
         "lang_id": _lang_id_sql(),

@@ -209,6 +209,7 @@ def run_bench() -> dict:
         ("doc_dedup_keep_best", dedup_text.doc_dedup_keep_best),
         ("scoped_dup_pairs", dedup_text.scoped_dup_pairs),
         ("snm_dup_pairs", dedup_text.snm_dup_pairs),
+        ("dedup_cluster_sizes", dedup_text.dedup_cluster_sizes),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),

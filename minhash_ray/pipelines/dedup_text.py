@@ -2541,3 +2541,25 @@ def _prefix_bytes_matrix(bin_arr: pa.Array, width: int) -> np.ndarray:
     cols = _seg_arange_i64(ln)
     buf[rows, cols] = flat[np.repeat(offs[:-1], ln) + cols]
     return buf
+
+
+def dedup_cluster_sizes(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(cluster_size, n_clusters): the dup-cluster size histogram over the
+    tiered dedup assignment — the one-line report every dedup run ends
+    with (size-1 clusters = unique docs; the tail is the boilerplate).
+    Two chained hash aggregates over the int64 assignment table — the
+    second one's input is at most one row per cluster."""
+    from ray.data.aggregate import Count
+
+    assign = doc_dedup_tiered(sf_dir, cfg, num_partitions, docs=docs)
+    sizes = assign.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+    return (
+        sizes.select_columns(["cluster_size"])
+        .groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
