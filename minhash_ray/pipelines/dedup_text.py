@@ -1530,11 +1530,49 @@ def chunk_dedup_docs(
     )
 
 
+_SETS_PACK_TASK = None
+
+
+def _sets_pack_task():
+    """Lazily-defined remote task building a sorted-id shingle-set pack
+    (ids int64 asc, flat u64, offsets) from materialized set blocks —
+    the off-driver pack-build idiom of ``stages/verify``."""
+    global _SETS_PACK_TASK
+    if _SETS_PACK_TASK is None:
+        import ray
+
+        @ray.remote
+        def sets_pack(*blocks: pa.Table):
+            from minhash_ray.functions.minhash import _seg_arange
+            from minhash_ray.stages.verify import _list_flat_offsets
+
+            tables = [b for b in blocks if b.num_rows] or [blocks[0]]
+            t = pa.concat_tables(tables)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            flat, offs = _list_flat_offsets(t.column("shingles"))
+            o = np.argsort(ids, kind="stable")
+            counts = np.diff(offs)[o]
+            sel = np.repeat(offs[:-1][o], counts) + _seg_arange(counts)
+            return {
+                "ids": ids[o],
+                "flat": flat[sel],
+                "offs": np.concatenate(([0], np.cumsum(counts))).astype(np.int64),
+            }
+
+        _SETS_PACK_TASK = sets_pack
+    return _SETS_PACK_TASK
+
+
+def _sets_pack_refs(sets_ds) -> list:
+    return [_sets_pack_task().remote(*sets_ds.to_arrow_refs())]
+
+
 def containment_pairs(
     sf_dir: str,
     threshold: float = 0.8,
-    num_partitions: int = 8,
+    num_partitions: int = 32,
     docs=None,
+    broadcast_max_rows: int | None = None,
 ) -> "object":
     """EXACT directed near-containment self-join: ordered pairs
     (doc_id_a, doc_id_b, containment) with a != b and
@@ -1550,9 +1588,12 @@ def containment_pairs(
     :func:`_df_order_ref`); the INDEX side emits every element (no length
     bound exists on the container, so the index cannot be prefixed).  One
     partitioned hash join on the element key + a distinct-pair groupby
-    yields candidates; verification attaches the true sets by two slim
-    partitioned joins and gates ``inter / |A|`` computed from exact
-    segmented intersections — nothing driver-resident.  ``minreq`` is the
+    yields candidates; verification gates ``inter / |A|`` from exact
+    segmented intersections, reading the true sets from a task-built
+    plasma pack under ``broadcast_verify_max_rows`` (candidates outnumber
+    docs ~60:1, so the pack beats shipping each set once per pair) and
+    from two slim partitioned joins above it (bit-identical, forced-path
+    pytest) — nothing driver-resident either way.  ``minreq`` is the
     smallest integer k with ``k/|A| >= threshold`` under IEEE division
     (float-edge-exact, so the prefix bound can never exclude a pair the
     gate would keep)."""
@@ -1652,6 +1693,67 @@ def containment_pairs(
         .count()
         .select_columns(["doc_id_a", "doc_id_b"])
     )
+
+    # --- verify: broadcast set-pack fast path under the size switch ---
+    # candidate pairs outnumber docs ~60:1 here (every near-dup cluster is
+    # quadratic in pairs), so the join-attach ships each doc's set once
+    # per PAIR; under ``broadcast_verify_max_rows`` one plasma pack keyed
+    # by sorted doc_id serves every verify task zero-copy instead.  The
+    # join-attach path stays the >limit fallback (same gate math,
+    # bit-identical output — forced-path pytest).
+    limit = (
+        DOC_CFG.broadcast_verify_max_rows
+        if broadcast_max_rows is None
+        else broadcast_max_rows
+    )
+    if n_docs <= limit:
+        from minhash_ray.util import cached_get as _get
+
+        pack_ref = _sets_pack_refs(sets_ds)
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return pa.table(
+                    {
+                        "doc_id_a": pa.array([], pa.int64()),
+                        "doc_id_b": pa.array([], pa.int64()),
+                        "containment": pa.array([], pa.float64()),
+                    }
+                )
+            pack = _get(pack_ref[0])
+            ids, flat_p, offs_p = pack["ids"], pack["flat"], pack["offs"]
+            a = batch.column("doc_id_a").to_numpy()
+            b = batch.column("doc_id_b").to_numpy()
+            ra = np.searchsorted(ids, a)
+            rb = np.searchsorted(ids, b)
+            ca = offs_p[ra + 1] - offs_p[ra]
+            cb = offs_p[rb + 1] - offs_p[rb]
+            sel_a = np.repeat(offs_p[ra], ca) + _seg_arange(ca)
+            sel_b = np.repeat(offs_p[rb], cb) + _seg_arange(cb)
+            flat = np.concatenate([flat_p[sel_a], flat_p[sel_b]])
+            offs = np.concatenate(
+                [
+                    np.concatenate(([0], np.cumsum(ca))),
+                    int(ca.sum()) + np.cumsum(cb),
+                ]
+            )
+            idx = np.arange(n, dtype=np.int64)
+            inter, _sa, _sb = segment_intersection_counts(flat, offs, idx, n + idx)
+            cont = np.zeros(n, dtype=np.float64)
+            nz = ca > 0
+            cont[nz] = inter[nz] / ca[nz]
+            keep = cont >= threshold
+            sel = np.flatnonzero(keep)
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(a[sel], pa.int64()),
+                    "doc_id_b": pa.array(b[sel], pa.int64()),
+                    "containment": pa.array(cont[keep], pa.float64()),
+                }
+            )
+
+        return cand.map_batches(verify_bcast, batch_format="pyarrow", batch_size=8192)
 
     def side(suffix: str):
         def pack(batch: pa.Table) -> pa.Table:

@@ -958,3 +958,16 @@ def test_snm_rank_partition_invariance(ray_session, sf_dir):
     a = _canon(_pdf(snm_dup_pairs(sf_dir, num_partitions=2)))
     b = _canon(_pdf(snm_dup_pairs(sf_dir, num_partitions=32)))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_containment_broadcast_path_matches_join_path(ray_session, sf_dir):
+    """The containment verify's task-built plasma pack and the join-attach
+    fallback produce bit-identical pairs (the forced-path proof pattern
+    used for every broadcast/join switch in the repo)."""
+    import pandas as pd
+
+    from minhash_ray.pipelines.dedup_text import containment_pairs
+
+    a = _canon(_pdf(containment_pairs(sf_dir)))
+    b = _canon(_pdf(containment_pairs(sf_dir, broadcast_max_rows=0)))
+    pd.testing.assert_frame_equal(a, b)
