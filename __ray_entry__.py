@@ -240,6 +240,37 @@ def audio_stats(sf_dir: str):
     return fn(clips)
 
 
+def clips_rate_outliers(sf_dir: str):
+    """Speaking-rate QC flags over the synthesized clips corpus
+    (pipelines/audio.transcript_rate_flags) — integer-exact gates."""
+    from minhash_ray.pipelines.audio import transcript_rate_flags
+    from minhash_ray.sources.clips import read_clips
+    from minhash_ray.sources.synth import clips_dir_for
+
+    d = clips_dir_for(sf_dir)
+    clips = read_clips(
+        os.path.join(d, "clips.parquet"),
+        columns=["clip_id", "transcript", "dur_ms"],
+    )
+    return transcript_rate_flags(clips)
+
+
+def _rate_outliers_sql(min_tps: int = 10, max_tps: int = 100) -> str:
+    path = _clips_parquet_path()
+    n_tokens = (
+        "CASE WHEN trim(transcript) = '' THEN 0 "
+        "ELSE CAST(len(regexp_split_to_array(trim(transcript), '\\s+')) AS BIGINT) END"
+    )
+    return (
+        f"WITH c AS (SELECT clip_id, {n_tokens} AS n_tokens, "
+        f"CAST(dur_ms AS BIGINT) AS dur_ms FROM read_parquet('{path}')) "
+        "SELECT clip_id, n_tokens, dur_ms, "
+        f"CAST(CASE WHEN n_tokens * 1000 > {max_tps} * dur_ms THEN 1 "
+        f"WHEN n_tokens * 1000 < {min_tps} * dur_ms THEN -1 "
+        "ELSE 0 END AS BIGINT) AS rate_flag FROM c"
+    )
+
+
 def audio_dup_pairs_q(sf_dir: str):
     """(clip_id_a, clip_id_b, audio_sim) — audio-channel-only near-dup
     pairs over the synthesized clips corpus (rows-only: OPH sketch
@@ -563,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- audio-payload ops (SQL-checked: oracle groups by the raw
         # BLOB, engine by its 128-bit payload digest) ---
         "audio_stats": audio_stats,
+        # speaking-rate QC over audio+transcript pairs (integer gates)
+        "clips_rate_outliers": clips_rate_outliers,
         "audio_exact_dedup": audio_exact_dedup,
         # audio-channel-only near-dup pairs (byte-OPH LSH + estimator
         # gate; rows-only — float sketch semantics, pytest-covered
@@ -1598,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         # the engine shuffles a 128-bit payload digest instead — an
         # independent identity check of the digest channel
         "audio_stats": _audio_stats_sql(),
+        "clips_rate_outliers": _rate_outliers_sql(),
         "audio_exact_dedup": _audio_exact_dedup_sql(),
         "simhash_fingerprints": _simhash_sql(),
         "simhash_dup_pairs": _simhash_pairs_sql(),

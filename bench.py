@@ -144,6 +144,7 @@ def run_bench() -> dict:
     from minhash_ray.pipelines.audio import audio_dup_pairs as _adp
     from minhash_ray.pipelines.audio import audio_exact_dedup as _aed
     from minhash_ray.pipelines.audio import audio_stats as _ast
+    from minhash_ray.pipelines.audio import transcript_rate_flags as _rate_flags
     from minhash_ray.pipelines.dedup import run_dedup_tiered as _rdt
 
     def _audio_stats(_sf):
@@ -211,6 +212,7 @@ def run_bench() -> dict:
         ("snm_dup_pairs", dedup_text.snm_dup_pairs),
         ("dedup_cluster_sizes", dedup_text.dedup_cluster_sizes),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
+        ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

@@ -204,3 +204,40 @@ def audio_dup_pairs(clips, cfg=None, tau: float = 0.6, num_partitions: int = 8):
         )
 
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+
+
+def transcript_rate_flags(clips, min_tps: int = 10, max_tps: int = 100):
+    """(clip_id, n_tokens, dur_ms, rate_flag): speaking-rate QC over the
+    audio + transcript pairs — flags clips whose whitespace-token rate
+    falls outside [min_tps, max_tps] tokens/second, the ASR-corpus
+    hygiene gate (rate outliers are alignment or transcription errors;
+    cf. the duration/char-rate filters of speech-corpus toolkits).
+
+    All gates are INTEGER cross-products (``n_tokens * 1000`` vs
+    ``bound * dur_ms``) so the oracle compare is bit-stable; a zero
+    duration with a non-empty transcript flags fast (undefined rate =
+    suspect).  ``rate_flag``: -1 slow, 0 in-range, 1 fast.  The default
+    bounds are calibrated to the synthetic fixture's rate distribution
+    (median ≈ 45 tok/s — not real speech, where ~2-4 words/s applies);
+    a real corpus passes its own bounds."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tr = batch.column("transcript")
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(tr))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n[pc.equal(pc.utf8_trim_whitespace(tr), "").to_numpy(zero_copy_only=False)] = 0
+        dur = pc.cast(batch.column("dur_ms"), pa.int64()).to_numpy(zero_copy_only=False)
+        ms = n * 1000
+        flag = np.zeros(len(n), dtype=np.int64)
+        flag[ms > max_tps * dur] = 1
+        flag[ms < min_tps * dur] = -1
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+                "dur_ms": pa.array(dur, pa.int64()),
+                "rate_flag": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return clips.map_batches(fn, batch_format="pyarrow")
