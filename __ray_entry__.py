@@ -534,6 +534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": text.normalize_text,
         # left-outer join (zero-order customers included)
         "customer_order_counts": relational.customer_order_counts,
+        # FULL OUTER join shape: per-nation segment-customer vs supplier
+        # counts, zero-filled on both sides
+        "nation_segment_balance": relational.nation_segment_balance,
         # PII/denylist scrubbing (vectorized RE2 replace + count)
         "scrub_terms": text.scrub_terms,
         "supplier_regions": relational.supplier_regions,
@@ -1563,6 +1566,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders "
             "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_custkey, c.c_name"
+        ),
+        "nation_segment_balance": (
+            "WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS k, "
+            "count(*) AS n_customers FROM customer "
+            "WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY 1), "
+            "s AS (SELECT CAST(s_nationkey AS BIGINT) AS k, "
+            "count(*) AS n_suppliers FROM supplier GROUP BY 1) "
+            "SELECT COALESCE(c.k, s.k) AS nationkey, "
+            "COALESCE(c.n_customers, 0) AS n_customers, "
+            "COALESCE(s.n_suppliers, 0) AS n_suppliers "
+            "FROM c FULL OUTER JOIN s ON s.k = c.k"
         ),
         "users_with_both": (
             "SELECT user_id FROM events WHERE event_type = 'click' "

@@ -211,6 +211,7 @@ def run_bench() -> dict:
         ("scoped_dup_pairs", dedup_text.scoped_dup_pairs),
         ("snm_dup_pairs", dedup_text.snm_dup_pairs),
         ("dedup_cluster_sizes", dedup_text.dedup_cluster_sizes),
+        ("nation_segment_balance", relational.nation_segment_balance),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_stats", _audio_stats),

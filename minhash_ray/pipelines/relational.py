@@ -610,3 +610,65 @@ def revenue_rollup(sf_dir: str, num_partitions: int = 8):
     )
     return pa.concat_tables([ft.select(["r_name", "n_name", "n_items", "revenue_cents"]),
                              region_tbl, total_tbl])
+
+
+def nation_segment_balance(
+    sf_dir: str, segment: str = "AUTOMOBILE", num_partitions: int = 8
+):
+    """(nationkey, n_customers, n_suppliers): per-nation count of
+    ``segment`` customers FULL-OUTER-joined with per-nation supplier
+    counts, zeros filled on both sides — the full-outer shape (nations
+    with segment customers but no suppliers AND vice versa both survive;
+    completes the join-type surface next to inner / left_outer / semi /
+    anti).
+
+    Scale shape: both sides pre-aggregate to one row per nation before
+    the join, so the full-outer hash join moves 25 rows, never the base
+    tables."""
+    from ray.data.aggregate import Count
+
+    from minhash_ray.util import clamp_partitions
+
+    np_parts = clamp_partitions(num_partitions)
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("c_mktsegment"), segment)
+        return pa.table(
+            {"ckey": pc.cast(batch.column("c_nationkey").filter(keep), pa.int64())}
+        )
+
+    cust = (
+        _t(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+        .map_batches(cust_slim, batch_format="pyarrow")
+        .groupby("ckey")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+    supp = (
+        _t(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(
+            lambda b: pa.table({"skey": pc.cast(b.column("s_nationkey"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("skey")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+    joined = cust.join(
+        supp, join_type="full_outer", on=("ckey",), right_on=("skey",),
+        num_partitions=np_parts,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # Ray's full_outer join coalesces the key into the LEFT key column
+        return pa.table(
+            {
+                "nationkey": pc.cast(batch.column("ckey"), pa.int64()),
+                "n_customers": pc.fill_null(
+                    pc.cast(batch.column("n_customers"), pa.int64()), 0
+                ),
+                "n_suppliers": pc.fill_null(
+                    pc.cast(batch.column("n_suppliers"), pa.int64()), 0
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -58,7 +58,7 @@ SQL_QUERIES = [
     "training_manifest", "event_type_transitions", "winnowing_dup_pairs",
     "funnel_counts", "doc_dedup_keep_best", "dup_graph_degrees",
     "minhash_sim_histogram", "scoped_dup_pairs", "snm_dup_pairs",
-    "dedup_cluster_sizes", "clips_rate_outliers",
+    "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
 ]
 
 
