@@ -149,16 +149,19 @@ def simhash_fingerprints(sf_dir: str, cfg: PipelineConfig = DOC_CFG):
 
 
 def minhash_dup_pairs(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8,
-                      docs=None):
+                      docs=None, sigs=None):
     """Near-duplicate pairs (doc_id_a < doc_id_b, sim >= tau-margin) via the
     full LSH pipeline: banding → salted bucket self-join → verified
     estimator (reference query semantics, src/serial/minhash-serial.c:16-26).
 
-    ``docs`` overrides the source dataset (doc_id + text columns)."""
+    ``docs`` overrides the source dataset (doc_id + text columns);
+    ``sigs`` supplies already-materialized :func:`doc_signatures` output
+    (the tiered pipeline computes/checkpoints it once and passes it in)."""
     from minhash_ray.stages.banding import make_minhash_band_fn
     from minhash_ray.stages.candidates import candidate_pairs
 
-    sigs = doc_signatures(sf_dir, cfg, docs=docs).materialize()
+    if sigs is None:
+        sigs = doc_signatures(sf_dir, cfg, docs=docs).materialize()
 
     def with_str_ids(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1053,7 +1056,17 @@ def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions:
             lambda b: pa.table({"doc_id": b.column("rep_id"), "text": b.column("text")}),
             batch_format="pyarrow",
         )
-        pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=reps_docs)
+        # rep signatures are checkpointed so an incremental append
+        # (doc_dedup_tiered_append) never re-sketches old reps
+        if ckpt and ckpt.is_complete("tier2_sigs"):
+            sigs = ckpt.load("tier2_sigs").materialize()
+        else:
+            sigs = doc_signatures(sf_dir, cfg, docs=reps_docs).materialize()
+            if ckpt:
+                sigs = ckpt.save(
+                    "tier2_sigs", sigs, input_stage="tier1_reps"
+                ).materialize()
+        pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=reps_docs, sigs=sigs)
         if ckpt:
             ckpt.save(
                 "tier2_pairs",
@@ -2664,4 +2677,391 @@ def dedup_cluster_sizes(
         sizes.select_columns(["cluster_size"])
         .groupby("cluster_size")
         .aggregate(Count(alias_name="n_clusters"))
+    )
+
+
+def doc_dedup_tiered_append(
+    new_docs,
+    cfg: PipelineConfig = DOC_CFG,
+    ckpt_root: str | None = None,
+    num_partitions: int = 8,
+):
+    """Incremental update of a checkpointed :func:`doc_dedup_tiered`
+    corpus: merge a NEW documents partition without re-digesting,
+    re-sketching or re-verifying the old corpus — the document-side
+    counterpart of the flagship's ``append_clips`` (the reference's
+    insert-while-query workload, test/fcds/test_fixed_queries_infinite_write.c:90-99,
+    re-expressed over immutable checkpoints).
+
+    What runs per append (new partition = the small side by design):
+
+    1. **exact tier merge** — new docs are digested and grouped; groups
+       joining an EXISTING digest route through its rep (an exact dup
+       costs one join row, nothing else); brand-new groups become new
+       reps.  A new doc id smaller than its group's old rep RENAMES the
+       rep (min-fold determinism) — renames are metadata-scale and
+       rewrite only int64 id columns, never sketches (same text ⇒ same
+       signature).
+    2. **near tier** — ONLY brand-new reps are sketched (old rep
+       signatures load from the ``tier2_sigs`` checkpoint); banding runs
+       over the merged slim signature table but the pair shuffle is
+       restricted to buckets the new reps touch, and only pairs touching
+       a new rep are verified.  Old-old pairs come verbatim (renamed)
+       from ``tier2_pairs``.
+    3. **cluster tier** — connected components re-run over the merged
+       metadata-scale pair list.  OLD docs are re-routed WITHOUT
+       re-reading the old corpus: an old doc's previous cluster root is
+       itself a rep connected to the doc's rep by checkpointed edges, so
+       ``new_cluster(old doc) = cluster(rename(old_cluster_id))`` — one
+       slim join against the previous ``tier3_assign``.
+
+    The result is saved back to the same checkpoint stages and is equal
+    to a single-shot run over (old ∪ new) — asserted exactly by pytest,
+    the same standard as ``append_clips`` (for pathological hot buckets
+    the star+chain candidate ROOTS can differ between the two runs while
+    cluster connectivity stays equal; the equality test covers the
+    planted fixture).
+
+    Preconditions: complete tier1_reps / tier2_sigs / tier2_pairs /
+    tier3_assign checkpoints for this config, and new doc_ids disjoint
+    from the ingested corpus (validated before any mutation)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from minhash_ray.stages.banding import make_minhash_band_fn
+    from minhash_ray.stages.candidates import candidate_pairs
+    from minhash_ray.stages.cluster import assign_clusters
+    from minhash_ray.stages.verify import verify_pairs
+    from minhash_ray.state.checkpoint import CheckpointManager
+    from minhash_ray.util import cached_get, clamp_partitions
+
+    if not ckpt_root:
+        raise ValueError("doc_dedup_tiered_append requires a checkpoint root")
+    ckpt = CheckpointManager(ckpt_root, cfg)
+    ckpt.clear_stale_temps()
+    for stage in ("tier1_reps", "tier2_sigs", "tier2_pairs", "tier3_assign"):
+        if not ckpt.is_complete(stage):
+            raise ValueError(f"append needs a complete {stage!r} checkpoint")
+
+    np_parts = clamp_partitions(num_partitions)
+    new_keyed = new_docs.map_batches(_add_text_digest, batch_format="pyarrow").materialize()
+
+    # new-side ids (small side by design — same driver gather as append_clips)
+    id_chunks = [
+        b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in new_keyed.select_columns(["doc_id"]).iter_batches(
+            batch_size=1_048_576, batch_format="pyarrow"
+        )
+    ]
+    new_ids = np.sort(np.concatenate(id_chunks)) if id_chunks else np.empty(0, np.int64)
+
+    # disjointness BEFORE mutating persistent state
+    old_assign = ckpt.load("tier3_assign")
+    if len(new_ids):
+        for b in old_assign.select_columns(["doc_id"]).iter_batches(
+            batch_size=1_048_576, batch_format="pyarrow"
+        ):
+            old = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.minimum(np.searchsorted(new_ids, old), len(new_ids) - 1)
+            hit = new_ids[pos] == old
+            if hit.any():
+                raise ValueError(
+                    f"doc_dedup_tiered_append: doc_id {int(old[hit][0])} already "
+                    "ingested; new doc_ids must be disjoint from the corpus"
+                )
+
+    # --- tier 1 merge ---
+    agg = new_keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
+
+    def rename_new_groups(batch: pa.Table) -> pa.Table:
+        dcol = [c for c in batch.column_names if "doc_id" in c][0]
+        tcol = [c for c in batch.column_names if "text" in c][0]
+        return pa.table(
+            {
+                "dg0": batch.column("dg0"),
+                "dg1": batch.column("dg1"),
+                "new_min": pc.cast(batch.column(dcol), pa.int64()),
+                "new_text": batch.column(tcol),
+            }
+        )
+
+    new_groups = agg.map_batches(rename_new_groups, batch_format="pyarrow")
+    old_reps = ckpt.load("tier1_reps")
+    matched = new_groups.join(
+        old_reps, join_type="left_outer", on=("dg0", "dg1"), num_partitions=np_parts,
+    ).materialize()
+
+    # renames + brand-new groups are both bounded by the new partition
+    rn_old, rn_new = [], []
+    fresh_tbls = []
+    for b in matched.iter_batches(batch_size=1_048_576, batch_format="pyarrow"):
+        isnull = pc.is_null(b.column("rep_id")).to_numpy(zero_copy_only=False)
+        # a null int64 column round-trips as float64 + NaN: mask BEFORE cast
+        old_f = b.column("rep_id").to_numpy(zero_copy_only=False).astype(np.float64)
+        old_rep = np.where(isnull, np.float64(2**62), old_f).astype(np.int64)
+        new_min = b.column("new_min").to_numpy(zero_copy_only=False).astype(np.int64)
+        ren = (~isnull) & (new_min < old_rep)
+        if ren.any():
+            rn_old.append(old_rep[ren])
+            rn_new.append(new_min[ren])
+        if isnull.any():
+            sel = pa.array(np.flatnonzero(isnull))
+            fresh_tbls.append(
+                pa.table(
+                    {
+                        "dg0": b.column("dg0").take(sel),
+                        "dg1": b.column("dg1").take(sel),
+                        "rep_id": pc.cast(b.column("new_min").take(sel), pa.int64()),
+                        "text": b.column("new_text").take(sel),
+                    }
+                )
+            )
+    ren_old = np.concatenate(rn_old) if rn_old else np.empty(0, np.int64)
+    ren_new = np.concatenate(rn_new) if rn_new else np.empty(0, np.int64)
+    o = np.argsort(ren_old)
+    ren_old, ren_new = ren_old[o], ren_new[o]
+    ren_ref = [ray.put({"old": ren_old, "new": ren_new})]
+
+    def rename_col(col, rmap) -> pa.Array:
+        v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        if len(rmap["old"]):
+            pos = np.minimum(np.searchsorted(rmap["old"], v), len(rmap["old"]) - 1)
+            hit = rmap["old"][pos] == v
+            v = np.where(hit, rmap["new"][pos], v)
+        return pa.array(v, pa.int64())
+
+    def rename_reps(batch: pa.Table) -> pa.Table:
+        rmap = cached_get(ren_ref[0])
+        return pa.table(
+            {
+                "dg0": batch.column("dg0"),
+                "dg1": batch.column("dg1"),
+                "rep_id": rename_col(batch.column("rep_id"), rmap),
+                "text": batch.column("text"),
+            }
+        )
+
+    fresh = (
+        rd.from_arrow(pa.concat_tables(fresh_tbls))
+        if fresh_tbls
+        else None
+    )
+    merged_reps = old_reps.map_batches(rename_reps, batch_format="pyarrow")
+    if fresh is not None:
+        merged_reps = merged_reps.union(fresh)
+    merged_reps = ckpt.save("tier1_reps", merged_reps.materialize()).materialize()
+
+    # --- tier 2: sketch ONLY brand-new reps ---
+    def rename_sigs(batch: pa.Table) -> pa.Table:
+        rmap = cached_get(ren_ref[0])
+        return batch.set_column(
+            batch.column_names.index("doc_id"),
+            "doc_id",
+            rename_col(batch.column("doc_id"), rmap),
+        )
+
+    old_sigs = ckpt.load("tier2_sigs").map_batches(rename_sigs, batch_format="pyarrow")
+    if fresh is not None:
+        fresh_docs = fresh.map_batches(
+            lambda b: pa.table({"doc_id": b.column("rep_id"), "text": b.column("text")}),
+            batch_format="pyarrow",
+        )
+        new_sigs = doc_signatures("", cfg, docs=fresh_docs).materialize()
+        merged_sigs = old_sigs.union(new_sigs).materialize()
+    else:
+        new_sigs = None
+        merged_sigs = old_sigs.materialize()
+    merged_sigs = ckpt.save("tier2_sigs", merged_sigs, input_stage="tier1_reps").materialize()
+
+    def pad12(col) -> pa.Array:
+        out = pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+    def with_str_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "clip_id": pad12(batch.column("doc_id")),
+                "signature": batch.column("signature"),
+                "simhash": batch.column("simhash"),
+                "n_shingles": batch.column("n_shingles"),
+            }
+        )
+
+    keyed = merged_sigs.map_batches(with_str_ids, batch_format="pyarrow").materialize()
+
+    # old pairs, renamed (and re-ordered where a rename crossed the pair)
+    old_pairs_tbls = list(
+        ckpt.load("tier2_pairs").iter_batches(batch_size=1_048_576, batch_format="pyarrow")
+    )
+    if old_pairs_tbls:
+        opt = pa.concat_tables(old_pairs_tbls)
+        rmap = {"old": ren_old, "new": ren_new}
+        a = rename_col(opt.column("doc_id_a"), rmap).to_numpy()
+        b_ = rename_col(opt.column("doc_id_b"), rmap).to_numpy()
+        old_pairs = pa.table(
+            {
+                "doc_id_a": pa.array(np.minimum(a, b_), pa.int64()),
+                "doc_id_b": pa.array(np.maximum(a, b_), pa.int64()),
+                "sim": opt.column("sim"),
+            }
+        )
+    else:
+        old_pairs = pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+
+    if new_sigs is not None:
+        band_fn = make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm)
+        new_keyed_sigs = new_sigs.map_batches(with_str_ids, batch_format="pyarrow")
+        bucket_chunks = [
+            np.unique(b.column("bucket").to_numpy())
+            for b in new_keyed_sigs.map_batches(band_fn, batch_format="pyarrow")
+            .select_columns(["bucket"])
+            .iter_batches(batch_size=1_048_576, batch_format="pyarrow")
+        ]
+        touched = (
+            np.unique(np.concatenate(bucket_chunks))
+            if bucket_chunks
+            else np.empty(0, np.int64)
+        )
+        touched_ref = [ray.put(touched)]
+
+        def keep_touched(batch: pa.Table) -> pa.Table:
+            tb = cached_get(touched_ref[0])
+            if len(tb) == 0:
+                return batch.slice(0, 0)
+            buckets = batch.column("bucket").to_numpy()
+            pos = np.minimum(np.searchsorted(tb, buckets), len(tb) - 1)
+            return batch.filter(pa.array(tb[pos] == buckets))
+
+        band_rows = keyed.map_batches(band_fn, batch_format="pyarrow").map_batches(
+            keep_touched, batch_format="pyarrow"
+        )
+        cand = candidate_pairs(band_rows, cfg, num_partitions=num_partitions)
+
+        fresh_np = new_sigs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+        fresh_pad = np.sort(
+            np.char.zfill(fresh_np.astype(np.int64).astype("U12"), 12).astype("S12")
+        )
+        fresh_ref = [ray.put(fresh_pad)]
+
+        def keep_new_pairs(batch: pa.Table) -> pa.Table:
+            from minhash_ray.util import bytes_key_array
+
+            ids = cached_get(fresh_ref[0])
+            if len(ids) == 0:
+                return batch.slice(0, 0)
+
+            def member(col):
+                v = bytes_key_array(batch.column(col))
+                pos = np.minimum(np.searchsorted(ids, v), len(ids) - 1)
+                return ids[pos] == v
+
+            return batch.filter(pa.array(member("clip_id_a") | member("clip_id_b")))
+
+        cand = cand.map_batches(keep_new_pairs, batch_format="pyarrow").materialize()
+
+        def add_audio_fp(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "audio_fp",
+                pa.array(np.zeros(batch.num_rows, dtype=np.uint64), pa.uint64()),
+            )
+
+        n_total = keyed.count()
+        new_edges = verify_pairs(
+            cand,
+            keyed.map_batches(add_audio_fp, batch_format="pyarrow"),
+            cfg,
+            n_clips=n_total,
+            num_partitions=num_partitions,
+        )
+
+        def to_int_pairs(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id_a": pc.cast(batch.column("clip_id_a"), pa.int64()),
+                    "doc_id_b": pc.cast(batch.column("clip_id_b"), pa.int64()),
+                    "sim": batch.column("sim"),
+                }
+            )
+
+        new_pairs = _dedupe_sorted_pairs(
+            new_edges.map_batches(to_int_pairs, batch_format="pyarrow"), val_col="sim"
+        )
+        merged_pairs = pa.concat_tables([old_pairs, new_pairs])
+    else:
+        merged_pairs = old_pairs
+    merged_pairs = _dedupe_sorted_pairs(rd.from_arrow(merged_pairs), val_col="sim")
+    ckpt.save(
+        "tier2_pairs",
+        rd.from_arrow(merged_pairs),
+        input_stage="tier1_reps",
+        schema=merged_pairs.schema,
+    )
+
+    # --- tier 3: cluster merged reps, route old docs via their previous
+    # cluster root (a rep, connected to them by checkpointed edges) ---
+    pairs_ds = rd.from_arrow(
+        pa.table(
+            {
+                "clip_id_a": pad12(merged_pairs.column("doc_id_a")),
+                "clip_id_b": pad12(merged_pairs.column("doc_id_b")),
+            }
+        )
+    )
+    rep_ids = merged_reps.map_batches(
+        lambda b: pa.table({"clip_id": pad12(b.column("rep_id"))}),
+        batch_format="pyarrow",
+    )
+    assign = assign_clusters(rep_ids, pairs_ds, cfg, num_partitions=num_partitions)
+
+    # new docs route through their (merged) exact group rep
+    new_routed = new_keyed.select_columns(["doc_id", "dg0", "dg1"]).join(
+        merged_reps.select_columns(["dg0", "dg1", "rep_id"]),
+        join_type="inner",
+        on=("dg0", "dg1"),
+        num_partitions=np_parts,
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+             "rep_key": pad12(b.column("rep_id"))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    # old docs route through rename(old_cluster_id)
+    def old_route(batch: pa.Table) -> pa.Table:
+        rmap = cached_get(ren_ref[0])
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "rep_key": pad12(rename_col(batch.column("cluster_id"), rmap)),
+            }
+        )
+
+    old_routed = old_assign.map_batches(old_route, batch_format="pyarrow")
+    routed = old_routed.union(new_routed).join(
+        assign, join_type="inner", on=("rep_key",), right_on=("clip_id",),
+        num_partitions=np_parts,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cluster = pc.cast(batch.column("cluster_id"), pa.int64())
+        doc = pc.cast(batch.column("doc_id"), pa.int64())
+        keep = pc.cast(pc.equal(doc, cluster), pa.int64())
+        return pa.table({"doc_id": doc, "cluster_id": cluster, "keep": keep})
+
+    out = routed.map_batches(finalize, batch_format="pyarrow")
+    return ckpt.save(
+        "tier3_assign",
+        out,
+        input_stage="tier2_pairs",
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("keep", pa.int64())]
+        ),
     )

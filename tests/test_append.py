@@ -142,3 +142,109 @@ def test_load_ignores_unlisted_parts_and_reconciliation_removes_them(
     mgr.clear_stale_temps()
     assert not os.path.exists(orphan)                   # orphan reconciled away
     assert mgr.load("signatures").count() == rows
+
+
+def _canon_df(d):
+    return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+
+def test_doc_tiered_append_equals_single_shot(ray_session, sf_dir, tmp_path):
+    """Half the documents table checkpointed, the other half appended:
+    assignments equal the single-shot run exactly — only new exact-tier
+    reps are sketched, old pairs load from the checkpoint, and old docs
+    re-route through their previous cluster roots without re-reading
+    the old corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from minhash_ray.pipelines.dedup_text import (
+        doc_dedup_tiered,
+        doc_dedup_tiered_append,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def rng(lo, hi):
+        return docs.map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(b.column("doc_id"), lo),
+                    pc.less(b.column("doc_id"), hi),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    full = _canon_df(doc_dedup_tiered(sf_dir).to_pandas())
+    ck = str(tmp_path / "dck")
+    doc_dedup_tiered(sf_dir, docs=rng(0, 250), ckpt_root=ck).to_pandas()
+    out = _canon_df(
+        doc_dedup_tiered_append(rng(250, 1 << 40), ckpt_root=ck).to_pandas()
+    )
+    assert out.equals(full)
+
+
+def test_doc_tiered_append_rename_and_near_dup(ray_session, tmp_path):
+    """Appended docs with SMALLER ids that exactly copy existing texts
+    force rep renames (min-fold determinism), and a near-dup new text
+    exercises the restricted near tier — still equal to single-shot."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from minhash_ray.pipelines.dedup_text import (
+        doc_dedup_tiered,
+        doc_dedup_tiered_append,
+    )
+
+    base = [f"the quick brown fox jumps over dog number {i} " * 6 for i in range(20)]
+    old_tbl = pa.table(
+        {"doc_id": pa.array(range(100, 120), pa.int64()),
+         "text": pa.array(base, pa.string())}
+    )
+    new_tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [base[0], base[5], base[2] + "extra tail words here"], pa.string()
+            ),
+        }
+    )
+    ck = str(tmp_path / "rck")
+    doc_dedup_tiered("", docs=rd.from_arrow(old_tbl), ckpt_root=ck).to_pandas()
+    out = _canon_df(
+        doc_dedup_tiered_append(rd.from_arrow(new_tbl), ckpt_root=ck).to_pandas()
+    )
+    full = _canon_df(
+        doc_dedup_tiered("", docs=rd.from_arrow(pa.concat_tables([old_tbl, new_tbl]))).to_pandas()
+    )
+    assert out.equals(full)
+    # the copied group's keep flag moved to the new smaller id
+    assert int(out[out.doc_id == 1].keep.iloc[0]) == 1
+    assert int(out[out.doc_id == 100].keep.iloc[0]) == 0
+    assert int(out[out.doc_id == 100].cluster_id.iloc[0]) == 1
+
+
+def test_doc_tiered_append_rejects_overlap_and_incomplete(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data as rd
+
+    from minhash_ray.pipelines.dedup_text import (
+        doc_dedup_tiered,
+        doc_dedup_tiered_append,
+    )
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array(["aa bb cc dd", "ee ff gg hh", "ii jj kk ll"], pa.string())}
+    )
+    ck = str(tmp_path / "ock")
+    with pytest.raises(ValueError, match="complete"):
+        doc_dedup_tiered_append(rd.from_arrow(tbl), ckpt_root=ck)
+    doc_dedup_tiered("", docs=rd.from_arrow(tbl), ckpt_root=ck).to_pandas()
+    with pytest.raises(ValueError, match="already"):
+        doc_dedup_tiered_append(rd.from_arrow(tbl.slice(0, 1)), ckpt_root=ck)
