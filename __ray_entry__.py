@@ -581,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---
         "lang_id": text.lang_id,
+        # declared x predicted language confusion matrix (label-noise QC)
+        "lang_confusion": text.lang_confusion,
         # --- seeded sampling op (rows-only: Ray RNG) ---
         "doc_sample": text.doc_sample,
         # --- flagship clips pipelines (rows-only: sketch/LSH semantics) ---
@@ -1666,6 +1668,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _curation_sql(),
         "training_manifest": _training_manifest_sql(),
         "lang_id": _lang_id_sql(),
+        "lang_confusion": (
+            f"WITH li AS ({_lang_id_sql()}) "
+            "SELECT d.lang AS lang, li.lang_pred AS lang_pred, "
+            "count(*) AS n_docs FROM documents d "
+            "JOIN li ON li.doc_id = d.doc_id GROUP BY 1, 2"
+        ),
         "lang_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang"

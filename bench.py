@@ -212,6 +212,7 @@ def run_bench() -> dict:
         ("snm_dup_pairs", dedup_text.snm_dup_pairs),
         ("dedup_cluster_sizes", dedup_text.dedup_cluster_sizes),
         ("nation_segment_balance", relational.nation_segment_balance),
+        ("lang_confusion", text.lang_confusion),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_stats", _audio_stats),

@@ -2104,14 +2104,19 @@ def winnowing_dup_pairs(
 
     Scale shape: one partitioned self-join on the fingerprint key (the
     inverted-index join), a<b ordering + batch-local partial pair counts
-    (Arrow ``group_by`` in the map task), then a groupby-sum over slim
-    (a, b, c) partials and the HAVING gate — the exchange carries pair
-    partials, never fingerprint lists.  Ultra-common fingerprints
-    (site boilerplate) are the skew risk; they are exactly the hot-key
-    story of every exact join here, and the count semantics forbid
-    dropping them by default."""
+    (Arrow ``group_by`` in the map task), then the partials fold inside
+    a PAIR-HASH partition (``groupby(pkey).map_groups`` with one
+    vectorized Arrow aggregate per partition) and the HAVING gate runs in
+    the same pass — the exchange carries pair partials, never fingerprint
+    lists, and no stage asks Ray's aggregate to iterate the ~corpus-width
+    set of distinct pairs as groups (measured 8.5 s wall / 130 s CPU for
+    ~800k groups at sf0.1; the pkey fold is ~20× cheaper).  Ultra-common
+    fingerprints (site boilerplate) are the skew risk; they are exactly
+    the hot-key story of every exact join here, and the count semantics
+    forbid dropping them by default."""
     import pyarrow.compute as pc
 
+    from minhash_ray.stages.banding import splitmix64
     from minhash_ray.util import clamp_partitions, strip_empty_blocks
 
     np_parts = clamp_partitions(num_partitions)
@@ -2129,6 +2134,8 @@ def winnowing_dup_pairs(
         num_partitions=np_parts,
     )
 
+    P = np.uint64(max(2, 4 * np_parts))
+
     def partial(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_id").to_numpy(zero_copy_only=False)
         b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
@@ -2140,33 +2147,35 @@ def winnowing_dup_pairs(
             }
         )
         agg = t.group_by(["doc_id_a", "doc_id_b"]).aggregate([([], "count_all")])
+        aa = agg.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = agg.column("doc_id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pkey = (splitmix64(splitmix64(aa) ^ bb) % P).astype(np.int64)
         return pa.table(
             {
                 "doc_id_a": agg.column("doc_id_a"),
                 "doc_id_b": agg.column("doc_id_b"),
                 "c": pc.cast(agg.column("count_all"), pa.int64()),
+                "pkey": pa.array(pkey, pa.int64()),
             }
         )
 
-    summed = (
-        strip_empty_blocks(joined.map_batches(partial, batch_format="pyarrow"))
-        .groupby(["doc_id_a", "doc_id_b"])
-        .sum("c")
-    )
-
-    def gate(batch: pa.Table) -> pa.Table:
-        ccol = [c for c in batch.column_names if c.startswith("sum")][0]
-        n = pc.cast(batch.column(ccol), pa.int64())
+    def fold_and_gate(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["doc_id_a", "doc_id_b"]).aggregate([("c", "sum")])
+        n = pc.cast(agg.column("c_sum"), pa.int64())
         t = pa.table(
             {
-                "doc_id_a": batch.column("doc_id_a"),
-                "doc_id_b": batch.column("doc_id_b"),
+                "doc_id_a": agg.column("doc_id_a"),
+                "doc_id_b": agg.column("doc_id_b"),
                 "n_shared": n,
             }
         )
         return t.filter(pc.greater_equal(t.column("n_shared"), min_shared))
 
-    return summed.map_batches(gate, batch_format="pyarrow")
+    return (
+        strip_empty_blocks(joined.map_batches(partial, batch_format="pyarrow"))
+        .groupby("pkey")
+        .map_groups(fold_and_gate, batch_format="pyarrow")
+    )
 
 
 def doc_dedup_keep_best(
@@ -2186,16 +2195,16 @@ def doc_dedup_keep_best(
     Scale shape: the assignment table (3 int64 columns) joins per-doc
     token counts on a partitioned doc_id hash join; per-cluster argmax is
     ONE packed-int64 max (``n_tokens * 2^32 + (2^32-1 - doc_id)`` —
-    lexicographic (max tokens, min doc_id) under plain integer max)
-    through Ray's partial+final hash aggregate, so the wide exchange
-    carries one row per cluster; a second slim join routes each winner
-    back to its members.  Packing headroom: doc_id < 2^32 and n_tokens <
-    2^31 (asserted per batch) — at larger id spaces widen to two-column
-    max_by semantics."""
+    lexicographic (max tokens, min doc_id) under plain integer max),
+    folded as per-batch Arrow partials through a CLUSTER-HASH partition
+    (``groupby(pkey).map_groups``, one vectorized aggregate per
+    partition — never a Ray aggregate iterating corpus-width clusters as
+    groups); a second slim join routes each winner back to its members.
+    Packing headroom: doc_id < 2^32 and n_tokens < 2^31 (asserted per
+    batch) — at larger id spaces widen to two-column max_by semantics."""
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Max
-
+    from minhash_ray.stages.banding import splitmix64
     from minhash_ray.util import clamp_partitions
 
     np_parts = clamp_partitions(num_partitions)
@@ -2235,7 +2244,31 @@ def doc_dedup_keep_best(
         )
 
     packed_ds = joined.map_batches(pack, batch_format="pyarrow").materialize()
-    best = packed_ds.groupby("cluster_id").aggregate(Max("packed", alias_name="bp"))
+
+    P = np.uint64(max(2, 4 * np_parts))
+
+    def best_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("cluster_id").aggregate([("packed", "max")])
+        ck = agg.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "cluster_id": agg.column("cluster_id"),
+                "bp": agg.column("packed_max"),
+                "pkey": pa.array((splitmix64(ck) % P).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def best_fold(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("cluster_id").aggregate([("bp", "max")])
+        return pa.table(
+            {"cluster_id": agg.column("cluster_id"), "bp": agg.column("bp_max")}
+        )
+
+    best = (
+        packed_ds.map_batches(best_partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(best_fold, batch_format="pyarrow")
+    )
     routed = packed_ds.join(
         best, join_type="inner", on=("cluster_id",), num_partitions=np_parts
     )
@@ -2267,12 +2300,18 @@ def dup_graph_degrees(
     hot-bucket salting's natural customer; cf. ``find_hot_buckets``).
 
     Scale shape: the verified pair table is metadata-scale by
-    construction (never all-pairs), so degrees are a both-direction
-    column concat + one distributed hash aggregate — no driver loop."""
+    construction (never all-pairs); degrees fold as per-batch Arrow
+    partials through a doc-hash partition (``groupby(pkey).map_groups``
+    — the distinct-doc set is corpus-width, so Ray's aggregate must
+    never see docs as groups)."""
+    import pyarrow.compute as pc
+
     import ray.data as rd
 
-    from ray.data.aggregate import Count
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import clamp_partitions
 
+    P = np.uint64(max(2, 4 * clamp_partitions(num_partitions)))
     pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=docs)
     both = pa.table(
         {
@@ -2284,8 +2323,32 @@ def dup_graph_degrees(
             )
         }
     )
-    return rd.from_arrow(both).groupby("doc_id").aggregate(
-        Count(alias_name="n_dups")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("doc_id").aggregate([([], "count_all")])
+        ids = agg.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "c": pc.cast(agg.column("count_all"), pa.int64()),
+                "pkey": pa.array((splitmix64(ids) % P).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("doc_id").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "n_dups": pc.cast(agg.column("c_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.from_arrow(both)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
@@ -2562,6 +2625,15 @@ def snm_dup_pairs(
 
     ranked = slim.groupby("part").map_groups(rank_partition, batch_format="pyarrow")
 
+    # bands are corpus-width/w, so they ride a BAND-HASH partition
+    # (groupby(pkey).map_groups) rather than Ray-aggregate groups; rank
+    # uniqueness makes the searchsorted matches exact even when several
+    # bands share a partition (a left's needed right rank is emitted to
+    # the left's own band, hence to the left's partition)
+    from minhash_ray.stages.banding import splitmix64 as _smx
+
+    P_bands = np.uint64(max(2, 4 * np_parts))
+
     def band_rows(batch: pa.Table) -> pa.Table:
         r = batch.column("r").to_numpy()
         ids = batch.column("doc_id").to_numpy()
@@ -2572,9 +2644,10 @@ def snm_dup_pairs(
         is_left = np.zeros(3 * len(r), dtype=bool)
         is_left[: len(r)] = True
         keep = out_band >= 0
+        pkey = (_smx(out_band[keep].astype(np.uint64)) % P_bands).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(out_band[keep], pa.int64()),
+                "pkey": pa.array(pkey, pa.int64()),
                 "r": pa.array(out_r[keep], pa.int64()),
                 "doc_id": pa.array(out_ids[keep], pa.int64()),
                 "is_left": pa.array(is_left[keep], pa.bool_()),
@@ -2606,7 +2679,7 @@ def snm_dup_pairs(
 
     cand = strip_empty_blocks(
         ranked.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band")
+        .groupby("pkey")
         .map_groups(per_band, batch_format="pyarrow")
     )
 
@@ -2667,16 +2740,48 @@ def dedup_cluster_sizes(
     """(cluster_size, n_clusters): the dup-cluster size histogram over the
     tiered dedup assignment — the one-line report every dedup run ends
     with (size-1 clusters = unique docs; the tail is the boilerplate).
-    Two chained hash aggregates over the int64 assignment table — the
-    second one's input is at most one row per cluster."""
-    from ray.data.aggregate import Count
 
+    Scale shape: per-cluster sizes fold as per-batch Arrow partials
+    through a cluster-hash partition (clusters are corpus-width — never
+    Ray-aggregate groups), then the histogram itself is a tiny final
+    groupby (distinct sizes only)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import clamp_partitions
+
+    P = np.uint64(max(2, 4 * clamp_partitions(num_partitions)))
     assign = doc_dedup_tiered(sf_dir, cfg, num_partitions, docs=docs)
-    sizes = assign.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("cluster_id").aggregate([([], "count_all")])
+        ck = agg.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "cluster_id": agg.column("cluster_id"),
+                "c": pc.cast(agg.column("count_all"), pa.int64()),
+                "pkey": pa.array((splitmix64(ck) % P).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def fold_to_hist(batch: pa.Table) -> pa.Table:
+        sizes = batch.group_by("cluster_id").aggregate([("c", "sum")])
+        hist = sizes.group_by("c_sum").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cluster_size": pc.cast(hist.column("c_sum"), pa.int64()),
+                "n_partial": pc.cast(hist.column("count_all"), pa.int64()),
+            }
+        )
+
     return (
-        sizes.select_columns(["cluster_size"])
+        assign.map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(fold_to_hist, batch_format="pyarrow")
         .groupby("cluster_size")
-        .aggregate(Count(alias_name="n_clusters"))
+        .aggregate(Sum("n_partial", alias_name="n_clusters"))
     )
 
 

@@ -1100,3 +1100,47 @@ def pack_sequences(sf_dir: str, budget_tokens: int = 256, num_partitions: int = 
         )
 
     return slim.groupby("part").map_groups(scan, batch_format="pyarrow")
+
+
+def lang_confusion(sf_dir: str):
+    """(lang, lang_pred, n_docs): declared-language × predicted-language
+    confusion matrix — the QC cross-tab a corpus run uses to find
+    mislabeled sources (off-diagonal mass = label noise or weak
+    profiles).  One pass: the lang-ID kernel runs per batch with the
+    declared label riding along, batch-local partial counts fold through
+    a tiny groupby (the matrix is |langs|² rows)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pred = _lang_id_fn(
+            pa.table({"doc_id": batch.column("doc_id"), "text": batch.column("text")})
+        )
+        t = pa.table(
+            {"lang": batch.column("lang"), "lang_pred": pred.column("lang_pred")}
+        )
+        agg = t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "lang_pred": agg.column("lang_pred"),
+                "c": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .sum("c")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        ccol = [c for c in batch.column_names if c.startswith("sum")][0]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_pred": batch.column("lang_pred"),
+                "n_docs": pc.cast(batch.column(ccol), pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
