@@ -43,6 +43,13 @@ def main(argv=None) -> int:
                          "into the existing --checkpoint corpus (old clips are "
                          "not re-sketched; signature/edge checkpoints are "
                          "extended by atomic part appends)")
+    ap.add_argument("--docs", action="store_true",
+                    help="run the DOCUMENT tiered dedup pipeline instead of "
+                         "the clips flagship: --input is a documents table "
+                         "(doc_id, text; parquet/jsonl/csv auto-detected); "
+                         "with --append, --input is a NEW documents partition "
+                         "merged into the --checkpoint corpus "
+                         "(doc_dedup_tiered_append)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (omit under ray job submit)")
     args = ap.parse_args(argv)
@@ -73,6 +80,47 @@ def main(argv=None) -> int:
     )
 
     t0 = time.time()
+    if args.docs:
+        from minhash_ray.pipelines.dedup_text import (
+            DOC_CFG,
+            doc_dedup_tiered,
+            doc_dedup_tiered_append,
+        )
+        from minhash_ray.sources.docs import read_docs
+
+        docs = read_docs(args.input, columns=["doc_id", "text"])
+        if args.append:
+            if not args.checkpoint:
+                ap.error("--append requires --checkpoint")
+            assign = doc_dedup_tiered_append(
+                docs, DOC_CFG, ckpt_root=args.checkpoint,
+                num_partitions=args.num_partitions,
+            )
+        else:
+            assign = doc_dedup_tiered(
+                "", DOC_CFG, num_partitions=args.num_partitions,
+                docs=docs, ckpt_root=args.checkpoint,
+            )
+        os.makedirs(args.output, exist_ok=True)
+        assign = assign.materialize()
+        assign.write_parquet(os.path.join(args.output, "assignments"))
+        import pyarrow.compute as pc
+
+        n = assign.count()
+        kept = assign.map_batches(
+            lambda b: b.filter(pc.equal(b.column("keep"), 1)),
+            batch_format="pyarrow",
+        ).count()
+        print(json.dumps({
+            "docs": n,
+            "kept": kept,
+            "sec": round(time.time() - t0, 2),
+            "docs_per_sec": round(n / max(time.time() - t0, 1e-9), 1),
+            "config_hash": DOC_CFG.config_hash(),
+            "output": args.output,
+        }))
+        ray.shutdown()
+        return 0
     if args.append:
         if not args.checkpoint:
             ap.error("--append requires --checkpoint")

@@ -2891,7 +2891,13 @@ def doc_dedup_tiered_append(
             }
         )
 
-    new_groups = agg.map_batches(rename_new_groups, batch_format="pyarrow")
+    from minhash_ray.util import strip_empty_blocks
+
+    # groupby output can carry schema-less empty blocks that break the
+    # Acero join (strip_empty_blocks doc: mandatory barrier before joins)
+    new_groups = strip_empty_blocks(
+        agg.map_batches(rename_new_groups, batch_format="pyarrow")
+    )
     old_reps = ckpt.load("tier1_reps")
     matched = new_groups.join(
         old_reps, join_type="left_outer", on=("dg0", "dg1"), num_partitions=np_parts,
@@ -3150,7 +3156,7 @@ def doc_dedup_tiered_append(
         )
 
     old_routed = old_assign.map_batches(old_route, batch_format="pyarrow")
-    routed = old_routed.union(new_routed).join(
+    routed = strip_empty_blocks(old_routed.union(new_routed)).join(
         assign, join_type="inner", on=("rep_key",), right_on=("clip_id",),
         num_partitions=np_parts,
     )

@@ -248,3 +248,50 @@ def test_doc_tiered_append_rejects_overlap_and_incomplete(ray_session, tmp_path)
     doc_dedup_tiered("", docs=rd.from_arrow(tbl), ckpt_root=ck).to_pandas()
     with pytest.raises(ValueError, match="already"):
         doc_dedup_tiered_append(rd.from_arrow(tbl.slice(0, 1)), ckpt_root=ck)
+
+
+def test_docs_cli_run_and_append(tmp_path):
+    """--docs CLI smoke: fresh run publishes checkpoints, --append merges
+    a JSONL partition; counts line up (subprocess: the CLI owns its Ray
+    session)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    base = [
+        " ".join(f"{w}{i}" for w in words) + f" distinct body {i} " + " ".join(
+            f"{w}x{(i * 7 + j) % 97}" for j, w in enumerate(words)
+        )
+        for i in range(10)
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": pa.array(base, pa.string())}),
+        str(d / "docs.parquet"),
+    )
+    with open(d / "new.jsonl", "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"doc_id": 100 + i, "text": base[i]}) + "\n")
+
+    def run(*extra):
+        cp = subprocess.run(
+            [sys.executable, "-m", "minhash_ray.cli", "--docs",
+             "--output", str(tmp_path / "out"), "--checkpoint", str(tmp_path / "ck"),
+             "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        assert cp.returncode == 0, cp.stderr[-2000:]
+        return json.loads(cp.stdout.strip().splitlines()[-1])
+
+    first = run("--input", str(d / "docs.parquet"))
+    assert first["docs"] == 10
+    second = run("--append", "--input", str(d / "new.jsonl"))
+    # 3 appended docs are exact copies of existing texts -> docs grow,
+    # kept stays exactly what the first run kept
+    assert second["docs"] == 13 and second["kept"] == first["kept"]
