@@ -61,18 +61,37 @@ def exact_dedup(sf_dir: str):
     keyed on a 128-bit text digest (two independent word-polynomial
     hashes) instead of the raw string — the shuffle hashes/compares 16-byte
     keys, not whole documents; the text itself rides as an aggregated
-    payload (all group members are identical, so min(text) IS the text)."""
+    payload (all group members are identical, so min(text) IS the text).
+    Distinct digests are corpus-width, so the fold is per-batch Arrow
+    partials through a digest-hash partition (``fold_by_int_keys``),
+    never a Ray aggregate over them."""
+    from minhash_ray.util import fold_by_int_keys
+
     ds = _docs(sf_dir, ["doc_id", "text"])
-
     keyed = ds.map_batches(_add_text_digest, batch_format="pyarrow")
-    agg = keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
 
-    def rename(batch: pa.Table) -> pa.Table:
-        dcol = [c for c in batch.column_names if "doc_id" in c][0]
-        tcol = [c for c in batch.column_names if "text" in c][0]
-        return pa.table({"doc_id": batch.column(dcol), "text": batch.column(tcol)})
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["dg0", "dg1"]).aggregate(
+            [("doc_id", "min"), ("text", "min")]
+        )
+        return pa.table(
+            {
+                "dg0": agg.column("dg0"),
+                "dg1": agg.column("dg1"),
+                "doc_id": agg.column("doc_id_min"),
+                "text": agg.column("text_min"),
+            }
+        )
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    def final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["dg0", "dg1"]).aggregate(
+            [("doc_id", "min"), ("text", "min")]
+        )
+        return pa.table(
+            {"doc_id": agg.column("doc_id_min"), "text": agg.column("text_min")}
+        )
+
+    return fold_by_int_keys(keyed, ["dg0", "dg1"], partial, final, 8)
 
 
 class DocSignatureStage:
@@ -439,8 +458,14 @@ def _df_table(sets_ds):
     """Materialized (e, sum(c)) global document-frequency aggregate over
     the sets' elements — the single df pass shared by the AllPairs prefix
     order and the dense small-vocabulary switch.  Metadata-per-element:
-    stays a Dataset (never gathered) so the vocabulary can be corpus-scale."""
+    stays a Dataset (never gathered) so the vocabulary can be corpus-scale
+    — which is exactly why the fold rides ``fold_by_int_keys`` (per-batch
+    Arrow partials through an element-hash partition) and never hands
+    Ray's aggregate the vocabulary as groups."""
+    import pyarrow.compute as pc
+
     from minhash_ray.stages.verify import _list_flat_offsets
+    from minhash_ray.util import fold_by_int_keys
 
     def df_partial(batch: pa.Table) -> pa.Table:
         flat, _offs = _list_flat_offsets(batch.column("shingles"))
@@ -452,12 +477,13 @@ def _df_table(sets_ds):
              "c": pa.array(c.astype(np.int64), pa.int64())}
         )
 
-    return (
-        sets_ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("e")
-        .sum("c")
-        .materialize()
-    )
+    def df_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("e").aggregate([("c", "sum")])
+        return pa.table(
+            {"e": agg.column("e"), "sum(c)": pc.cast(agg.column("c_sum"), pa.int64())}
+        )
+
+    return fold_by_int_keys(sets_ds, ["e"], df_partial, df_final, 8).materialize()
 
 
 def _df_order_ref(sets_ds, n_docs: int, df_agg=None):
@@ -1015,21 +1041,39 @@ def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions:
     if ckpt and ckpt.is_complete("tier1_reps"):
         reps = ckpt.load("tier1_reps").materialize()
     else:
-        agg = keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
+        # distinct digests are corpus-width: per-batch Arrow partials fold
+        # through a digest-hash partition (never Ray-aggregate groups)
+        from minhash_ray.util import fold_by_int_keys
 
-        def rename_reps(batch: pa.Table) -> pa.Table:
-            dcol = [c for c in batch.column_names if "doc_id" in c][0]
-            tcol = [c for c in batch.column_names if "text" in c][0]
+        def t1_partial(batch: pa.Table) -> pa.Table:
+            agg = batch.group_by(["dg0", "dg1"]).aggregate(
+                [("doc_id", "min"), ("text", "min")]
+            )
             return pa.table(
                 {
-                    "dg0": batch.column("dg0"),
-                    "dg1": batch.column("dg1"),
-                    "rep_id": batch.column(dcol),
-                    "text": batch.column(tcol),
+                    "dg0": agg.column("dg0"),
+                    "dg1": agg.column("dg1"),
+                    "rep_id": agg.column("doc_id_min"),
+                    "text": agg.column("text_min"),
                 }
             )
 
-        reps = agg.map_batches(rename_reps, batch_format="pyarrow").materialize()
+        def t1_final(t: pa.Table) -> pa.Table:
+            agg = t.group_by(["dg0", "dg1"]).aggregate(
+                [("rep_id", "min"), ("text", "min")]
+            )
+            return pa.table(
+                {
+                    "dg0": agg.column("dg0"),
+                    "dg1": agg.column("dg1"),
+                    "rep_id": agg.column("rep_id_min"),
+                    "text": agg.column("text_min"),
+                }
+            )
+
+        reps = fold_by_int_keys(
+            keyed, ["dg0", "dg1"], t1_partial, t1_final, num_partitions
+        ).materialize()
         if ckpt:
             reps = ckpt.save("tier1_reps", reps).materialize()
 
@@ -1453,22 +1497,36 @@ def chunk_dedup_docs(
         cols["ord"] = pa.array(_chunk_pkey(batch), pa.int64())
         return pa.table(cols)
 
-    winners = (
-        exploded.map_batches(keys, batch_format="pyarrow")
-        .groupby(["dg0", "dg1"])
-        .min("ord")
-    )
+    # distinct chunk digests are corpus-width → fold Arrow partials
+    # through a digest-hash partition (never Ray-aggregate groups)
+    from minhash_ray.util import fold_by_int_keys
 
-    def decode(batch: pa.Table) -> pa.Table:
-        col = [c for c in batch.column_names if "ord" in c][0]
+    def min_ord_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["dg0", "dg1"]).aggregate([("ord", "min")])
         return pa.table(
             {
-                "pkey": batch.column(col),
-                "keep": pa.array(np.ones(batch.num_rows, dtype=np.int8), pa.int8()),
+                "dg0": agg.column("dg0"),
+                "dg1": agg.column("dg1"),
+                "ord": agg.column("ord_min"),
             }
         )
 
-    kept_keys = winners.map_batches(decode, batch_format="pyarrow")
+    def min_ord_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["dg0", "dg1"]).aggregate([("ord", "min")])
+        return pa.table(
+            {
+                "pkey": agg.column("ord_min"),
+                "keep": pa.array(np.ones(agg.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    kept_keys = fold_by_int_keys(
+        exploded.map_batches(keys, batch_format="pyarrow"),
+        ["dg0", "dg1"],
+        min_ord_partial,
+        min_ord_final,
+        num_partitions,
+    )
 
     def with_pkey(batch: pa.Table) -> pa.Table:
         return batch.append_column("pkey", pa.array(_chunk_pkey(batch), pa.int64()))

@@ -266,9 +266,10 @@ def term_doc_freq(sf_dir: str, min_df: int = 5):
     (term, partial_df) row per distinct term IN THE BATCH — so the
     groupby shuffle moves at most |vocab_batch| rows per batch, never the
     corpus' token stream.  Zipf makes the head terms hot, but the partial
-    combine has already collapsed them to one row per (term, batch).
+    combine has already collapsed them to one row per (term, batch); the
+    final fold rides a term-hash partition (the vocabulary is
+    corpus-width — never Ray-aggregate groups).
     """
-    from ray.data.aggregate import Sum
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
@@ -303,17 +304,18 @@ def term_doc_freq(sf_dir: str, min_df: int = 5):
             }
         )
 
-    agg = (
-        _docs(sf_dir, ["text"])
-        .map_batches(fn, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
+    from minhash_ray.util import fold_by_str_key
+
+    def final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("term").aggregate([("df", "sum")])
+        out = pa.table(
+            {"term": agg.column("term"), "df": pc.cast(agg.column("df_sum"), pa.int64())}
+        )
+        return out.filter(pc.greater_equal(out.column("df"), min_df))
+
+    return fold_by_str_key(
+        _docs(sf_dir, ["text"]), "term", fn, final, num_partitions=8
     )
-
-    def gate(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("df"), min_df))
-
-    return agg.map_batches(gate, batch_format="pyarrow")
 
 
 def stratified_sample_docs(sf_dir: str, k: int = 20, num_partitions: int = 32):
@@ -564,15 +566,19 @@ def salient_terms(sf_dir: str, k: int = 3):
             }
         )
 
-    from ray.data.aggregate import Sum
+    from minhash_ray.util import fold_by_str_key
+
+    def df_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("term").aggregate([("df", "sum")])
+        return pa.table(
+            {"term": agg.column("term"), "df": pc.cast(agg.column("df_sum"), pa.int64())}
+        )
 
     df_tbl = pa.concat_tables(
         list(
-            _docs(sf_dir, ["text"])
-            .map_batches(df_partial, batch_format="pyarrow")
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"))
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            fold_by_str_key(
+                _docs(sf_dir, ["text"]), "term", df_partial, df_final, 8
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
         )
     )
     vocab = df_tbl.column("term").to_numpy(zero_copy_only=False).astype("U")
@@ -706,11 +712,15 @@ def frequent_terms(sf_dir: str, phi: float = 0.002):
             }
         )
 
-    summed = (
-        ds.map_batches(mg_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("r", alias_name="r"))
-    )
+    from minhash_ray.util import fold_by_str_key
+
+    def mg_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("term").aggregate([("r", "sum")])
+        return pa.table(
+            {"term": agg.column("term"), "r": pc.cast(agg.column("r_sum"), pa.int64())}
+        )
+
+    summed = fold_by_str_key(ds, "term", mg_partial, mg_final, 8)
     st = pa.concat_tables(
         list(summed.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     )
