@@ -57,12 +57,11 @@ def window_counts(sf_dir: str, window_minutes: int = 60):
     as int64 epoch-microseconds (timezone-free, bit-exact to compare).
 
     Scale shape: the window key is computed per batch (vectorized) and the
-    groupby is a partial+final hash aggregate over slim rows — the same
-    shape as ``lineitem_agg``; windows never require ordering, only
-    bucketing, so no sort and no watermark state.
+    partials fold through a WINDOW-HASH partition (windows scale with the
+    stream's time span, so they must never become Ray-aggregate groups);
+    windows never require ordering, only bucketing, so no sort and no
+    watermark state.
     """
-    from ray.data.aggregate import Count, Sum
-
     win_us = np.int64(window_minutes) * 60_000_000
 
     def widen(batch: pa.Table) -> pa.Table:
@@ -78,15 +77,47 @@ def window_counts(sf_dir: str, window_minutes: int = 60):
             }
         )
 
-    return (
-        _events(sf_dir, ["ts", "event_type", "value"])
-        .map_batches(widen, batch_format="pyarrow")
-        .groupby(["window_us", "event_type"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
+    return _window_fold(
+        _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+            widen, batch_format="pyarrow"
         )
     )
+
+
+def _window_fold(widened, num_partitions: int = 8):
+    """(window_us, event_type) partial+final aggregate through a
+    window-hash partition — shared by the tumbling and sliding ops."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import fold_by_int_keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["window_us", "event_type"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "window_us": agg.column("window_us"),
+                "event_type": agg.column("event_type"),
+                "n_events": pc.cast(agg.column("count_all"), pa.int64()),
+                "value_cents": pc.cast(agg.column("value_cents_sum"), pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["window_us", "event_type"]).aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "window_us": agg.column("window_us"),
+                "event_type": agg.column("event_type"),
+                "n_events": pc.cast(agg.column("n_events_sum"), pa.int64()),
+                "value_cents": pc.cast(agg.column("value_cents_sum"), pa.int64()),
+            }
+        )
+
+    return fold_by_int_keys(widened, ["window_us"], partial, final, num_partitions)
 
 
 def sliding_window_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15):
@@ -104,8 +135,6 @@ def sliding_window_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: in
     No sort, no watermark state; the blowup factor is the config constant
     window/hop, not data-dependent.
     """
-    from ray.data.aggregate import Count, Sum
-
     if window_minutes % hop_minutes != 0 and hop_minutes > window_minutes:
         raise ValueError("hop must not exceed window")
     win_us = np.int64(window_minutes) * 60_000_000
@@ -137,13 +166,9 @@ def sliding_window_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: in
             }
         )
 
-    return (
-        _events(sf_dir, ["ts", "event_type", "value"])
-        .map_batches(widen, batch_format="pyarrow")
-        .groupby(["window_us", "event_type"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
+    return _window_fold(
+        _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+            widen, batch_format="pyarrow"
         )
     )
 
@@ -423,13 +448,13 @@ def users_with_both(sf_dir: str, type_a: str = "click", type_b: str = "purchase"
 
     Scale shape: each batch collapses to its distinct (user_id, flag)
     pairs (flag = which of the two types), so at most two rows per user
-    per batch cross the shuffle; a groupby-max then keeps users where
-    both flags are set.  No broadcast, no driver state."""
+    per batch cross the shuffle; the flag-max fold rides a user-hash
+    partition (users are corpus-width — never Ray-aggregate groups) and
+    keeps users where both flags are set.  No broadcast, no driver
+    state."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Max
 
     ds = _events(sf_dir, ["user_id", "event_type"])
 
@@ -461,19 +486,17 @@ def users_with_both(sf_dir: str, type_a: str = "click", type_b: str = "purchase"
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Max("has_a", alias_name="ha"), Max("has_b", alias_name="hb"))
-    )
+    # users are corpus-width: fold via the user-hash partition
+    from minhash_ray.util import fold_by_int_keys
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def fold(t: pa.Table) -> pa.Table:
+        agg = t.group_by("user_id").aggregate([("has_a", "max"), ("has_b", "max")])
         keep = pc.and_(
-            pc.equal(batch.column("ha"), 1), pc.equal(batch.column("hb"), 1)
+            pc.equal(agg.column("has_a_max"), 1), pc.equal(agg.column("has_b_max"), 1)
         )
-        return batch.filter(keep).select(["user_id"])
+        return pa.table({"user_id": agg.column("user_id")}).filter(keep)
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return fold_by_int_keys(ds, ["user_id"], partial, fold, 8)
 
 
 def approx_distinct_users_per_type(sf_dir: str, num_partitions: int = 32):

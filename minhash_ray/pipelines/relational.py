@@ -164,15 +164,35 @@ def events_by_type(sf_dir: str):
 
     ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
 
-    # distinct users per type: dedupe (type, user) pairs first (hash
-    # aggregate), then count per type — two vectorized shuffles of slim rows
-    pairs = (
-        ds.select_columns(["event_type", "user_id"])
-        .groupby(["event_type", "user_id"])
-        .count()
-        .select_columns(["event_type", "user_id"])
+    # distinct users per type: per-batch distinct (type, user) partials
+    # fold through a user-hash partition (distinct pairs are corpus-width
+    # — never Ray-aggregate groups), then a tiny per-type count
+    from ray.data.aggregate import Sum
+
+    from minhash_ray.util import fold_by_int_keys
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["event_type", "user_id"])
+        agg = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"event_type": agg.column("event_type"), "user_id": agg.column("user_id")}
+        )
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        d = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        pt = d.group_by("event_type").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": pt.column("event_type"),
+                "n_partial": pc.cast(pt.column("count_all"), pa.int64()),
+            }
+        )
+
+    n_users = (
+        fold_by_int_keys(ds, ["user_id"], pair_partial, pair_fold, 8)
+        .groupby("event_type")
+        .aggregate(Sum("n_partial", alias_name="n_users"))
     )
-    n_users = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
     def widen(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -466,16 +486,35 @@ def customer_order_counts(sf_dir: str, num_partitions: int = 32):
     before the join (partial count inside the hash aggregate), so the
     left-outer hash join moves counts, never order history; both sides
     hash-partition on the key."""
-    from ray.data.aggregate import Count
-
     from minhash_ray.util import clamp_partitions
 
     np_parts = clamp_partitions(num_partitions)
     customers = _t(sf_dir, "customer", ["c_custkey", "c_name"])
-    counts = (
-        _t(sf_dir, "orders", ["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
+
+    # custkeys are corpus-width: fold per-batch Arrow count partials
+    # through a key-hash partition, never Ray-aggregate groups
+    from minhash_ray.util import fold_by_int_keys
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "o_custkey": agg.column("o_custkey"),
+                "c": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    def cnt_fold(t: pa.Table) -> pa.Table:
+        agg = t.group_by("o_custkey").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "o_custkey": agg.column("o_custkey"),
+                "n_orders": pc.cast(agg.column("c_sum"), pa.int64()),
+            }
+        )
+
+    counts = fold_by_int_keys(
+        _t(sf_dir, "orders", ["o_custkey"]), ["o_custkey"], cnt_partial, cnt_fold, 8
     )
     joined = customers.join(
         counts, join_type="left_outer", on=("c_custkey",),
