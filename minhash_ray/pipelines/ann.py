@@ -397,9 +397,24 @@ def embedding_dup_pairs(
         return pa.table({"vec_id_a": tt.column("vec_id"), "vec_id_b": tt.column("vec_id_r")})
 
     pairs = joined.map_batches(ordered, batch_format="pyarrow")
-    uniq = pairs.groupby(["vec_id_a", "vec_id_b"]).count().select_columns(
-        ["vec_id_a", "vec_id_b"]
-    )
+
+    # distinct candidate pairs are corpus-width: fold per-batch Arrow
+    # distinct partials through a pair-hash partition
+    from minhash_ray.util import fold_by_int_keys
+
+    def u_partial(batch: pa.Table) -> pa.Table:
+        d = batch.group_by(["vec_id_a", "vec_id_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"vec_id_a": d.column("vec_id_a"), "vec_id_b": d.column("vec_id_b")}
+        )
+
+    def u_final(t: pa.Table) -> pa.Table:
+        d = t.group_by(["vec_id_a", "vec_id_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"vec_id_a": d.column("vec_id_a"), "vec_id_b": d.column("vec_id_b")}
+        )
+
+    uniq = fold_by_int_keys(pairs, ["vec_id_a", "vec_id_b"], u_partial, u_final, 8)
 
     if n_vecs <= broadcast_max_rows:
         # broadcast path: one normalized matrix + sorted-id index, shipped once

@@ -57,15 +57,45 @@ def audio_exact_dedup(clips, num_partitions: int = 8):
     partitioned hash join routes every clip through its group — no stage
     holds payloads or the corpus on the driver.
     """
-    from ray.data.aggregate import Count, Min
-
-    from minhash_ray.util import clamp_partitions
+    from minhash_ray.util import clamp_partitions, fold_by_int_keys
 
     keyed = clips.map_batches(_add_audio_digest, batch_format="pyarrow").materialize()
     np_parts = clamp_partitions(num_partitions)
-    reps = keyed.groupby(["ag0", "ag1"]).aggregate(
-        Min("clip_id", alias_name="rep_clip_id"),
-        Count(alias_name="group_size"),
+
+    # distinct payload digests are corpus-width: fold Arrow partials
+    # through a digest-hash partition, never Ray-aggregate groups
+    def rep_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["ag0", "ag1"]).aggregate(
+            [("clip_id", "min"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "ag0": agg.column("ag0"),
+                "ag1": agg.column("ag1"),
+                "rep_clip_id": agg.column("clip_id_min"),
+                "c": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    def rep_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["ag0", "ag1"]).aggregate(
+            [("rep_clip_id", "min"), ("c", "sum")]
+        )
+        return pa.table(
+            {
+                "ag0": agg.column("ag0"),
+                "ag1": agg.column("ag1"),
+                "rep_clip_id": agg.column("rep_clip_id_min"),
+                "group_size": pc.cast(agg.column("c_sum"), pa.int64()),
+            }
+        )
+
+    reps = fold_by_int_keys(
+        keyed.select_columns(["ag0", "ag1", "clip_id"]),
+        ["ag0", "ag1"],
+        rep_partial,
+        rep_final,
+        num_partitions,
     )
     out = keyed.join(
         reps, join_type="inner", on=("ag0", "ag1"), num_partitions=np_parts

@@ -308,8 +308,6 @@ def run_dedup_tiered(
     """
     import time as _time
 
-    from ray.data.aggregate import Min
-
     from minhash_ray.stages.signature import make_signature_fn
     from minhash_ray.util import clamp_partitions, strip_empty_blocks
 
@@ -469,15 +467,46 @@ def run_dedup_tiered(
     if ckpt and resume and ckpt.is_complete("tier1_reps"):
         reps_packed = ckpt.load("tier1_reps").materialize()
     else:
-        reps_packed = packed.groupby("content_hash", num_partitions=tier_parts).aggregate(
-            Min("clip_id", alias_name="rep_id"),
-            Min("transcript", alias_name="transcript"),
-            Min("sig_pk", alias_name="sig_pk"),
-            Min("audio_sig_pk", alias_name="audio_sig_pk"),
-            Min("shingles_pk", alias_name="shingles_pk"),
-            Min("simhash_i", alias_name="simhash_i"),
-            Min("audio_fp_i", alias_name="audio_fp_i"),
-            Min("n_shingles", alias_name="n_shingles"),
+        # distinct content hashes are corpus-width: fold per-batch Arrow
+        # min partials through a digest-hash partition (Ray's aggregate
+        # iterates groups at Python speed — never hand it the digests)
+        from minhash_ray.util import fold_by_str_key
+
+        t1_cols = [
+            ("clip_id", "rep_id"),
+            ("transcript", "transcript"),
+            ("sig_pk", "sig_pk"),
+            ("audio_sig_pk", "audio_sig_pk"),
+            ("shingles_pk", "shingles_pk"),
+            ("simhash_i", "simhash_i"),
+            ("audio_fp_i", "audio_fp_i"),
+            ("n_shingles", "n_shingles"),
+        ]
+
+        def t1_partial(batch: pa.Table) -> pa.Table:
+            agg = batch.group_by("content_hash").aggregate(
+                [(src, "min") for src, _dst in t1_cols]
+            )
+            return pa.table(
+                {
+                    "content_hash": agg.column("content_hash"),
+                    **{dst: agg.column(f"{src}_min") for src, dst in t1_cols},
+                }
+            )
+
+        def t1_final(t: pa.Table) -> pa.Table:
+            agg = t.group_by("content_hash").aggregate(
+                [(dst, "min") for _src, dst in t1_cols]
+            )
+            return pa.table(
+                {
+                    "content_hash": agg.column("content_hash"),
+                    **{dst: agg.column(f"{dst}_min") for _src, dst in t1_cols},
+                }
+            )
+
+        reps_packed = fold_by_str_key(
+            packed, "content_hash", t1_partial, t1_final, tier_parts
         )
         if ckpt:
             reps_packed = ckpt.save(
