@@ -2885,6 +2885,18 @@ def doc_dedup_tiered_append(
     cluster connectivity stays equal; the equality test covers the
     planted fixture).
 
+    **Crash atomicity (epoch protocol).**  The append mutates four stages
+    in sequence; a crash between saves must not leave a silently-wrong
+    corpus.  Before touching anything the append publishes an
+    ``append_plan`` stage (the rename map + brand-new groups + a hash of
+    the new ids) tagged with the NEXT epoch; every stage save carries the
+    same epoch.  A rerun after a crash detects the epoch skew, verifies
+    the rerun's input matches the plan's id hash, and ROLLS FORWARD:
+    stages already at the new epoch load as-is, stages behind re-apply
+    their step from the saved plan (the rename map is the state a naive
+    rerun cannot rederive once tier1 is merged).  A rerun after a
+    COMPLETED append fails the disjointness check with a clear error.
+
     Preconditions: complete tier1_reps / tier2_sigs / tier2_pairs /
     tier3_assign checkpoints for this config, and new doc_ids disjoint
     from the ingested corpus (validated before any mutation)."""
@@ -2897,7 +2909,7 @@ def doc_dedup_tiered_append(
     from minhash_ray.stages.cluster import assign_clusters
     from minhash_ray.stages.verify import verify_pairs
     from minhash_ray.state.checkpoint import CheckpointManager
-    from minhash_ray.util import cached_get, clamp_partitions
+    from minhash_ray.util import cached_get, clamp_partitions, strip_empty_blocks
 
     if not ckpt_root:
         raise ValueError("doc_dedup_tiered_append requires a checkpoint root")
@@ -2919,75 +2931,177 @@ def doc_dedup_tiered_append(
     ]
     new_ids = np.sort(np.concatenate(id_chunks)) if id_chunks else np.empty(0, np.int64)
 
-    # disjointness BEFORE mutating persistent state
-    old_assign = ckpt.load("tier3_assign")
-    if len(new_ids):
-        for b in old_assign.select_columns(["doc_id"]).iter_batches(
-            batch_size=1_048_576, batch_format="pyarrow"
-        ):
-            old = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.minimum(np.searchsorted(new_ids, old), len(new_ids) - 1)
-            hit = new_ids[pos] == old
-            if hit.any():
-                raise ValueError(
-                    f"doc_dedup_tiered_append: doc_id {int(old[hit][0])} already "
-                    "ingested; new doc_ids must be disjoint from the corpus"
-                )
+    # --- epoch protocol: detect a crashed previous append ---
+    import hashlib as _hashlib
 
-    # --- tier 1 merge ---
-    agg = new_keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
-
-    def rename_new_groups(batch: pa.Table) -> pa.Table:
-        dcol = [c for c in batch.column_names if "doc_id" in c][0]
-        tcol = [c for c in batch.column_names if "text" in c][0]
-        return pa.table(
-            {
-                "dg0": batch.column("dg0"),
-                "dg1": batch.column("dg1"),
-                "new_min": pc.cast(batch.column(dcol), pa.int64()),
-                "new_text": batch.column(tcol),
-            }
+    stages4 = ("tier1_reps", "tier2_sigs", "tier2_pairs", "tier3_assign")
+    epochs = {
+        s: int((ckpt.manifest(s) or {}).get("append_epoch", 0)) for s in stages4
+    }
+    base = max(epochs.values())
+    plan_m = ckpt.manifest("append_plan")
+    plan_e = int(plan_m.get("append_epoch", 0)) if plan_m else 0
+    new_ids_sha = _hashlib.sha1(new_ids.tobytes()).hexdigest()
+    resuming = (plan_e == base + 1) or (plan_e == base and min(epochs.values()) < base)
+    if not resuming and min(epochs.values()) < base:
+        raise ValueError(
+            "doc_dedup_tiered_append: stage epochs disagree but no append "
+            f"plan covers them ({epochs}); checkpoint needs a fresh run"
         )
+    e_next = plan_e if resuming else base + 1
 
-    from minhash_ray.util import strip_empty_blocks
-
-    # groupby output can carry schema-less empty blocks that break the
-    # Acero join (strip_empty_blocks doc: mandatory barrier before joins)
-    new_groups = strip_empty_blocks(
-        agg.map_batches(rename_new_groups, batch_format="pyarrow")
-    )
-    old_reps = ckpt.load("tier1_reps")
-    matched = new_groups.join(
-        old_reps, join_type="left_outer", on=("dg0", "dg1"), num_partitions=np_parts,
-    ).materialize()
-
-    # renames + brand-new groups are both bounded by the new partition
-    rn_old, rn_new = [], []
-    fresh_tbls = []
-    for b in matched.iter_batches(batch_size=1_048_576, batch_format="pyarrow"):
-        isnull = pc.is_null(b.column("rep_id")).to_numpy(zero_copy_only=False)
-        # a null int64 column round-trips as float64 + NaN: mask BEFORE cast
-        old_f = b.column("rep_id").to_numpy(zero_copy_only=False).astype(np.float64)
-        old_rep = np.where(isnull, np.float64(2**62), old_f).astype(np.int64)
-        new_min = b.column("new_min").to_numpy(zero_copy_only=False).astype(np.int64)
-        ren = (~isnull) & (new_min < old_rep)
-        if ren.any():
-            rn_old.append(old_rep[ren])
-            rn_new.append(new_min[ren])
-        if isnull.any():
-            sel = pa.array(np.flatnonzero(isnull))
-            fresh_tbls.append(
-                pa.table(
-                    {
-                        "dg0": b.column("dg0").take(sel),
-                        "dg1": b.column("dg1").take(sel),
-                        "rep_id": pc.cast(b.column("new_min").take(sel), pa.int64()),
-                        "text": b.column("new_text").take(sel),
-                    }
+    old_assign = ckpt.load("tier3_assign")
+    if resuming:
+        if plan_m.get("new_ids_sha") != new_ids_sha:
+            raise ValueError(
+                "doc_dedup_tiered_append: resuming a crashed append but the "
+                "new partition differs from the one the plan was built for"
+            )
+        plan_tbl = pa.concat_tables(
+            list(
+                ckpt.load("append_plan").iter_batches(
+                    batch_size=1_048_576, batch_format="pyarrow"
                 )
             )
-    ren_old = np.concatenate(rn_old) if rn_old else np.empty(0, np.int64)
-    ren_new = np.concatenate(rn_new) if rn_new else np.empty(0, np.int64)
+        )
+        is_ren = pc.equal(plan_tbl.column("kind"), 0)
+        rt = plan_tbl.filter(is_ren)
+        ren_old = rt.column("old_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ren_new = rt.column("new_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ft = plan_tbl.filter(pc.equal(plan_tbl.column("kind"), 1))
+        fresh_tbls = (
+            [
+                pa.table(
+                    {
+                        "dg0": ft.column("dg0"),
+                        "dg1": ft.column("dg1"),
+                        "rep_id": ft.column("new_id"),
+                        "text": ft.column("text"),
+                    }
+                )
+            ]
+            if ft.num_rows
+            else []
+        )
+    else:
+        # disjointness BEFORE mutating persistent state
+        if len(new_ids):
+            for b in old_assign.select_columns(["doc_id"]).iter_batches(
+                batch_size=1_048_576, batch_format="pyarrow"
+            ):
+                old = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.minimum(np.searchsorted(new_ids, old), len(new_ids) - 1)
+                hit = new_ids[pos] == old
+                if hit.any():
+                    raise ValueError(
+                        f"doc_dedup_tiered_append: doc_id {int(old[hit][0])} already "
+                        "ingested; new doc_ids must be disjoint from the corpus"
+                    )
+
+        # --- merge plan: renames + brand-new groups ---
+        agg = new_keyed.groupby(["dg0", "dg1"]).min(["doc_id", "text"])
+
+        def rename_new_groups(batch: pa.Table) -> pa.Table:
+            dcol = [c for c in batch.column_names if "doc_id" in c][0]
+            tcol = [c for c in batch.column_names if "text" in c][0]
+            return pa.table(
+                {
+                    "dg0": batch.column("dg0"),
+                    "dg1": batch.column("dg1"),
+                    "new_min": pc.cast(batch.column(dcol), pa.int64()),
+                    "new_text": batch.column(tcol),
+                }
+            )
+
+        # groupby output can carry schema-less empty blocks that break the
+        # Acero join (strip_empty_blocks doc: mandatory barrier before joins)
+        new_groups = strip_empty_blocks(
+            agg.map_batches(rename_new_groups, batch_format="pyarrow")
+        )
+        matched = new_groups.join(
+            ckpt.load("tier1_reps"),
+            join_type="left_outer", on=("dg0", "dg1"), num_partitions=np_parts,
+        ).materialize()
+
+        # renames + brand-new groups are both bounded by the new partition
+        rn_old, rn_new = [], []
+        fresh_tbls = []
+        for b in matched.iter_batches(batch_size=1_048_576, batch_format="pyarrow"):
+            isnull = pc.is_null(b.column("rep_id")).to_numpy(zero_copy_only=False)
+            # a null int64 column round-trips as float64 + NaN: mask BEFORE cast
+            old_f = b.column("rep_id").to_numpy(zero_copy_only=False).astype(np.float64)
+            old_rep = np.where(isnull, np.float64(2**62), old_f).astype(np.int64)
+            new_min = b.column("new_min").to_numpy(zero_copy_only=False).astype(np.int64)
+            ren = (~isnull) & (new_min < old_rep)
+            if ren.any():
+                rn_old.append(old_rep[ren])
+                rn_new.append(new_min[ren])
+            if isnull.any():
+                sel = pa.array(np.flatnonzero(isnull))
+                fresh_tbls.append(
+                    pa.table(
+                        {
+                            "dg0": b.column("dg0").take(sel),
+                            "dg1": b.column("dg1").take(sel),
+                            "rep_id": pc.cast(b.column("new_min").take(sel), pa.int64()),
+                            "text": b.column("new_text").take(sel),
+                        }
+                    )
+                )
+        ren_old = np.concatenate(rn_old) if rn_old else np.empty(0, np.int64)
+        ren_new = np.concatenate(rn_new) if rn_new else np.empty(0, np.int64)
+
+        # publish the plan FIRST: after any later crash a rerun can roll
+        # forward from it (the rename map is otherwise unrecoverable)
+        ftbl = (
+            pa.concat_tables(fresh_tbls)
+            if fresh_tbls
+            else pa.table(
+                {
+                    "dg0": pa.array([], pa.int64()),
+                    "dg1": pa.array([], pa.int64()),
+                    "rep_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        )
+        plan_tbl = pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ren_old), np.int8), np.ones(ftbl.num_rows, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "dg0": pa.concat_arrays(
+                    [pa.array(np.zeros(len(ren_old), np.int64), pa.int64()),
+                     ftbl.column("dg0").combine_chunks().cast(pa.int64())]
+                ),
+                "dg1": pa.concat_arrays(
+                    [pa.array(np.zeros(len(ren_old), np.int64), pa.int64()),
+                     ftbl.column("dg1").combine_chunks().cast(pa.int64())]
+                ),
+                "old_id": pa.concat_arrays(
+                    [pa.array(ren_old, pa.int64()),
+                     pa.array(np.full(ftbl.num_rows, -1, np.int64), pa.int64())]
+                ),
+                "new_id": pa.concat_arrays(
+                    [pa.array(ren_new, pa.int64()),
+                     ftbl.column("rep_id").combine_chunks().cast(pa.int64())]
+                ),
+                "text": pa.concat_arrays(
+                    [pa.array([""] * len(ren_old), pa.string()),
+                     ftbl.column("text").combine_chunks()]
+                ),
+            }
+        )
+        ckpt.save(
+            "append_plan",
+            rd.from_arrow(plan_tbl),
+            schema=plan_tbl.schema,
+            extra={"append_epoch": e_next, "new_ids_sha": new_ids_sha},
+        )
+
     o = np.argsort(ren_old)
     ren_old, ren_new = ren_old[o], ren_new[o]
     ren_ref = [ray.put({"old": ren_old, "new": ren_new})]
@@ -3016,10 +3130,19 @@ def doc_dedup_tiered_append(
         if fresh_tbls
         else None
     )
-    merged_reps = old_reps.map_batches(rename_reps, batch_format="pyarrow")
-    if fresh is not None:
-        merged_reps = merged_reps.union(fresh)
-    merged_reps = ckpt.save("tier1_reps", merged_reps.materialize()).materialize()
+    epoch_extra = {"append_epoch": e_next, "new_ids_sha": new_ids_sha}
+
+    if epochs["tier1_reps"] < e_next:
+        merged_reps = ckpt.load("tier1_reps").map_batches(
+            rename_reps, batch_format="pyarrow"
+        )
+        if fresh is not None:
+            merged_reps = merged_reps.union(fresh)
+        merged_reps = ckpt.save(
+            "tier1_reps", merged_reps.materialize(), extra=epoch_extra
+        ).materialize()
+    else:
+        merged_reps = ckpt.load("tier1_reps").materialize()
 
     # --- tier 2: sketch ONLY brand-new reps ---
     def rename_sigs(batch: pa.Table) -> pa.Table:
@@ -3030,18 +3153,47 @@ def doc_dedup_tiered_append(
             rename_col(batch.column("doc_id"), rmap),
         )
 
-    old_sigs = ckpt.load("tier2_sigs").map_batches(rename_sigs, batch_format="pyarrow")
-    if fresh is not None:
-        fresh_docs = fresh.map_batches(
-            lambda b: pa.table({"doc_id": b.column("rep_id"), "text": b.column("text")}),
-            batch_format="pyarrow",
+    fresh_ids = (
+        np.sort(
+            pa.concat_tables(fresh_tbls).column("rep_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        new_sigs = doc_signatures("", cfg, docs=fresh_docs).materialize()
-        merged_sigs = old_sigs.union(new_sigs).materialize()
+        if fresh_tbls
+        else np.empty(0, np.int64)
+    )
+
+    if epochs["tier2_sigs"] < e_next:
+        old_sigs = ckpt.load("tier2_sigs").map_batches(
+            rename_sigs, batch_format="pyarrow"
+        )
+        if fresh is not None:
+            fresh_docs = fresh.map_batches(
+                lambda b: pa.table(
+                    {"doc_id": b.column("rep_id"), "text": b.column("text")}
+                ),
+                batch_format="pyarrow",
+            )
+            new_sigs = doc_signatures("", cfg, docs=fresh_docs).materialize()
+            merged_sigs = old_sigs.union(new_sigs).materialize()
+        else:
+            new_sigs = None
+            merged_sigs = old_sigs.materialize()
+        merged_sigs = ckpt.save(
+            "tier2_sigs", merged_sigs, input_stage="tier1_reps", extra=epoch_extra
+        ).materialize()
     else:
-        new_sigs = None
-        merged_sigs = old_sigs.materialize()
-    merged_sigs = ckpt.save("tier2_sigs", merged_sigs, input_stage="tier1_reps").materialize()
+        merged_sigs = ckpt.load("tier2_sigs").materialize()
+        if len(fresh_ids):
+            def only_fresh(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.minimum(np.searchsorted(fresh_ids, ids), len(fresh_ids) - 1)
+                return batch.filter(pa.array(fresh_ids[pos] == ids))
+
+            new_sigs = merged_sigs.map_batches(
+                only_fresh, batch_format="pyarrow"
+            ).materialize()
+        else:
+            new_sigs = None
 
     def pad12(col) -> pa.Array:
         out = pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
@@ -3058,6 +3210,80 @@ def doc_dedup_tiered_append(
         )
 
     keyed = merged_sigs.map_batches(with_str_ids, batch_format="pyarrow").materialize()
+
+    def run_tier3(merged_pairs: pa.Table):
+        # --- tier 3: cluster merged reps, route old docs via their
+        # previous cluster root (a rep, connected by checkpointed edges) ---
+        pairs_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "clip_id_a": pad12(merged_pairs.column("doc_id_a")),
+                    "clip_id_b": pad12(merged_pairs.column("doc_id_b")),
+                }
+            )
+        )
+        rep_ids = merged_reps.map_batches(
+            lambda b: pa.table({"clip_id": pad12(b.column("rep_id"))}),
+            batch_format="pyarrow",
+        )
+        assign = assign_clusters(rep_ids, pairs_ds, cfg, num_partitions=num_partitions)
+
+        # new docs route through their (merged) exact group rep
+        new_routed = new_keyed.select_columns(["doc_id", "dg0", "dg1"]).join(
+            merged_reps.select_columns(["dg0", "dg1", "rep_id"]),
+            join_type="inner",
+            on=("dg0", "dg1"),
+            num_partitions=np_parts,
+        ).map_batches(
+            lambda b: pa.table(
+                {"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                 "rep_key": pad12(b.column("rep_id"))}
+            ),
+            batch_format="pyarrow",
+        )
+
+        # old docs route through rename(old_cluster_id)
+        def old_route(batch: pa.Table) -> pa.Table:
+            rmap = cached_get(ren_ref[0])
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                    "rep_key": pad12(rename_col(batch.column("cluster_id"), rmap)),
+                }
+            )
+
+        old_routed = old_assign.map_batches(old_route, batch_format="pyarrow")
+        routed = strip_empty_blocks(old_routed.union(new_routed)).join(
+            assign, join_type="inner", on=("rep_key",), right_on=("clip_id",),
+            num_partitions=np_parts,
+        )
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            cluster = pc.cast(batch.column("cluster_id"), pa.int64())
+            doc = pc.cast(batch.column("doc_id"), pa.int64())
+            keep = pc.cast(pc.equal(doc, cluster), pa.int64())
+            return pa.table({"doc_id": doc, "cluster_id": cluster, "keep": keep})
+
+        out = routed.map_batches(finalize, batch_format="pyarrow")
+        return ckpt.save(
+            "tier3_assign",
+            out,
+            input_stage="tier2_pairs",
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("keep", pa.int64())]
+            ),
+            extra=epoch_extra,
+        )
+
+    if epochs["tier2_pairs"] >= e_next:
+        merged_pairs = pa.concat_tables(
+            list(
+                ckpt.load("tier2_pairs").iter_batches(
+                    batch_size=1_048_576, batch_format="pyarrow"
+                )
+            )
+        )
+        return run_tier3(merged_pairs)
 
     # old pairs, renamed (and re-ordered where a rename crossed the pair)
     old_pairs_tbls = list(
@@ -3171,66 +3397,6 @@ def doc_dedup_tiered_append(
         rd.from_arrow(merged_pairs),
         input_stage="tier1_reps",
         schema=merged_pairs.schema,
+        extra=epoch_extra,
     )
-
-    # --- tier 3: cluster merged reps, route old docs via their previous
-    # cluster root (a rep, connected to them by checkpointed edges) ---
-    pairs_ds = rd.from_arrow(
-        pa.table(
-            {
-                "clip_id_a": pad12(merged_pairs.column("doc_id_a")),
-                "clip_id_b": pad12(merged_pairs.column("doc_id_b")),
-            }
-        )
-    )
-    rep_ids = merged_reps.map_batches(
-        lambda b: pa.table({"clip_id": pad12(b.column("rep_id"))}),
-        batch_format="pyarrow",
-    )
-    assign = assign_clusters(rep_ids, pairs_ds, cfg, num_partitions=num_partitions)
-
-    # new docs route through their (merged) exact group rep
-    new_routed = new_keyed.select_columns(["doc_id", "dg0", "dg1"]).join(
-        merged_reps.select_columns(["dg0", "dg1", "rep_id"]),
-        join_type="inner",
-        on=("dg0", "dg1"),
-        num_partitions=np_parts,
-    ).map_batches(
-        lambda b: pa.table(
-            {"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
-             "rep_key": pad12(b.column("rep_id"))}
-        ),
-        batch_format="pyarrow",
-    )
-
-    # old docs route through rename(old_cluster_id)
-    def old_route(batch: pa.Table) -> pa.Table:
-        rmap = cached_get(ren_ref[0])
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "rep_key": pad12(rename_col(batch.column("cluster_id"), rmap)),
-            }
-        )
-
-    old_routed = old_assign.map_batches(old_route, batch_format="pyarrow")
-    routed = strip_empty_blocks(old_routed.union(new_routed)).join(
-        assign, join_type="inner", on=("rep_key",), right_on=("clip_id",),
-        num_partitions=np_parts,
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        cluster = pc.cast(batch.column("cluster_id"), pa.int64())
-        doc = pc.cast(batch.column("doc_id"), pa.int64())
-        keep = pc.cast(pc.equal(doc, cluster), pa.int64())
-        return pa.table({"doc_id": doc, "cluster_id": cluster, "keep": keep})
-
-    out = routed.map_batches(finalize, batch_format="pyarrow")
-    return ckpt.save(
-        "tier3_assign",
-        out,
-        input_stage="tier2_pairs",
-        schema=pa.schema(
-            [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("keep", pa.int64())]
-        ),
-    )
+    return run_tier3(merged_pairs)

@@ -295,3 +295,94 @@ def test_docs_cli_run_and_append(tmp_path):
     # 3 appended docs are exact copies of existing texts -> docs grow,
     # kept stays exactly what the first run kept
     assert second["docs"] == 13 and second["kept"] == first["kept"]
+
+
+def test_doc_tiered_append_crash_resume_rolls_forward(ray_session, tmp_path):
+    """Epoch protocol: a crash after ANY prefix of the append's stage
+    saves (plan only / +tier1 / +sigs / +pairs) rolls forward on rerun to
+    the exact completed-append state — including the rename-forcing case
+    where a naive rerun would strand stale rep ids in the old pairs."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pytest
+
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup_text import (
+        DOC_CFG,
+        doc_dedup_tiered,
+        doc_dedup_tiered_append,
+    )
+    from minhash_ray.state.checkpoint import CheckpointManager
+
+    base = [f"the quick brown fox jumps over dog number {i} " * 6 for i in range(20)]
+    old_tbl = pa.table(
+        {"doc_id": pa.array(range(100, 120), pa.int64()),
+         "text": pa.array(base, pa.string())}
+    )
+    # smaller ids copying old texts -> renames; one near-dup -> new pairs
+    new_tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [base[0], base[5], base[2] + "extra tail words here"], pa.string()
+            ),
+        }
+    )
+
+    ck = str(tmp_path / "eck")
+    doc_dedup_tiered("", docs=rd.from_arrow(old_tbl), ckpt_root=ck).to_pandas()
+    backup = str(tmp_path / "backup")
+    shutil.copytree(ck, backup)
+
+    expected = (
+        doc_dedup_tiered_append(rd.from_arrow(new_tbl), ckpt_root=ck)
+        .to_pandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    final = str(tmp_path / "final")
+    shutil.copytree(ck, final)
+    mgr = CheckpointManager(ck, DOC_CFG)
+
+    def restore(stages_from_final):
+        shutil.rmtree(ck)
+        shutil.copytree(backup, ck)
+        for s in stages_from_final:
+            dst = mgr.stage_dir(s)
+            src = CheckpointManager(final, DOC_CFG).stage_dir(s)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+
+    crash_points = [
+        ["append_plan"],
+        ["append_plan", "tier1_reps"],
+        ["append_plan", "tier1_reps", "tier2_sigs"],
+        ["append_plan", "tier1_reps", "tier2_sigs", "tier2_pairs"],
+    ]
+    for stages in crash_points:
+        restore(stages)
+        out = (
+            doc_dedup_tiered_append(rd.from_arrow(new_tbl), ckpt_root=ck)
+            .to_pandas()
+            .sort_values(["doc_id"])
+            .reset_index(drop=True)
+        )
+        assert out.equals(expected), f"crash after {stages[-1]} diverged"
+
+    # resuming with a DIFFERENT new partition is rejected
+    restore(["append_plan", "tier1_reps"])
+    other = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "text": pa.array(["zzz"], pa.string())}
+    )
+    with pytest.raises(ValueError, match="differs"):
+        doc_dedup_tiered_append(rd.from_arrow(other), ckpt_root=ck)
+
+    # a completed append re-run with the same input fails disjointness
+    restore(["append_plan", "tier1_reps", "tier2_sigs", "tier2_pairs", "tier3_assign"])
+    with pytest.raises(ValueError, match="already"):
+        doc_dedup_tiered_append(rd.from_arrow(new_tbl), ckpt_root=ck)
