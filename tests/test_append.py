@@ -386,3 +386,37 @@ def test_doc_tiered_append_crash_resume_rolls_forward(ray_session, tmp_path):
     restore(["append_plan", "tier1_reps", "tier2_sigs", "tier2_pairs", "tier3_assign"])
     with pytest.raises(ValueError, match="already"):
         doc_dedup_tiered_append(rd.from_arrow(new_tbl), ckpt_root=ck)
+
+
+def test_doc_tiered_append_twice(ray_session, tmp_path):
+    """Two successive appends (epoch 1 then epoch 2) equal single-shot
+    over all three partitions — the steady-state ingest loop."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from minhash_ray.pipelines.dedup_text import (
+        doc_dedup_tiered,
+        doc_dedup_tiered_append,
+    )
+
+    base = [f"unique seed document text number {i} with words " * 5 for i in range(12)]
+    p1 = pa.table({"doc_id": pa.array(range(0, 6), pa.int64()),
+                   "text": pa.array(base[:6], pa.string())})
+    p2 = pa.table({"doc_id": pa.array(range(100, 104), pa.int64()),
+                   "text": pa.array([base[0], base[6], base[7], base[1] + " tail"], pa.string())})
+    p3 = pa.table({"doc_id": pa.array(range(200, 203), pa.int64()),
+                   "text": pa.array([base[6], base[8], base[2]], pa.string())})
+
+    ck = str(tmp_path / "tck")
+    doc_dedup_tiered("", docs=rd.from_arrow(p1), ckpt_root=ck).to_pandas()
+    doc_dedup_tiered_append(rd.from_arrow(p2), ckpt_root=ck).to_pandas()
+    out = _canon_df(
+        doc_dedup_tiered_append(rd.from_arrow(p3), ckpt_root=ck).to_pandas()
+    )
+    full = _canon_df(
+        doc_dedup_tiered(
+            "", docs=rd.from_arrow(pa.concat_tables([p1, p2, p3]))
+        ).to_pandas()
+    )
+    assert out.equals(full)
