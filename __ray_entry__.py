@@ -567,6 +567,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_counts": events.window_counts,
         "sliding_window_counts": events.sliding_window_counts,
         "sessionize": events.sessionize,
+        # per-session length/dwell summary computed inside the same
+        # user-hash partition scan as sessionize (no second shuffle)
+        "session_stats": events.session_stats,
         # per-user event-type bigram counts (lag() window shape) —
         # SQL-checked against a DuckDB lag() oracle
         "event_type_transitions": events.event_type_transitions,
@@ -1887,6 +1890,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS session_seq FROM g"
+        ),
+        # per-session stats: the sessionize window chain + one GROUP BY
+        "session_stats": (
+            "WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+            f"CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {1_800_000_000} "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, tsu, "
+            "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS BIGINT) "
+            "AS session_seq FROM g) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us "
+            "FROM s GROUP BY user_id, session_seq"
         ),
         "event_type_transitions": (
             "WITH lagged AS ("

@@ -174,6 +174,7 @@ def run_bench() -> dict:
         ("events_by_type", relational.events_by_type),
         ("window_counts", events.window_counts),
         ("sessionize", events.sessionize),
+        ("session_stats", events.session_stats),
         ("asof_prior", events.asof_prior),
         ("simhash_dup_pairs", dedup_text.simhash_dup_pairs),
         ("token_quantiles", text.token_quantiles),

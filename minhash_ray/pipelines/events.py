@@ -816,3 +816,49 @@ def funnel_counts(
         Sum("n_partial", alias_name="n_users")
     )
     return out
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30, num_partitions: int = 32):
+    """(user_id, session_seq, n_events, duration_us): per-session summary
+    over the gap sessionization of :func:`sessionize` — session length
+    and dwell time, the engagement profile a stream pipeline reports.
+
+    Scale shape: sessions never span partitions (user-hash partitioning,
+    one user's rows per task), so the per-session aggregate happens
+    INSIDE the same per-partition vectorized scan that assigns session
+    ids — segment boundaries + ``diff``/gather, no second shuffle and no
+    corpus-width Ray-aggregate groups."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_seq": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                }
+            )
+        _, uid_s, ts_s, _ids_s, new_user, user_start = _user_sorted(batch)
+        n = len(uid_s)
+        brk = np.zeros(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (~new_user[1:]) & ((ts_s[1:] - ts_s[:-1]) > gap_us)
+        cum = np.cumsum(brk.astype(np.int64))
+        seq = cum - cum[user_start]
+        starts = np.flatnonzero(new_user | brk)
+        ends = np.concatenate([starts[1:], [n]])
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "session_seq": pa.array(seq[starts], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "duration_us": pa.array(ts_s[ends - 1] - ts_s[starts], pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts"]), num_partitions
+    )
+    return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")

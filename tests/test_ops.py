@@ -59,7 +59,7 @@ SQL_QUERIES = [
     "funnel_counts", "doc_dedup_keep_best", "dup_graph_degrees",
     "minhash_sim_histogram", "scoped_dup_pairs", "snm_dup_pairs",
     "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
-    "lang_confusion",
+    "lang_confusion", "session_stats",
 ]
 
 
