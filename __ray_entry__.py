@@ -489,6 +489,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with a benchmark subset (small-side broadcast of the benchmark's
         # distinct gram hashes) — SQL-checked via the HUGEINT gram chain
         "decontaminate": dedup_text.decontaminate,
+        # corpus-level repeated n-gram scrub (boilerplate removal): every
+        # token covered by a w-gram occurring in >= min_df distinct docs
+        # is deleted and the doc reassembled — SQL-checked byte-for-byte
+        # via the HUGEINT gram chain + interval coverage replay
+        "repeated_ngram_scrub": dedup_text.repeated_ngram_scrub,
         # inverted-index document frequencies (per-batch (doc,term) dedup
         # partial + groupby-sum final) — SQL-checked against unnest
         "term_doc_freq": text.term_doc_freq,
@@ -1395,6 +1400,63 @@ def _decontaminate_sql(bench_mod: int = 43, seed: int = 42, w: int | None = None
     )
 
 
+def _repeated_scrub_sql(min_df: int = 4, seed: int = 42, w: int | None = None) -> str:
+    """DuckDB replay of ``repeated_ngram_scrub``: the same FNV-1a token
+    hash + w-gram polynomial chain as ``_decontaminate_sql``, corpus-wide
+    distinct-doc frequency per gram, interval coverage of token positions
+    by >=min_df grams, and byte-for-byte reassembly of the surviving
+    normalized tokens."""
+    from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    w = DOC_CFG.shingle_w if w is None else w
+    m64 = 1 << 64
+    p = FNV_PRIME
+    init = FNV_OFFSET ^ seed
+    gram = "th[i]"
+    for r in range(2, w + 1):
+        gram = f"(({gram}) * {p} + th[i+{r - 1}]) % {m64}"
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, t, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), grams AS ("
+        f"  SELECT doc_id, i, {gram} AS g"
+        f"  FROM thash, UNNEST(range(1, len(th) - {w} + 2)) AS r(i)"
+        f"  WHERE len(th) >= {w}"
+        "), hot AS ("
+        f"  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= {min_df}"
+        "), cov AS ("
+        "  SELECT DISTINCT gr.doc_id, pp.p"
+        "  FROM grams gr JOIN hot h ON h.g = gr.g,"
+        f"       UNNEST(range(gr.i, gr.i + {w})) AS pp(p)"
+        "), pos AS ("
+        "  SELECT doc_id, pi.i AS pos, t[pi.i] AS tok"
+        "  FROM thash, UNNEST(range(1, len(t) + 1)) AS pi(i)"
+        "), scrubbed AS ("
+        "  SELECT p.doc_id,"
+        "    COALESCE(string_agg(p.tok, ' ' ORDER BY p.pos)"
+        "             FILTER (WHERE c.p IS NULL), '') AS text_scrubbed,"
+        "    count(c.p) AS n_removed"
+        "  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.p = p.pos"
+        "  GROUP BY p.doc_id"
+        ") "
+        "SELECT d.doc_id, COALESCE(s.text_scrubbed, '') AS text_scrubbed, "
+        "CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed "
+        "FROM documents d LEFT JOIN scrubbed s ON s.doc_id = d.doc_id"
+    )
+
+
 def _scrub_terms_sql() -> str:
     """DuckDB replay of ``scrub_terms`` — same RE2 pattern on both sides
     (pyarrow and DuckDB both compile RE2), global replace + match count."""
@@ -1548,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN b1 USING (doc_id) LEFT JOIN t3 USING (doc_id)"
         ),
         "decontaminate": _decontaminate_sql(),
+        "repeated_ngram_scrub": _repeated_scrub_sql(),
         "scrub_terms": _scrub_terms_sql(),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "

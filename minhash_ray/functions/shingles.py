@@ -38,10 +38,15 @@ def _segmented_arange(counts: np.ndarray) -> np.ndarray:
     return out
 
 
-def tokenize_batch(texts: pa.Array, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Normalize + tokenize a string column.
+def tokenize_with_strings(
+    texts: pa.Array, seed: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Normalize + tokenize a string column, keeping the token strings.
 
-    Returns (flat_token_hashes uint64, token_counts int64 per row).
+    Returns (flat_tokens StringArray, token_counts int64 per row,
+    flat_token_hashes uint64) — the strings are needed by operators that
+    REASSEMBLE text from surviving tokens (e.g. ``repeated_ngram_scrub``);
+    hash-only callers use :func:`tokenize_batch`.
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -64,6 +69,15 @@ def tokenize_batch(texts: pa.Array, seed: int) -> tuple[np.ndarray, np.ndarray]:
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq_hashes = hash_str_array(uniq, seed)
     token_hashes = uniq_hashes[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+    return flat, counts, token_hashes
+
+
+def tokenize_batch(texts: pa.Array, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize + tokenize a string column.
+
+    Returns (flat_token_hashes uint64, token_counts int64 per row).
+    """
+    _, counts, token_hashes = tokenize_with_strings(texts, seed)
     return token_hashes, counts
 
 

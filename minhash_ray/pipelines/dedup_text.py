@@ -3400,3 +3400,234 @@ def doc_dedup_tiered_append(
         extra=epoch_extra,
     )
     return run_tier3(merged_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level repeated n-gram scrub (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def _scrub_from_hits(texts, seed: int, w: int, hit_rows, hit_starts):
+    """Shared scrub core: delete every token position covered by a hit
+    w-gram occurrence.  ``hit_rows``/``hit_starts`` are parallel int64
+    arrays naming gram occurrences (row index in this batch, 0-based
+    token start).  Returns (scrubbed StringArray, n_removed int64 array,
+    n_tokens int64 array).
+
+    Coverage is a vectorized interval stab: each hit gram contributes
+    +1 at its start and -1 one past its end in a per-row-padded delta
+    array (one extra slot per row so the -1 of a gram ending at the row
+    boundary never leaks into the next row), and covered = running sum
+    > 0 — no per-row Python, no per-gram loop.
+    """
+    import pyarrow.compute as pc
+
+    from minhash_ray.functions.shingles import _segmented_arange, tokenize_with_strings
+
+    flat, counts, _ = tokenize_with_strings(texts, seed)
+    n_rows = len(counts)
+    ext = counts + 1                       # one spill slot per row
+    ext_starts = np.cumsum(ext) - ext
+    delta = np.zeros(int(ext.sum()), dtype=np.int64)
+    if len(hit_rows):
+        gpos = ext_starts[hit_rows] + hit_starts
+        np.add.at(delta, gpos, 1)
+        np.add.at(delta, gpos + w, -1)     # start+w <= counts[row] → in-segment
+    cov = np.cumsum(delta) > 0
+    tok_row = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    tok_ext = ext_starts[tok_row] + _segmented_arange(counts)
+    covered_tok = cov[tok_ext] if len(tok_row) else np.zeros(0, dtype=bool)
+    n_removed = np.bincount(tok_row[covered_tok], minlength=n_rows).astype(np.int64)
+    kept_counts = counts - n_removed
+    offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        flat.filter(pa.array(~covered_tok)) if len(tok_row) else flat,
+    )
+    return pc.binary_join(kept_list, " "), n_removed, counts
+
+
+def repeated_ngram_scrub(
+    sf_dir: str,
+    w: int | None = None,
+    min_df: int = 4,
+    num_partitions: int = 8,
+    broadcast_max_rows: int = 2_000_000,
+    cfg: PipelineConfig = DOC_CFG,
+    docs=None,
+):
+    """Corpus-level repeated n-gram scrub: remove EVERY occurrence of any
+    token w-gram that appears in >= ``min_df`` distinct documents (the
+    boilerplate / navigation-chrome filter of CCNet-style curation — the
+    frequency-threshold complement of ``chunk_dedup_docs``' keep-first
+    semantics, in the spirit of Lee et al. 2021's repeated-substring
+    removal at w-gram granularity).  A token survives iff no hot gram
+    occurrence covers its position; docs are reassembled from surviving
+    normalized tokens.  Output: (doc_id, text_scrubbed, n_removed).
+
+    Scale shape (two wide ops, text never shuffled in the common path):
+      1. df pass — per-batch per-doc-distinct gram counts fold through a
+         gram-hash partition (``fold_by_int_keys``; each doc lives in
+         exactly one batch, so summed partials are exact distinct-doc
+         counts), then the >=min_df gate.
+      2. scrub — if the hot set fits (``broadcast_max_rows``; 8 B/gram,
+         and boilerplate is small by construction at a sane min_df) it is
+         broadcast once via ``ray.put`` and the corpus streams through
+         one searchsorted probe + interval-stab scrub.  Above the limit
+         nothing is driver-resident: gram occurrences (doc_id, s, g)
+         join the hot table on g, covered starts aggregate per doc
+         through a doc-hash fold, and ONE left-outer join carries them
+         back onto the docs (the join-attach pattern of
+         ``_ngram_verify_join``), proven bit-identical by the forced-path
+         pytest.
+
+    Uses the MinHash chain's tokenizer + w-gram polynomial
+    (``token_shingles``), so the DuckDB oracle replays the full chain in
+    HUGEINT SQL and checks the scrubbed TEXT byte-for-byte.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+    from minhash_ray.functions.shingles import _segmented_arange, token_shingles
+    from minhash_ray.util import clamp_partitions, fold_by_int_keys, strip_empty_blocks
+
+    w = cfg.shingle_w if w is None else int(w)
+    np_parts = clamp_partitions(num_partitions)
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        sh, cnt = token_shingles(batch.column("text"), w, cfg.seed)
+        row = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        if len(sh):
+            o = np.lexsort((sh, row))
+            rs, gs = row[o], sh[o]
+            first = np.ones(len(gs), dtype=bool)
+            first[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+            gs = gs[first]                 # per-doc distinct grams
+        else:
+            gs = sh
+        ug, c = np.unique(gs, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(ug.view(np.int64), pa.int64()),
+                "df": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def df_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["g"]).aggregate([("df", "sum")])
+        keep = pc.greater_equal(agg.column("df_sum"), min_df)
+        return pa.table({"g": agg.column("g").filter(keep)})
+
+    # strip_empty_blocks: the fold's empty partitions emit schema-less
+    # blocks that poison the Acero join below (mandatory pre-join barrier)
+    hot = strip_empty_blocks(
+        fold_by_int_keys(ds, ["g"], df_partial, df_final, num_partitions)
+    )
+    n_hot = hot.count()
+
+    if n_hot <= broadcast_max_rows:
+        # fast path: one sorted uint64 pack, corpus streams searchsorted
+        parts = [
+            b.column("g").to_numpy().view(np.uint64)
+            for b in hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        hot_sorted = (
+            np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+        )
+        hot_ref = ray.put(hot_sorted)
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)          # plasma-cached per worker
+            sh, s_cnt = token_shingles(batch.column("text"), w, cfg.seed)
+            gram_row = np.repeat(np.arange(len(s_cnt), dtype=np.int64), s_cnt)
+            gram_local = _segmented_arange(s_cnt)
+            if len(sh) and len(hs):
+                pos = np.minimum(np.searchsorted(hs, sh), len(hs) - 1)
+                hit = hs[pos] == sh
+            else:
+                hit = np.zeros(len(sh), dtype=bool)
+            text_s, n_rem, _ = _scrub_from_hits(
+                batch.column("text"), cfg.seed, w, gram_row[hit], gram_local[hit]
+            )
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "text_scrubbed": text_s,
+                    "n_removed": pa.array(n_rem, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(scrub, batch_format="pyarrow")
+
+    # join-attach path: nothing driver-resident
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        sh, s_cnt = token_shingles(batch.column("text"), w, cfg.seed)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, s_cnt), pa.int64()),
+                "s": pa.array(_segmented_arange(s_cnt), pa.int64()),
+                "g": pa.array(sh.view(np.int64), pa.int64()),
+            }
+        )
+
+    cov_pairs = ds.map_batches(explode_grams, batch_format="pyarrow").join(
+        hot, join_type="inner", on=("g",), num_partitions=np_parts
+    )
+
+    def cov_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"), "s": batch.column("s")})
+
+    def cov_final(t: pa.Table) -> pa.Table:
+        # pack each doc's covered-start list as raw int64 bytes — Acero
+        # rejects list payloads in join non-key fields (the same
+        # large_binary packing verify_shuffle uses for shingle sets)
+        agg = t.group_by(["doc_id"]).aggregate([("s", "list")])
+        sl = agg.column("s_list")
+        if isinstance(sl, pa.ChunkedArray):
+            sl = sl.combine_chunks()
+        flat = sl.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = sl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        pack = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(sl),
+            [None, pa.py_buffer((offs * 8).tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table({"doc_id": agg.column("doc_id"), "s_pack": pack})
+
+    starts_ds = strip_empty_blocks(
+        fold_by_int_keys(cov_pairs, ["doc_id"], cov_partial, cov_final, num_partitions)
+    )
+    joined = ds.join(
+        starts_ds, join_type="left_outer", on=("doc_id",), num_partitions=np_parts
+    )
+
+    def scrub_joined(batch: pa.Table) -> pa.Table:
+        sl = batch.column("s_pack")
+        if isinstance(sl, pa.ChunkedArray):
+            sl = sl.combine_chunks()
+        from minhash_ray.util import binary_flat_offsets
+
+        flat_u8, offs = binary_flat_offsets(pc.fill_null(sl, b""))
+        row_of = np.repeat(
+            np.arange(len(sl), dtype=np.int64), np.diff(offs) // 8
+        )
+        flat_starts = (
+            np.frombuffer(np.ascontiguousarray(flat_u8).tobytes(), dtype=np.int64)
+            if len(row_of)
+            else np.empty(0, dtype=np.int64)
+        )
+        text_s, n_rem, _ = _scrub_from_hits(
+            batch.column("text"), cfg.seed, w, row_of, flat_starts
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_scrubbed": text_s,
+                "n_removed": pa.array(n_rem, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(scrub_joined, batch_format="pyarrow")

@@ -59,7 +59,7 @@ SQL_QUERIES = [
     "funnel_counts", "doc_dedup_keep_best", "dup_graph_degrees",
     "minhash_sim_histogram", "scoped_dup_pairs", "snm_dup_pairs",
     "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
-    "lang_confusion", "session_stats",
+    "lang_confusion", "session_stats", "repeated_ngram_scrub",
 ]
 
 
@@ -972,3 +972,46 @@ def test_containment_broadcast_path_matches_join_path(ray_session, sf_dir):
     a = _canon(_pdf(containment_pairs(sf_dir)))
     b = _canon(_pdf(containment_pairs(sf_dir, broadcast_max_rows=0)))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_repeated_ngram_scrub_planted_and_paths(ray_session, tmp_path):
+    """Planted boilerplate: a 5-token footer repeated in 4 docs is fully
+    scrubbed everywhere (all occurrences, not keep-first), unique content
+    survives byte-for-byte, a doc that is ONLY boilerplate empties out,
+    and the forced join-attach path (broadcast_max_rows=0) is
+    bit-identical to the broadcast fast path."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import repeated_ngram_scrub
+
+    footer = "copyright acme corp all rights"          # 5 tokens, w=3 grams
+    bodies = [" ".join(f"u{d}w{i}" for i in range(8)) for d in range(4)]
+    texts = [f"{b} {footer}" for b in bodies] + [footer, "lone unique doc"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = (
+        _pdf(repeated_ngram_scrub(str(d), min_df=4))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # every footer occurrence removed (5 docs contain it, min_df=4)
+    for i, b in enumerate(bodies):
+        assert got.text_scrubbed[i] == b
+        assert got.n_removed[i] == 5
+    assert got.text_scrubbed[4] == "" and got.n_removed[4] == 5   # footer-only doc
+    assert got.text_scrubbed[5] == "lone unique doc" and got.n_removed[5] == 0
+
+    forced = (
+        _pdf(repeated_ngram_scrub(str(d), min_df=4, broadcast_max_rows=0))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(forced)
