@@ -494,6 +494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is deleted and the doc reassembled — SQL-checked byte-for-byte
         # via the HUGEINT gram chain + interval coverage replay
         "repeated_ngram_scrub": dedup_text.repeated_ngram_scrub,
+        # constant-space Bloom-filter decontamination (rows-only: false
+        # positives are inherent to the sketch, so no SQL oracle — the
+        # no-false-negative and FP-envelope guarantees are pytest-proven,
+        # as is the OR-fold partitioned==serial merge algebra)
+        "bloom_decontaminate": dedup_text.bloom_decontaminate,
         # inverted-index document frequencies (per-batch (doc,term) dedup
         # partial + groupby-sum final) — SQL-checked against unnest
         "term_doc_freq": text.term_doc_freq,

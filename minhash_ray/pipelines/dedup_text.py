@@ -3631,3 +3631,80 @@ def repeated_ngram_scrub(
         )
 
     return joined.map_batches(scrub_joined, batch_format="pyarrow")
+
+
+def bloom_decontaminate(
+    sf_dir: str,
+    w: int | None = None,
+    bench_mod: int = 43,
+    m_bits: int = 1 << 23,
+    k_probes: int = 7,
+    cfg: PipelineConfig = DOC_CFG,
+):
+    """Constant-space test-set decontamination: :func:`decontaminate`
+    with the benchmark gram set held in a Bloom filter instead of an
+    exact sorted array.  Same output schema (doc_id, n_hits,
+    contaminated); ``n_hits``/``contaminated`` are UPPER bounds (false
+    positives possible at the configured m/k, false negatives never —
+    the safe direction for contamination screening: nothing contaminated
+    slips through; pytest bounds the FP envelope).
+
+    Why it exists next to the exact op: the broadcast side is
+    ``m_bits/8`` bytes REGARDLESS of benchmark size — a 10^10-gram eval
+    battery needs 80+ GB exact but ~1.5 GB at 1% FP — and the build is
+    the reference's mergeable-sketch algebra applied to membership
+    (OR-fold insert/merge: commutative, associative, idempotent,
+    order-independent — src/utils/utils.c:3-46 semantics; per-batch
+    partial filters fold to the identical array as a serial build, the
+    FCDS contract src/fcds/minhash-fcds.c:149-184, pytest-proven).
+    """
+    import ray
+
+    from minhash_ray.functions.bloom import bloom_empty, bloom_insert, bloom_query
+    from minhash_ray.functions.shingles import token_shingles
+
+    w = cfg.shingle_w if w is None else w
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        mask = (ids % bench_mod) == 0
+        texts = batch.column("text").filter(pa.array(mask))
+        sh, _ = token_shingles(texts, w, cfg.seed)
+        filt = bloom_insert(bloom_empty(m_bits), sh, k_probes)
+        return pa.table({"filt": pa.array([filt.tobytes()], pa.large_binary())})
+
+    # per-batch partial filters OR-fold on the driver: constant-size
+    # merge (m_bits/8 bytes per partial), the sketch analog of
+    # decontaminate's exact gram-set union
+    filt = bloom_empty(m_bits)
+    for b in docs.map_batches(bench_partial, batch_format="pyarrow").iter_batches(
+        batch_size=64, batch_format="pyarrow"
+    ):
+        for blob in b.column("filt"):
+            filt |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    filt_ref = ray.put(filt)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        f = ray.get(filt_ref)              # plasma-cached per worker
+        sh, cnt = token_shingles(batch.column("text"), w, cfg.seed)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), cnt)
+        n_hits = np.zeros(len(batch), dtype=np.int64)
+        if len(sh):
+            hit = bloom_query(f, sh, k_probes)
+            rs, gs = row[hit], sh[hit]
+            if len(rs):
+                o = np.lexsort((gs, rs))
+                rs, gs = rs[o], gs[o]
+                first = np.ones(len(rs), dtype=bool)
+                first[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+                n_hits = np.bincount(rs[first], minlength=len(batch)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow")

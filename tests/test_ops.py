@@ -1015,3 +1015,50 @@ def test_repeated_ngram_scrub_planted_and_paths(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(forced)
+
+
+def test_bloom_kernel_algebra_and_guarantees():
+    """Bloom kernels: partitioned OR-fold == serial build bit-identically
+    (the reference merge contract applied to membership), no false
+    negatives ever, and the false-positive rate on fresh keys stays
+    within ~2x the analytic (1-e^(-kn/m))^k envelope."""
+    from minhash_ray.functions.bloom import (
+        bloom_empty,
+        bloom_insert,
+        bloom_merge,
+        bloom_query,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**63, size=20_000, dtype=np.int64).view(np.uint64)
+    m_bits, k = 1 << 18, 7
+
+    serial = bloom_insert(bloom_empty(m_bits), keys, k)
+    parts = np.array_split(keys, 7)
+    folded = bloom_empty(m_bits)
+    for p in parts[::-1]:                       # order-independence too
+        folded = bloom_merge(folded, bloom_insert(bloom_empty(m_bits), p, k))
+    assert np.array_equal(serial, folded)
+
+    assert bloom_query(serial, keys, k).all()   # no false negatives
+
+    fresh = rng.integers(0, 2**63, size=50_000, dtype=np.int64).view(np.uint64)
+    fresh = fresh[~np.isin(fresh, keys)]
+    fp = bloom_query(serial, fresh, k).mean()
+    expected = (1 - np.exp(-k * len(keys) / m_bits)) ** k
+    assert fp <= 2 * expected + 1e-3, (fp, expected)
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session, sf_dir):
+    """Pipeline guarantee: every doc the exact decontaminate flags is
+    flagged by the Bloom variant (no false negatives), per-doc bloom
+    n_hits >= exact n_hits, and at the default m/k the FP overhead on
+    this corpus is tiny."""
+    from minhash_ray.pipelines.dedup_text import bloom_decontaminate, decontaminate
+
+    ex = _pdf(decontaminate(sf_dir)).set_index("doc_id").sort_index()
+    bl = _pdf(bloom_decontaminate(sf_dir)).set_index("doc_id").sort_index()
+    assert (bl.loc[ex.index[ex.contaminated], "contaminated"]).all()
+    assert (bl.n_hits >= ex.n_hits).all()
+    extra = int(bl.contaminated.sum()) - int(ex.contaminated.sum())
+    assert extra <= max(2, 0.01 * len(ex)), extra
