@@ -499,6 +499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no-false-negative and FP-envelope guarantees are pytest-proven,
         # as is the OR-fold partitioned==serial merge algebra)
         "bloom_decontaminate": dedup_text.bloom_decontaminate,
+        # exact tf-cosine all-pairs self-join (Bayardo's cosine AllPairs):
+        # all-integer output, exact cross-product gate — SQL-checked
+        "tf_cosine_pairs": dedup_text.tf_cosine_pairs,
         # inverted-index document frequencies (per-batch (doc,term) dedup
         # partial + groupby-sum final) — SQL-checked against unnest
         "term_doc_freq": text.term_doc_freq,
@@ -1462,6 +1465,53 @@ def _repeated_scrub_sql(min_df: int = 4, seed: int = 42, w: int | None = None) -
     )
 
 
+def _tf_cosine_sql(threshold: float = 0.9, seed: int = 42) -> str:
+    """DuckDB replay of ``tf_cosine_pairs``: the FNV-1a token hash chain
+    (w=1 — the per-token hash itself), exact HUGEINT term-frequency dot
+    products and squared norms, and the same integer cross-product gate
+    ``dot²·den² >= num²·na2·nb2`` with threshold = num/den from the
+    decimal literal."""
+    from fractions import Fraction
+
+    from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+
+    frac = Fraction(str(threshold))
+    t2n, t2d = frac.numerator**2, frac.denominator**2
+    m64 = 1 << 64
+    p = FNV_PRIME
+    init = FNV_OFFSET ^ seed
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), tf AS ("
+        "  SELECT doc_id, u.h AS h, CAST(count(*) AS HUGEINT) AS tf"
+        "  FROM thash, UNNEST(th) AS u(h) GROUP BY doc_id, u.h"
+        "), norm AS ("
+        "  SELECT doc_id, CAST(sum(tf * tf) AS HUGEINT) AS n2 FROM tf GROUP BY doc_id"
+        "), dots AS ("
+        "  SELECT a.doc_id AS da, b.doc_id AS db,"
+        "         CAST(sum(a.tf * b.tf) AS HUGEINT) AS dot"
+        "  FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2"
+        ") "
+        "SELECT da AS doc_id_a, db AS doc_id_b, CAST(dot AS BIGINT) AS dot, "
+        "CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2 "
+        "FROM dots JOIN norm na ON na.doc_id = da JOIN norm nb ON nb.doc_id = db "
+        f"WHERE dot > 0 AND dot * dot * {t2d} >= {t2n} * na.n2 * nb.n2"
+    )
+
+
 def _scrub_terms_sql() -> str:
     """DuckDB replay of ``scrub_terms`` — same RE2 pattern on both sides
     (pyarrow and DuckDB both compile RE2), global replace + match count."""
@@ -1616,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": _decontaminate_sql(),
         "repeated_ngram_scrub": _repeated_scrub_sql(),
+        "tf_cosine_pairs": _tf_cosine_sql(),
         "scrub_terms": _scrub_terms_sql(),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "

@@ -214,6 +214,9 @@ def run_bench() -> dict:
         ("dedup_cluster_sizes", dedup_text.dedup_cluster_sizes),
         ("nation_segment_balance", relational.nation_segment_balance),
         ("lang_confusion", text.lang_confusion),
+        ("repeated_ngram_scrub", dedup_text.repeated_ngram_scrub),
+        ("bloom_decontaminate", dedup_text.bloom_decontaminate),
+        ("tf_cosine_pairs", dedup_text.tf_cosine_pairs),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_stats", _audio_stats),

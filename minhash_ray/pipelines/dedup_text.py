@@ -3407,12 +3407,14 @@ def doc_dedup_tiered_append(
 # ---------------------------------------------------------------------------
 
 
-def _scrub_from_hits(texts, seed: int, w: int, hit_rows, hit_starts):
+def _scrub_from_hits(flat, counts, w: int, hit_rows, hit_starts):
     """Shared scrub core: delete every token position covered by a hit
-    w-gram occurrence.  ``hit_rows``/``hit_starts`` are parallel int64
-    arrays naming gram occurrences (row index in this batch, 0-based
-    token start).  Returns (scrubbed StringArray, n_removed int64 array,
-    n_tokens int64 array).
+    w-gram occurrence.  ``flat``/``counts`` are the batch's tokenized
+    strings (one ``tokenize_with_strings`` pass, shared with the gram
+    hashing so each batch tokenizes exactly once); ``hit_rows``/
+    ``hit_starts`` are parallel int64 arrays naming gram occurrences
+    (row index in this batch, 0-based token start).  Returns (scrubbed
+    StringArray, n_removed int64 array).
 
     Coverage is a vectorized interval stab: each hit gram contributes
     +1 at its start and -1 one past its end in a per-row-padded delta
@@ -3422,9 +3424,8 @@ def _scrub_from_hits(texts, seed: int, w: int, hit_rows, hit_starts):
     """
     import pyarrow.compute as pc
 
-    from minhash_ray.functions.shingles import _segmented_arange, tokenize_with_strings
+    from minhash_ray.functions.shingles import _segmented_arange
 
-    flat, counts, _ = tokenize_with_strings(texts, seed)
     n_rows = len(counts)
     ext = counts + 1                       # one spill slot per row
     ext_starts = np.cumsum(ext) - ext
@@ -3444,7 +3445,7 @@ def _scrub_from_hits(texts, seed: int, w: int, hit_rows, hit_starts):
         pa.array(offsets, pa.int32()),
         flat.filter(pa.array(~covered_tok)) if len(tok_row) else flat,
     )
-    return pc.binary_join(kept_list, " "), n_removed, counts
+    return pc.binary_join(kept_list, " "), n_removed
 
 
 def repeated_ngram_scrub(
@@ -3488,7 +3489,12 @@ def repeated_ngram_scrub(
     import pyarrow.compute as pc
 
     import ray
-    from minhash_ray.functions.shingles import _segmented_arange, token_shingles
+    from minhash_ray.functions.hashing import combine_wgrams
+    from minhash_ray.functions.shingles import (
+        _segmented_arange,
+        token_shingles,
+        tokenize_with_strings,
+    )
     from minhash_ray.util import clamp_partitions, fold_by_int_keys, strip_empty_blocks
 
     w = cfg.shingle_w if w is None else int(w)
@@ -3539,16 +3545,23 @@ def repeated_ngram_scrub(
 
         def scrub(batch: pa.Table) -> pa.Table:
             hs = ray.get(hot_ref)          # plasma-cached per worker
-            sh, s_cnt = token_shingles(batch.column("text"), w, cfg.seed)
-            gram_row = np.repeat(np.arange(len(s_cnt), dtype=np.int64), s_cnt)
+            # ONE tokenize pass feeds both the gram hashes and reassembly
+            flat_toks, counts, tok_hashes = tokenize_with_strings(
+                batch.column("text"), cfg.seed
+            )
+            s_cnt = np.maximum(counts - (w - 1), 0).astype(np.int64)
+            tok_starts = np.cumsum(counts) - counts
             gram_local = _segmented_arange(s_cnt)
+            starts = np.repeat(tok_starts, s_cnt) + gram_local
+            sh = combine_wgrams(tok_hashes, starts, w)
+            gram_row = np.repeat(np.arange(len(s_cnt), dtype=np.int64), s_cnt)
             if len(sh) and len(hs):
                 pos = np.minimum(np.searchsorted(hs, sh), len(hs) - 1)
                 hit = hs[pos] == sh
             else:
                 hit = np.zeros(len(sh), dtype=bool)
-            text_s, n_rem, _ = _scrub_from_hits(
-                batch.column("text"), cfg.seed, w, gram_row[hit], gram_local[hit]
+            text_s, n_rem = _scrub_from_hits(
+                flat_toks, counts, w, gram_row[hit], gram_local[hit]
             )
             return pa.table(
                 {
@@ -3619,9 +3632,8 @@ def repeated_ngram_scrub(
             if len(row_of)
             else np.empty(0, dtype=np.int64)
         )
-        text_s, n_rem, _ = _scrub_from_hits(
-            batch.column("text"), cfg.seed, w, row_of, flat_starts
-        )
+        flat_toks, counts, _ = tokenize_with_strings(batch.column("text"), cfg.seed)
+        text_s, n_rem = _scrub_from_hits(flat_toks, counts, w, row_of, flat_starts)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -3708,3 +3720,515 @@ def bloom_decontaminate(
         )
 
     return docs.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact term-frequency cosine similarity self-join
+# ---------------------------------------------------------------------------
+
+
+def _doc_tf_sets(sf_dir: str, cfg: PipelineConfig = DOC_CFG, docs=None):
+    """documents → {doc_id, shingles (sorted distinct token hashes,
+    list<u64>), tfs (aligned term frequencies, list<u64>), n, na2} — the
+    weighted-vector analog of :func:`_doc_shingle_sets`.  ``na2 = Σ tf²``
+    is the doc's squared L2 norm, exact int64."""
+    from minhash_ray.functions.shingles import tokenize_batch
+
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hashes, counts = tokenize_batch(batch.column("text"), cfg.seed)
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if len(hashes):
+            o = np.lexsort((hashes, row))
+            rs, hs = row[o], hashes[o]
+            first = np.ones(len(hs), dtype=bool)
+            first[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+            starts = np.flatnonzero(first)
+            tf = np.diff(np.concatenate((starts, [len(hs)]))).astype(np.int64)
+            uniq_h, uniq_row = hs[first], rs[first]
+            n_per_row = np.bincount(uniq_row, minlength=len(counts)).astype(np.int64)
+            na2 = np.zeros(len(counts), dtype=np.int64)
+            np.add.at(na2, uniq_row, tf * tf)
+            if na2.max(initial=0) >= (1 << 31):
+                raise ValueError(
+                    "tf_cosine_pairs: per-doc squared norm exceeds 2^31 "
+                    "(doc too long for the exact int64 gate bounds)"
+                )
+        else:
+            uniq_h = hashes
+            tf = np.empty(0, dtype=np.int64)
+            n_per_row = np.zeros(len(counts), dtype=np.int64)
+            na2 = np.zeros(len(counts), dtype=np.int64)
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(n_per_row))).astype(np.int32), pa.int32()
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": pa.ListArray.from_arrays(
+                    offs, pa.array(uniq_h, pa.uint64())
+                ),
+                "tfs": pa.ListArray.from_arrays(
+                    offs, pa.array(tf.view(np.uint64), pa.uint64())
+                ),
+                "n": pa.array(n_per_row, pa.int64()),
+                "na2": pa.array(na2, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _pair_dots(fa, ta, oa, fb, tb, ob) -> np.ndarray:
+    """Exact per-pair dot products Σ tf_a·tf_b over shared terms: side a
+    holds per-pair sorted-unique term segments (``fa`` flat u64 terms,
+    ``ta`` flat tf, ``oa`` offsets), side b likewise.  One lexsort +
+    adjacent-match pass — terms are unique per side, so a shared term is
+    exactly one adjacent (pair, term) run of the two sides."""
+    n = len(oa) - 1
+    pid = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), np.diff(oa)),
+         np.repeat(np.arange(n, dtype=np.int64), np.diff(ob))]
+    )
+    terms = np.concatenate([fa, fb])
+    tfs = np.concatenate([ta, tb]).astype(np.int64)
+    if not len(pid):
+        return np.zeros(n, dtype=np.int64)
+    o = np.lexsort((terms, pid))
+    p, t_, v = pid[o], terms[o], tfs[o]
+    match = (p[1:] == p[:-1]) & (t_[1:] == t_[:-1])
+    dots = np.zeros(n, dtype=np.int64)
+    np.add.at(dots, p[1:][match], v[1:][match] * v[:-1][match])
+    return dots
+
+
+def _cos_gate(dot, na2, nb2, num: int, den: int) -> np.ndarray:
+    """cos >= num/den decided EXACTLY: dot²·den² >= num²·na2·nb2 with
+    integer semantics.  The vectorized float64 compare decides everything
+    far from the boundary (relative error < 1e-12 ≪ the 1e-9 margin);
+    rows inside the margin — exact threshold ties like cos == 1 — are
+    re-decided in arbitrary-precision Python ints (boundary-only, O(ties))."""
+    t2n, t2d = num * num, den * den
+    lhs = dot.astype(np.float64) ** 2 * t2d
+    rhs = float(t2n) * na2.astype(np.float64) * nb2.astype(np.float64)
+    keep = (dot > 0) & (lhs >= rhs)
+    margin = (dot > 0) & (
+        np.abs(lhs - rhs) <= 1e-9 * np.maximum(np.maximum(lhs, rhs), 1.0)
+    )
+    for i in np.flatnonzero(margin):
+        keep[i] = int(dot[i]) ** 2 * t2d >= t2n * int(na2[i]) * int(nb2[i])
+    return keep
+
+
+_TF_PACK_TASK = None
+
+
+def _tf_pack_task():
+    """Off-driver pack build for the tf-cosine verify: sorted-id
+    (terms, tfs, na2) pack from materialized tf-set blocks."""
+    global _TF_PACK_TASK
+    if _TF_PACK_TASK is None:
+        import ray
+
+        @ray.remote
+        def tf_pack(*blocks: pa.Table):
+            from minhash_ray.functions.minhash import _seg_arange
+            from minhash_ray.stages.verify import _list_flat_offsets
+
+            tables = [b for b in blocks if b.num_rows] or [blocks[0]]
+            t = pa.concat_tables(tables)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            flat, offs = _list_flat_offsets(t.column("shingles"))
+            tfv, _ = _list_flat_offsets(t.column("tfs"))
+            na2 = t.column("na2").to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(ids, kind="stable")
+            counts = np.diff(offs)[o]
+            sel = np.repeat(offs[:-1][o], counts) + _seg_arange(counts)
+            return {
+                "ids": ids[o],
+                "flat": flat[sel],
+                "tfs": tfv[sel].view(np.int64),
+                "offs": np.concatenate(([0], np.cumsum(counts))).astype(np.int64),
+                "na2": na2[o],
+            }
+
+        _TF_PACK_TASK = tf_pack
+    return _TF_PACK_TASK
+
+
+def tf_cosine_pairs(
+    sf_dir: str,
+    threshold: float = 0.9,
+    num_partitions: int = 32,
+    docs=None,
+    broadcast_max_rows: int | None = None,
+    force_sparse: bool = False,
+):
+    """EXACT term-frequency cosine similarity self-join (the cosine
+    AllPairs of Bayardo et al. 2007, the measure their paper was built
+    for): unordered pairs (a < b) with ``cos(tf_a, tf_b) >= threshold``
+    over raw token-frequency vectors.  Output (doc_id_a, doc_id_b, dot,
+    na2, nb2) is ALL-INTEGER — the gate is the exact cross-product
+    ``dot²·den² >= num²·na2·nb2`` with threshold = num/den taken from the
+    decimal literal (Fraction), so the DuckDB oracle hash-matches
+    end-to-end with no float column (``cos = dot/√(na2·nb2)`` is one
+    derived expression away).  Bounds: values stay exact while
+    ``na2 < 2^31`` per doc (~46k-token docs) — asserted, not assumed.
+
+    Scale shape mirrors the Jaccard machinery: a df pass
+    (:func:`_df_table`); the dense small-vocab switch (blocked f64
+    incidence matmul — exact below 2^53 — when the element space
+    collapses, where prefix filtering degenerates); otherwise Bayardo
+    cosine prefix filtering — features in the shared rare-first global
+    order (:func:`_df_order_ref`), per-feature max normalized weight
+    (hot-capped fold, missing features conservatively bound by 1.0),
+    a doc emits its ordered feature j only while the suffix bound
+    ``Σ_{i>=j} w_i·maxw_i`` can still reach t (the earliest shared
+    feature of any qualifying pair lies in BOTH prefixes — one
+    prefix×prefix join on the feature key is exact); verify reads
+    (terms, tfs) from a task-built plasma pack under
+    ``broadcast_verify_max_rows`` and from two packed-column partitioned
+    joins above it (forced-path pytest), computing exact integer dots
+    via one lexsort adjacent-match pass."""
+    from fractions import Fraction
+
+    import ray
+    from minhash_ray.functions.minhash import _seg_arange
+    from minhash_ray.stages.verify import (
+        _list_flat_offsets,
+        _pack_u64_column,
+        _unpack_u64_column,
+    )
+    from minhash_ray.util import (
+        cached_get,
+        clamp_partitions,
+        fold_by_int_keys,
+        strip_empty_blocks,
+    )
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    t_f = num / den
+
+    np_parts = clamp_partitions(num_partitions)
+    sets_ds = _doc_tf_sets(sf_dir, docs=docs).materialize()
+    n_docs = sets_ds.count()
+
+    df_agg = _df_table(sets_ds)
+    n_distinct = df_agg.count()
+    if (
+        not force_sparse
+        and n_distinct <= _DENSE_VOCAB_MAX
+        and n_docs * n_distinct <= (_DENSE_CELLS_MAX >> 1)   # f64: same byte cap
+    ):
+        return _dense_tf_cosine(sets_ds, df_agg, num, den)
+
+    hot_ref = _df_order_ref(sets_ds, n_docs, df_agg=df_agg)
+
+    # --- per-feature max normalized weight (hot features only; anything
+    # outside the hot cap is bounded by maxw <= 1.0, weaker pruning but
+    # exact). Partial max per batch -> feature-hash fold -> one small
+    # gather (<= the hot cap by construction) -> ray.put ---
+    def mw_partial(batch: pa.Table) -> pa.Table:
+        hot = cached_get(hot_ref[0])
+        flat, offs = _list_flat_offsets(batch.column("shingles"))
+        tfv, _ = _list_flat_offsets(batch.column("tfs"))
+        na2 = batch.column("na2").to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        norm = np.sqrt(np.repeat(na2, counts).astype(np.float64))
+        w = np.divide(
+            tfv.view(np.int64).astype(np.float64),
+            norm,
+            out=np.zeros(len(flat)),
+            where=norm > 0,
+        )
+        if len(hot["e"]) and len(flat):
+            pos = np.minimum(np.searchsorted(hot["e"], flat), len(hot["e"]) - 1)
+            m = hot["e"][pos] == flat
+        else:
+            m = np.zeros(len(flat), dtype=bool)
+        e, wv = flat[m], w[m]
+        if len(e):
+            o = np.argsort(e, kind="stable")
+            e, wv = e[o], wv[o]
+            first = np.ones(len(e), dtype=bool)
+            first[1:] = e[1:] != e[:-1]
+            mx = np.maximum.reduceat(wv, np.flatnonzero(first))
+            e = e[first]
+        else:
+            mx = wv
+        return pa.table(
+            {"e": pa.array(e.view(np.int64), pa.int64()),
+             "mw": pa.array(mx, pa.float64())}
+        )
+
+    def mw_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("e").aggregate([("mw", "max")])
+        return pa.table({"e": agg.column("e"), "mw": agg.column("mw_max")})
+
+    mw_tbl = pa.concat_tables(
+        list(
+            fold_by_int_keys(sets_ds, ["e"], mw_partial, mw_final, num_partitions)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"e": pa.array([], pa.int64()), "mw": pa.array([], pa.float64())})]
+    )
+    me = np.ascontiguousarray(
+        mw_tbl.column("e").to_numpy(zero_copy_only=False).astype(np.int64)
+    ).view(np.uint64)
+    mv = np.asarray(mw_tbl.column("mw").to_numpy(), dtype=np.float64)
+    o_me = np.argsort(me)
+    mw_ref = [ray.put({"e": me[o_me], "mw": mv[o_me]})]
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        hot = cached_get(hot_ref[0])
+        mw = cached_get(mw_ref[0])
+        flat, offs = _list_flat_offsets(batch.column("shingles"))
+        tfv, _ = _list_flat_offsets(batch.column("tfs"))
+        na2 = batch.column("na2").to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        perm = _df_order_perm(flat, offs, counts, hot)
+        f_o, t_o = flat[perm], tfv[perm].view(np.int64)
+        norm = np.sqrt(np.repeat(na2, counts).astype(np.float64))
+        w = np.divide(
+            t_o.astype(np.float64), norm, out=np.zeros(len(f_o)), where=norm > 0
+        )
+        if len(mw["e"]) and len(f_o):
+            pos = np.minimum(np.searchsorted(mw["e"], f_o), len(mw["e"]) - 1)
+            is_mw = mw["e"][pos] == f_o
+            mwv = np.where(is_mw, mw["mw"][pos], 1.0)
+        else:
+            mwv = np.ones(len(f_o))
+        contrib = w * np.minimum(mwv, 1.0)
+        # segmented suffix sums: row_total - (inclusive cumsum - self)
+        cs = np.cumsum(contrib)
+        row_ends = np.cumsum(counts)
+        # prepend-0 indexing keeps zero-length rows exact (te[r] = cumsum
+        # through row r's end; empty row -> te[r] == te[r-1] -> total 0)
+        te = np.concatenate(([0.0], cs))[row_ends]
+        totals = te - np.concatenate(([0.0], te[:-1]))
+        cum_before = cs - contrib - np.repeat(
+            np.concatenate(([0.0], te[:-1])), counts
+        )
+        suffix = np.repeat(totals, counts) - cum_before
+        emit = suffix >= t_f - 1e-9
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (f_o[emit] >> np.uint64(1)).astype(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(np.repeat(ids, counts)[emit], pa.int64()),
+            }
+        )
+
+    prefixes = sets_ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def as_side(suffix: str):
+        def rn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bucket": batch.column("bucket"),
+                    f"doc_id_{suffix}": batch.column("doc_id"),
+                }
+            )
+
+        return prefixes.map_batches(rn, batch_format="pyarrow")
+
+    joined = as_side("a").join(
+        as_side("b"), join_type="inner", on=("bucket",), num_partitions=np_parts
+    )
+
+    def slim_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        keep = a < b
+        pairs = np.stack([a[keep], b[keep]], axis=1)
+        if len(pairs):
+            pairs = np.unique(pairs, axis=0)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(pairs[:, 0], pa.int64()),
+                "doc_id_b": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    cand = strip_empty_blocks(
+        strip_empty_blocks(joined.map_batches(slim_pairs, batch_format="pyarrow"))
+        .groupby(["doc_id_a", "doc_id_b"])
+        .count()
+        .select_columns(["doc_id_a", "doc_id_b"])
+    )
+
+    limit = (
+        DOC_CFG.broadcast_verify_max_rows
+        if broadcast_max_rows is None
+        else broadcast_max_rows
+    )
+
+    def emit(a, b, dot, na2, nb2, keep) -> pa.Table:
+        sel = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(np.asarray(a)[sel], pa.int64()),
+                "doc_id_b": pa.array(np.asarray(b)[sel], pa.int64()),
+                "dot": pa.array(dot[sel], pa.int64()),
+                "na2": pa.array(np.asarray(na2)[sel], pa.int64()),
+                "nb2": pa.array(np.asarray(nb2)[sel], pa.int64()),
+            }
+        )
+
+    if n_docs <= limit:
+        pack_ref = [_tf_pack_task().remote(*sets_ds.to_arrow_refs())]
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return emit(
+                    np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), np.zeros(0, bool),
+                )
+            pack = cached_get(pack_ref[0])
+            a = batch.column("doc_id_a").to_numpy()
+            b = batch.column("doc_id_b").to_numpy()
+            ra = np.searchsorted(pack["ids"], a)
+            rb = np.searchsorted(pack["ids"], b)
+            offs_p = pack["offs"]
+            ca, cb = offs_p[ra + 1] - offs_p[ra], offs_p[rb + 1] - offs_p[rb]
+            sel_a = np.repeat(offs_p[ra], ca) + _seg_arange(ca)
+            sel_b = np.repeat(offs_p[rb], cb) + _seg_arange(cb)
+            dot = _pair_dots(
+                pack["flat"][sel_a], pack["tfs"][sel_a],
+                np.concatenate(([0], np.cumsum(ca))),
+                pack["flat"][sel_b], pack["tfs"][sel_b],
+                np.concatenate(([0], np.cumsum(cb))),
+            )
+            na2, nb2 = pack["na2"][ra], pack["na2"][rb]
+            return emit(a, b, dot, na2, nb2, _cos_gate(dot, na2, nb2, num, den))
+
+        return cand.map_batches(verify_bcast, batch_format="pyarrow", batch_size=8192)
+
+    def side(suffix: str):
+        def pack(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    f"sh_{suffix}": _pack_u64_column(batch.column("shingles")),
+                    f"tf_{suffix}": _pack_u64_column(batch.column("tfs")),
+                    f"n2_{suffix}": batch.column("na2"),
+                }
+            )
+
+        return sets_ds.map_batches(pack, batch_format="pyarrow")
+
+    with_a = cand.join(
+        side("a"), join_type="inner", on=("doc_id_a",), right_on=("doc_id",),
+        num_partitions=np_parts,
+    )
+    with_ab = strip_empty_blocks(with_a).join(
+        side("b"), join_type="inner", on=("doc_id_b",), right_on=("doc_id",),
+        num_partitions=np_parts,
+    )
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        fa, oa = _unpack_u64_column(batch.column("sh_a"))
+        fb, ob = _unpack_u64_column(batch.column("sh_b"))
+        ta, _ = _unpack_u64_column(batch.column("tf_a"))
+        tb, _ = _unpack_u64_column(batch.column("tf_b"))
+        dot = _pair_dots(fa, ta.view(np.int64), oa, fb, tb.view(np.int64), ob)
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        na2 = batch.column("n2_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb2 = batch.column("n2_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return emit(a, b, dot, na2, nb2, _cos_gate(dot, na2, nb2, num, den))
+
+    return with_ab.map_batches(verify_join, batch_format="pyarrow")
+
+
+def _dense_tf_cosine(sets_ds, df_agg, num: int, den: int) -> pa.Table:
+    """Exact tf-cosine by blocked dense matmul (the tf analog of
+    :func:`_dense_set_jaccard`): docs × vocab tf matrix in float64 —
+    every dot < 2^53 stays exact — gate via :func:`_cos_gate`."""
+    import ray
+
+    from minhash_ray.stages.verify import _list_flat_offsets
+
+    et = pa.concat_tables(
+        list(df_agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    elems = np.sort(
+        np.ascontiguousarray(
+            et.column("e").to_numpy(zero_copy_only=False).astype(np.int64)
+        ).view(np.uint64)
+    )
+
+    st = pa.concat_tables(
+        list(sets_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+    )
+    ids = np.asarray(st.column("doc_id").to_numpy(), dtype=np.int64)
+    col = st.column("shingles")
+    flat, offs = _list_flat_offsets(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    tcol = st.column("tfs")
+    tfv, _ = _list_flat_offsets(
+        tcol.combine_chunks() if isinstance(tcol, pa.ChunkedArray) else tcol
+    )
+    na2_in = np.asarray(st.column("na2").to_numpy(), dtype=np.int64)
+    order = np.argsort(ids)
+    n, V = len(ids), len(elems)
+    M = np.zeros((n, V), dtype=np.float64)
+    counts = np.diff(offs)
+    row_of = np.empty(n, dtype=np.int64)
+    row_of[order] = np.arange(n)
+    rows = np.repeat(row_of, counts)
+    M[rows, np.searchsorted(elems, flat)] = tfv.view(np.int64).astype(np.float64)
+    ids_sorted = ids[order]
+    na2 = np.empty(n, dtype=np.int64)
+    na2[row_of] = na2_in
+    pack_ref = ray.put((ids_sorted, M, na2))
+
+    @ray.remote
+    def block(lo: int, hi: int, pack):
+        ids_s, M_, n2 = pack
+        dots = np.rint(M_[lo:hi] @ M_.T).astype(np.int64)
+        keep = _cos_gate(
+            dots.ravel(),
+            np.repeat(n2[lo:hi], len(ids_s)),
+            np.tile(n2, hi - lo),
+            num, den,
+        ).reshape(hi - lo, len(ids_s))
+        gi = np.arange(lo, hi)[:, None]
+        keep &= np.arange(len(ids_s))[None, :] > gi
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids_s[lo + r], pa.int64()),
+                "doc_id_b": pa.array(ids_s[c], pa.int64()),
+                "dot": pa.array(dots[r, c], pa.int64()),
+                "na2": pa.array(n2[lo + r], pa.int64()),
+                "nb2": pa.array(n2[c], pa.int64()),
+            }
+        )
+
+    chunk = max(256, min(4096, -(-n // max(1, 4 * 8))))
+    outs = ray.get(
+        [block.remote(lo, min(lo + chunk, n), pack_ref) for lo in range(0, n, chunk)]
+    )
+    nonempty = [o for o in outs if o.num_rows]
+    if not nonempty:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+                "na2": pa.array([], pa.int64()),
+                "nb2": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(nonempty)
+    o = np.lexsort((t.column("doc_id_b").to_numpy(), t.column("doc_id_a").to_numpy()))
+    return t.take(pa.array(o))

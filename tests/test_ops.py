@@ -60,6 +60,7 @@ SQL_QUERIES = [
     "minhash_sim_histogram", "scoped_dup_pairs", "snm_dup_pairs",
     "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
+    "tf_cosine_pairs",
 ]
 
 
@@ -1062,3 +1063,47 @@ def test_bloom_decontaminate_superset_of_exact(ray_session, sf_dir):
     assert (bl.n_hits >= ex.n_hits).all()
     extra = int(bl.contaminated.sum()) - int(ex.contaminated.sum())
     assert extra <= max(2, 0.01 * len(ex)), extra
+
+
+def test_tf_cosine_planted_and_paths(ray_session, tmp_path):
+    """tf-cosine semantics on planted vectors: an exact copy and a
+    doubled-tf copy both score cos == 1 (the gate's exact-tie branch and
+    scale invariance), a half-overlap doc stays below 0.9, and the dense,
+    forced-sparse and forced-join-attach paths are bit-identical."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import tf_cosine_pairs
+
+    base = "alpha beta gamma delta alpha beta"          # tf {a:2,b:2,g:1,d:1}
+    texts = [
+        base,
+        base,                                           # exact copy: cos = 1
+        base + " " + base,                              # doubled tf: cos = 1
+        "alpha beta zeta eta theta iota kappa",         # partial overlap
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = _canon(_pdf(tf_cosine_pairs(str(d), threshold=0.9)))
+    pairs = set(zip(got.doc_id_a, got.doc_id_b))
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert all(4 not in p for p in pairs)
+    row12 = got[(got.doc_id_a == 1) & (got.doc_id_b == 2)].iloc[0]
+    assert row12["dot"] ** 2 == row12["na2"] * row12["nb2"]   # cos exactly 1
+
+    sparse = _canon(_pdf(tf_cosine_pairs(str(d), threshold=0.9, force_sparse=True)))
+    joinp = _canon(
+        _pdf(
+            tf_cosine_pairs(
+                str(d), threshold=0.9, force_sparse=True, broadcast_max_rows=0
+            )
+        )
+    )
+    assert got.equals(sparse) and got.equals(joinp)
