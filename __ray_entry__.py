@@ -502,6 +502,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact tf-cosine all-pairs self-join (Bayardo's cosine AllPairs):
         # all-integer output, exact cross-product gate — SQL-checked
         "tf_cosine_pairs": dedup_text.tf_cosine_pairs,
+        # count-min-sketch term frequencies (approximate heavy hitters,
+        # constant space) — deterministic integer sketch, so the DuckDB
+        # oracle replays the full probe/bucket/min chain and hash-matches
+        "cms_term_counts": text.cms_term_counts,
         # inverted-index document frequencies (per-batch (doc,term) dedup
         # partial + groupby-sum final) — SQL-checked against unnest
         "term_doc_freq": text.term_doc_freq,
@@ -1512,6 +1516,70 @@ def _tf_cosine_sql(threshold: float = 0.9, seed: int = 42) -> str:
     )
 
 
+def _cms_counts_sql(
+    width: int = 1 << 16, depth: int = 4, min_count: int = 800, seed: int = 42
+) -> str:
+    """DuckDB replay of ``cms_term_counts``: FNV-1a token hashes, the
+    splitmix64 double-hash probe chain (h1 + d·h2 with h2 forced odd)
+    emulated in HUGEINT, per-(row, bucket) sums and the min-over-depth
+    estimate — the full count-min sketch, exactly."""
+    from minhash_ray.functions.cms import _H2_SALT
+    from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+
+    m64 = 1 << 64
+    p = FNV_PRIME
+    init = FNV_OFFSET ^ seed
+    ns = 0x9E3779B97F4A7C15
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def smix(col: str, out: str) -> str:
+        """CTE column chain computing splitmix64(col) AS out (inline
+        nested expression — exact 2^64 wraparound via the shared
+        modmul/xor helpers)."""
+        x1 = f"((({col}) + {ns}) % {m64})"
+        x2 = _modmul64(_xor64(x1, f"{x1} // 1073741824"), k1)
+        x3 = _modmul64(_xor64(x2, f"{x2} // 134217728"), k2)
+        return f"{_xor64(x3, f'{x3} // 2147483648')} AS {out}"
+
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, t, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), occ AS ("
+        "  SELECT unnest(t) AS tok, unnest(th) AS h FROM thash"
+        "), terms AS ("
+        "  SELECT tok, h, CAST(count(*) AS HUGEINT) AS c FROM occ GROUP BY tok, h"
+        "), hv AS ("
+        f"  SELECT tok, h, c, {smix('h', 'h1')},"
+        f"         {smix(_xor64('h', str(int(_H2_SALT))), 'h2raw')}"
+        "  FROM terms"
+        "), hv2 AS ("
+        "  SELECT tok, h, c, h1, (h2raw // 2) * 2 + 1 AS h2 FROM hv"
+        "), probes AS ("
+        f"  SELECT tok, c, dd.d AS d, ((h1 + dd.d * h2) % {m64}) % {width} AS idx"
+        f"  FROM hv2, UNNEST(range({depth})) AS dd(d)"
+        "), buckets AS ("
+        "  SELECT d, idx, sum(c) AS s FROM probes GROUP BY d, idx"
+        "), est AS ("
+        "  SELECT p.tok, min(b.s) AS est"
+        "  FROM probes p JOIN buckets b ON b.d = p.d AND b.idx = p.idx"
+        "  GROUP BY p.tok"
+        ") "
+        "SELECT tok AS term, CAST(est AS BIGINT) AS est_count FROM est "
+        f"WHERE est >= {min_count}"
+    )
+
+
 def _scrub_terms_sql() -> str:
     """DuckDB replay of ``scrub_terms`` — same RE2 pattern on both sides
     (pyarrow and DuckDB both compile RE2), global replace + match count."""
@@ -1667,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "repeated_ngram_scrub": _repeated_scrub_sql(),
         "tf_cosine_pairs": _tf_cosine_sql(),
+        "cms_term_counts": _cms_counts_sql(),
         "scrub_terms": _scrub_terms_sql(),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "

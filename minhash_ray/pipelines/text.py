@@ -1154,3 +1154,97 @@ def lang_confusion(sf_dir: str):
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def cms_term_counts(
+    sf_dir: str,
+    width: int = 1 << 16,
+    depth: int = 4,
+    min_count: int = 800,
+    docs=None,
+    num_partitions: int = 8,
+):
+    """Count-min-sketch term frequencies: (term, est_count) for every
+    term whose CMS estimate reaches ``min_count`` — the approximate
+    heavy-hitter report (estimates are overestimates, never under, so
+    the output is a SUPERSET of the true >=min_count terms; compare
+    :func:`frequent_terms` for the exact Misra-Gries variant).
+
+    Why it exists next to the exact op: the sketch is ``depth·width``
+    int64 cells REGARDLESS of vocabulary size — frequency estimation
+    over a 10^9-term vocabulary in a few MB, broadcast once.  Build =
+    per-batch partial sketches summed on the driver (constant-size
+    merge); the sum-fold is the reference's mergeable-summary contract
+    with + in place of min — commutative/associative but NOT idempotent,
+    sound here because Ray Data batches partition rows exactly-once
+    (``functions/cms.py`` docstring).  The probe pass re-streams the
+    corpus, gates each batch-distinct term against the broadcast sketch,
+    and dedups survivors through a term-key fold.
+
+    Deterministic end-to-end (integer sums, seeded hashes), so the
+    DuckDB oracle replays the full sketch — splitmix64 double-hash
+    probes in HUGEINT, bucket sums, min-over-depth — and hash-matches.
+    """
+    import ray
+
+    from minhash_ray.functions.cms import cms_empty, cms_insert, cms_query
+    from minhash_ray.functions.shingles import tokenize_with_strings
+    from minhash_ray.util import fold_by_str_key
+
+    from minhash_ray.pipelines.dedup_text import DOC_CFG, _docs
+
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+    seed = DOC_CFG.seed
+
+    def partial_sketch(batch: pa.Table) -> pa.Table:
+        flat, _counts, hashes = tokenize_with_strings(batch.column("text"), seed)
+        u, c = np.unique(hashes, return_counts=True)
+        sk = cms_insert(cms_empty(width, depth), u, c.astype(np.int64))
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.large_binary())})
+
+    sketch = cms_empty(width, depth)
+    for b in ds.map_batches(partial_sketch, batch_format="pyarrow").iter_batches(
+        batch_size=64, batch_format="pyarrow"
+    ):
+        for blob in b.column("sk"):
+            sketch += np.frombuffer(blob.as_py(), dtype=np.int64).reshape(
+                depth, width
+            )
+    sk_ref = ray.put(sketch)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        sk = ray.get(sk_ref)               # plasma-cached per worker
+        flat, _counts, hashes = tokenize_with_strings(batch.column("text"), seed)
+        dict_arr = flat.dictionary_encode()
+        uniq_terms = dict_arr.dictionary
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # hash of each unique term = hash of its first occurrence
+        first = np.full(len(uniq_terms), len(codes), dtype=np.int64)
+        if len(codes):
+            np.minimum.at(first, codes, np.arange(len(codes), dtype=np.int64))
+        uniq_h = hashes[first] if len(codes) else np.empty(0, dtype=np.uint64)
+        est = cms_query(sk, uniq_h)
+        keep = est >= min_count
+        return pa.table(
+            {
+                "term": uniq_terms.filter(pa.array(keep)),
+                "est_count": pa.array(est[keep], pa.int64()),
+            }
+        )
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        return batch
+
+    def dedup_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("term").aggregate([("est_count", "max")])
+        return pa.table(
+            {"term": agg.column("term"), "est_count": agg.column("est_count_max")}
+        )
+
+    return fold_by_str_key(
+        ds.map_batches(probe, batch_format="pyarrow"),
+        "term",
+        dedup_partial,
+        dedup_final,
+        num_partitions,
+    )

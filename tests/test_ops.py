@@ -60,7 +60,7 @@ SQL_QUERIES = [
     "minhash_sim_histogram", "scoped_dup_pairs", "snm_dup_pairs",
     "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
-    "tf_cosine_pairs",
+    "tf_cosine_pairs", "cms_term_counts",
 ]
 
 
@@ -1107,3 +1107,36 @@ def test_tf_cosine_planted_and_paths(ray_session, tmp_path):
         )
     )
     assert got.equals(sparse) and got.equals(joinp)
+
+
+def test_cms_kernel_algebra_and_guarantees():
+    """Count-min kernels: per-partition partial sketches SUM to the
+    serial build bit-identically (the mergeable-summary contract, + in
+    place of min), estimates never undercount, and with a deliberately
+    tiny width the collision overestimate stays within the e*N/width
+    envelope (union bound over depth rows)."""
+    from minhash_ray.functions.cms import cms_empty, cms_insert, cms_merge, cms_query
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 2**63, size=30_000, dtype=np.int64).view(np.uint64)
+    counts = rng.integers(1, 6, size=len(keys)).astype(np.int64)
+    width, depth = 1 << 10, 4
+
+    serial = cms_insert(cms_empty(width, depth), keys, counts)
+    folded = cms_empty(width, depth)
+    for lo in range(0, len(keys), 7000):
+        part = cms_insert(
+            cms_empty(width, depth), keys[lo : lo + 7000], counts[lo : lo + 7000]
+        )
+        folded = cms_merge(folded, part)
+    assert np.array_equal(serial, folded)
+
+    # exact truth per distinct key
+    u, inv = np.unique(keys, return_inverse=True)
+    truth = np.zeros(len(u), dtype=np.int64)
+    np.add.at(truth, inv, counts)
+    est = cms_query(serial, u)
+    assert (est >= truth).all()                      # never undercounts
+    N = int(counts.sum())
+    bound = int(np.e * N / width) + 1
+    assert np.quantile(est - truth, 0.99) <= bound, (est - truth).max()
