@@ -506,6 +506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # constant space) — deterministic integer sketch, so the DuckDB
         # oracle replays the full probe/bucket/min chain and hash-matches
         "cms_term_counts": text.cms_term_counts,
+        # keep-first exact repeated n-gram dedup (Lee et al. 2021
+        # substring-dedup semantics at w-gram granularity) — SQL-checked
+        # byte-for-byte incl. the packed (doc_id, start) winner argmin
+        "repeated_ngram_dedup": dedup_text.repeated_ngram_dedup,
         # inverted-index document frequencies (per-batch (doc,term) dedup
         # partial + groupby-sum final) — SQL-checked against unnest
         "term_doc_freq": text.term_doc_freq,
@@ -1516,6 +1520,64 @@ def _tf_cosine_sql(threshold: float = 0.9, seed: int = 42) -> str:
     )
 
 
+def _repeated_dedup_sql(seed: int = 42, w: int | None = None) -> str:
+    """DuckDB replay of ``repeated_ngram_dedup``: the scrub oracle's gram
+    chain, per-gram occurrence counts with the min packed
+    (doc_id << 20 | start) winner, coverage of every NON-winner
+    occurrence, and byte-for-byte reassembly."""
+    from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+    from minhash_ray.pipelines.dedup_text import _POS_BITS, DOC_CFG
+
+    w = DOC_CFG.shingle_w if w is None else w
+    m64 = 1 << 64
+    p = FNV_PRIME
+    init = FNV_OFFSET ^ seed
+    mult = 1 << _POS_BITS
+    gram = "th[i]"
+    for r in range(2, w + 1):
+        gram = f"(({gram}) * {p} + th[i+{r - 1}]) % {m64}"
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, t, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), grams AS ("
+        f"  SELECT doc_id, i, doc_id * {mult} + (i - 1) AS pack, {gram} AS g"
+        f"  FROM thash, UNNEST(range(1, len(th) - {w} + 2)) AS r(i)"
+        f"  WHERE len(th) >= {w}"
+        "), winners AS ("
+        "  SELECT g, min(pack) AS winner FROM grams GROUP BY g"
+        "  HAVING count(*) >= 2"
+        "), cov AS ("
+        "  SELECT DISTINCT gr.doc_id, pp.p"
+        "  FROM grams gr JOIN winners wn ON wn.g = gr.g AND gr.pack <> wn.winner,"
+        f"       UNNEST(range(gr.i, gr.i + {w})) AS pp(p)"
+        "), pos AS ("
+        "  SELECT doc_id, pi.i AS pos, t[pi.i] AS tok"
+        "  FROM thash, UNNEST(range(1, len(t) + 1)) AS pi(i)"
+        "), dedup AS ("
+        "  SELECT p.doc_id,"
+        "    COALESCE(string_agg(p.tok, ' ' ORDER BY p.pos)"
+        "             FILTER (WHERE c.p IS NULL), '') AS text_dedup,"
+        "    count(c.p) AS n_removed"
+        "  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.p = p.pos"
+        "  GROUP BY p.doc_id"
+        ") "
+        "SELECT d.doc_id, COALESCE(s.text_dedup, '') AS text_dedup, "
+        "CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed "
+        "FROM documents d LEFT JOIN dedup s ON s.doc_id = d.doc_id"
+    )
+
+
 def _cms_counts_sql(
     width: int = 1 << 16, depth: int = 4, min_count: int = 800, seed: int = 42
 ) -> str:
@@ -1736,6 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_ngram_scrub": _repeated_scrub_sql(),
         "tf_cosine_pairs": _tf_cosine_sql(),
         "cms_term_counts": _cms_counts_sql(),
+        "repeated_ngram_dedup": _repeated_dedup_sql(),
         "scrub_terms": _scrub_terms_sql(),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "

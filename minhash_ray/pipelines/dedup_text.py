@@ -4232,3 +4232,228 @@ def _dense_tf_cosine(sets_ds, df_agg, num: int, den: int) -> pa.Table:
     t = pa.concat_tables(nonempty)
     o = np.lexsort((t.column("doc_id_b").to_numpy(), t.column("doc_id_a").to_numpy()))
     return t.take(pa.array(o))
+
+
+_POS_BITS = 20                       # gram start within doc: < 2^20 tokens/doc
+_POS_MASK = (1 << _POS_BITS) - 1
+
+
+def repeated_ngram_dedup(
+    sf_dir: str,
+    w: int | None = None,
+    num_partitions: int = 8,
+    broadcast_max_rows: int = 2_000_000,
+    cfg: PipelineConfig = DOC_CFG,
+    docs=None,
+):
+    """Keep-FIRST repeated n-gram dedup (the exact-substring-dedup
+    semantics of Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better", at token w-gram granularity): every w-gram
+    occurring MORE THAN ONCE in the corpus — across documents or within
+    one — survives only at its globally-first occurrence (minimum
+    (doc_id, start)); every other occurrence's token span is deleted and
+    docs are reassembled.  Contrast :func:`repeated_ngram_scrub`, which
+    removes ALL occurrences past a df threshold (boilerplate semantics).
+    Output: (doc_id, text_dedup, n_removed).
+
+    Scale shape: the df pass of the scrub becomes a (count, argmin)
+    pass — per-batch partials carry each gram's occurrence count and its
+    minimum PACKED (doc_id << pos_bits | start) key (one int64; bounds
+    doc_id < 2^43, start < 2^20 tokens — asserted), folded through a
+    gram-hash partition.  Grams with count >= 2 broadcast as a sorted
+    (gram, winner) pack under ``broadcast_max_rows``; above it the
+    winner table rides the same join-attach route as the scrub
+    (forced-path pytest).  The scrub pass marks every occurrence whose
+    packed key differs from the winner and reuses the interval-stab
+    coverage + reassembly core (:func:`_scrub_from_hits`).
+    """
+    import pyarrow.compute as pc
+
+    import ray
+    from minhash_ray.functions.hashing import combine_wgrams
+    from minhash_ray.functions.shingles import (
+        _segmented_arange,
+        token_shingles,
+        tokenize_with_strings,
+    )
+    from minhash_ray.util import clamp_partitions, fold_by_int_keys, strip_empty_blocks
+
+    w = cfg.shingle_w if w is None else int(w)
+    np_parts = clamp_partitions(num_partitions)
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def _packed(ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        if len(ids) and (
+            int(ids.max()) >= (1 << (63 - _POS_BITS)) or int(starts.max(initial=0)) > _POS_MASK
+        ):
+            raise ValueError(
+                f"repeated_ngram_dedup: need doc_id < 2^{63 - _POS_BITS} "
+                f"and gram start < 2^{_POS_BITS}"
+            )
+        return (ids << _POS_BITS) | starts
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        sh, s_cnt = token_shingles(batch.column("text"), w, cfg.seed)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pack = _packed(np.repeat(ids, s_cnt), _segmented_arange(s_cnt))
+        if len(sh):
+            o = np.argsort(sh, kind="stable")
+            gs, ps = sh[o], pack[o]
+            first = np.ones(len(gs), dtype=bool)
+            first[1:] = gs[1:] != gs[:-1]
+            starts = np.flatnonzero(first)
+            cnt = np.diff(np.concatenate((starts, [len(gs)]))).astype(np.int64)
+            wmin = np.minimum.reduceat(ps, starts)
+            gs = gs[first]
+        else:
+            gs, cnt, wmin = sh, np.empty(0, np.int64), np.empty(0, np.int64)
+        return pa.table(
+            {
+                "g": pa.array(gs.view(np.int64), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "wmin": pa.array(wmin, pa.int64()),
+            }
+        )
+
+    def cnt_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["g"]).aggregate([("cnt", "sum"), ("wmin", "min")])
+        keep = pc.greater_equal(agg.column("cnt_sum"), 2)
+        return pa.table(
+            {
+                "g": agg.column("g").filter(keep),
+                "winner": agg.column("wmin_min").filter(keep),
+            }
+        )
+
+    hot = strip_empty_blocks(
+        fold_by_int_keys(ds, ["g"], cnt_partial, cnt_final, num_partitions)
+    )
+    n_hot = hot.count()
+
+    def _finish(batch: pa.Table, hit_rows, hit_starts) -> pa.Table:
+        flat_toks, counts, _ = tokenize_with_strings(batch.column("text"), cfg.seed)
+        text_s, n_rem = _scrub_from_hits(flat_toks, counts, w, hit_rows, hit_starts)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_dedup": text_s,
+                "n_removed": pa.array(n_rem, pa.int64()),
+            }
+        )
+
+    if n_hot <= broadcast_max_rows:
+        parts = [
+            (
+                b.column("g").to_numpy().view(np.uint64),
+                b.column("winner").to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+            for b in hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        if parts:
+            ag = np.concatenate([p[0] for p in parts])
+            aw = np.concatenate([p[1] for p in parts])
+            o = np.argsort(ag)
+            hot_pack = {"g": ag[o], "winner": aw[o]}
+        else:
+            hot_pack = {"g": np.empty(0, np.uint64), "winner": np.empty(0, np.int64)}
+        hot_ref = ray.put(hot_pack)
+
+        def dedup(batch: pa.Table) -> pa.Table:
+            hp = ray.get(hot_ref)
+            flat_toks, counts, tok_hashes = tokenize_with_strings(
+                batch.column("text"), cfg.seed
+            )
+            s_cnt = np.maximum(counts - (w - 1), 0).astype(np.int64)
+            tok_starts = np.cumsum(counts) - counts
+            gram_local = _segmented_arange(s_cnt)
+            sh = combine_wgrams(tok_hashes, np.repeat(tok_starts, s_cnt) + gram_local, w)
+            gram_row = np.repeat(np.arange(len(s_cnt), dtype=np.int64), s_cnt)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pack = _packed(ids[gram_row], gram_local)
+            if len(sh) and len(hp["g"]):
+                pos = np.minimum(np.searchsorted(hp["g"], sh), len(hp["g"]) - 1)
+                hit = (hp["g"][pos] == sh) & (hp["winner"][pos] != pack)
+            else:
+                hit = np.zeros(len(sh), dtype=bool)
+            text_s, n_rem = _scrub_from_hits(
+                flat_toks, counts, w, gram_row[hit], gram_local[hit]
+            )
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "text_dedup": text_s,
+                    "n_removed": pa.array(n_rem, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(dedup, batch_format="pyarrow")
+
+    # join-attach path (the scrub's route): explode occurrences, join the
+    # winner table on g, keep non-winner occurrences, fold covered starts
+    # per doc, one left-outer join back onto the docs
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        sh, s_cnt = token_shingles(batch.column("text"), w, cfg.seed)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s_local = _segmented_arange(s_cnt)
+        rep_ids = np.repeat(ids, s_cnt)
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "s": pa.array(s_local, pa.int64()),
+                "pack": pa.array(_packed(rep_ids, s_local), pa.int64()),
+                "g": pa.array(sh.view(np.int64), pa.int64()),
+            }
+        )
+
+    joined = ds.map_batches(explode_grams, batch_format="pyarrow").join(
+        hot, join_type="inner", on=("g",), num_partitions=np_parts
+    )
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("pack"), batch.column("winner"))
+        t = batch.filter(keep)
+        return pa.table({"doc_id": t.column("doc_id"), "s": t.column("s")})
+
+    cov_pairs = joined.map_batches(losers, batch_format="pyarrow")
+
+    def cov_partial(batch: pa.Table) -> pa.Table:
+        return batch
+
+    def cov_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["doc_id"]).aggregate([("s", "list")])
+        sl = agg.column("s_list")
+        if isinstance(sl, pa.ChunkedArray):
+            sl = sl.combine_chunks()
+        flat = sl.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = sl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        pack = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(sl),
+            [None, pa.py_buffer((offs * 8).tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table({"doc_id": agg.column("doc_id"), "s_pack": pack})
+
+    starts_ds = strip_empty_blocks(
+        fold_by_int_keys(cov_pairs, ["doc_id"], cov_partial, cov_final, num_partitions)
+    )
+    out = ds.join(
+        starts_ds, join_type="left_outer", on=("doc_id",), num_partitions=np_parts
+    )
+
+    def dedup_joined(batch: pa.Table) -> pa.Table:
+        sl = batch.column("s_pack")
+        if isinstance(sl, pa.ChunkedArray):
+            sl = sl.combine_chunks()
+        from minhash_ray.util import binary_flat_offsets
+
+        flat_u8, offs = binary_flat_offsets(pc.fill_null(sl, b""))
+        row_of = np.repeat(np.arange(len(sl), dtype=np.int64), np.diff(offs) // 8)
+        flat_starts = (
+            np.frombuffer(np.ascontiguousarray(flat_u8).tobytes(), dtype=np.int64)
+            if len(row_of)
+            else np.empty(0, dtype=np.int64)
+        )
+        return _finish(batch, row_of, flat_starts)
+
+    return out.map_batches(dedup_joined, batch_format="pyarrow")

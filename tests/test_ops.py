@@ -60,7 +60,7 @@ SQL_QUERIES = [
     "minhash_sim_histogram", "scoped_dup_pairs", "snm_dup_pairs",
     "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
-    "tf_cosine_pairs", "cms_term_counts",
+    "tf_cosine_pairs", "cms_term_counts", "repeated_ngram_dedup",
 ]
 
 
@@ -1140,3 +1140,49 @@ def test_cms_kernel_algebra_and_guarantees():
     N = int(counts.sum())
     bound = int(np.e * N / width) + 1
     assert np.quantile(est - truth, 0.99) <= bound, (est - truth).max()
+
+
+def test_repeated_ngram_dedup_keep_first_semantics(ray_session, tmp_path):
+    """Keep-first semantics on planted repeats: a phrase shared by two
+    docs survives only in the lower doc_id (and only at its FIRST
+    position when repeated within one doc); unique text is untouched;
+    the forced join-attach path is bit-identical."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import repeated_ngram_dedup
+
+    phrase = "the quick brown fox jumps"                 # 5 tokens (w=3)
+    texts = [
+        phrase + " unique one tail",                      # doc 1: first occurrence
+        "prefix words here " + phrase,                    # doc 2: later copy removed
+        phrase + " middle filler " + phrase,              # doc 3: within-doc repeat
+        "entirely novel text with no repeats at all",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = (
+        _pdf(repeated_ngram_dedup(str(d)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.text_dedup[0] == texts[0]                  # winner keeps everything
+    assert got.text_dedup[1] == "prefix words here"       # later copy scrubbed
+    assert got.n_removed[1] == 5
+    # keep-first is GLOBAL: doc 3's two copies both lose to doc 1's
+    assert got.text_dedup[2] == "middle filler" and got.n_removed[2] == 10
+    assert got.text_dedup[3] == texts[3] and got.n_removed[3] == 0
+
+    forced = (
+        _pdf(repeated_ngram_dedup(str(d), broadcast_max_rows=0))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(forced)
