@@ -510,6 +510,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # substring-dedup semantics at w-gram granularity) — SQL-checked
         # byte-for-byte incl. the packed (doc_id, start) winner argmin
         "repeated_ngram_dedup": dedup_text.repeated_ngram_dedup,
+        # overlapping sliding-window chunking (RAG/pretraining
+        # segmentation) — pure map, SQL-checked byte-for-byte
+        "chunk_documents": text.chunk_documents,
         # inverted-index document frequencies (per-batch (doc,term) dedup
         # partial + groupby-sum final) — SQL-checked against unnest
         "term_doc_freq": text.term_doc_freq,
@@ -1520,6 +1523,33 @@ def _tf_cosine_sql(threshold: float = 0.9, seed: int = 42) -> str:
     )
 
 
+def _chunk_documents_sql(words_per_chunk: int = 20, stride: int = 10) -> str:
+    """DuckDB replay of ``chunk_documents``: same tokenizer, start
+    positions every ``stride`` tokens, 1-based inclusive list slices,
+    space-joined — byte-for-byte chunk text."""
+    W, S = words_per_chunk, stride
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), meta AS ("
+        "  SELECT doc_id, t, len(t) AS n FROM toks"
+        "), chunks AS ("
+        "  SELECT doc_id, t, n, c.c AS cidx"
+        "  FROM meta, UNNEST(range(CASE WHEN n > 0"
+        f"       THEN 1 + (greatest(n - {W}, 0) + {S} - 1) // {S}"
+        "        ELSE 0 END)) AS c(c)"
+        ") "
+        "SELECT doc_id, CAST(cidx AS BIGINT) AS cidx, "
+        f"array_to_string(t[cidx * {S} + 1 : least(cidx * {S} + {W}, n)], ' ')"
+        " AS chunk, "
+        f"CAST(least(n - cidx * {S}, {W}) AS BIGINT) AS n_tokens "
+        "FROM chunks"
+    )
+
+
 def _repeated_dedup_sql(seed: int = 42, w: int | None = None) -> str:
     """DuckDB replay of ``repeated_ngram_dedup``: the scrub oracle's gram
     chain, per-gram occurrence counts with the min packed
@@ -1799,6 +1829,7 @@ def oracle_sql() -> dict[str, str]:
         "tf_cosine_pairs": _tf_cosine_sql(),
         "cms_term_counts": _cms_counts_sql(),
         "repeated_ngram_dedup": _repeated_dedup_sql(),
+        "chunk_documents": _chunk_documents_sql(),
         "scrub_terms": _scrub_terms_sql(),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "

@@ -1248,3 +1248,67 @@ def cms_term_counts(
         dedup_final,
         num_partitions,
     )
+
+
+def chunk_documents(
+    sf_dir: str,
+    words_per_chunk: int = 20,
+    stride: int = 10,
+    docs=None,
+):
+    """Overlapping sliding-window document chunking (the RAG/pretraining
+    segmentation primitive): each doc explodes into windows of
+    ``words_per_chunk`` normalized tokens starting every ``stride``
+    tokens — start positions 0, stride, 2·stride, ... while the window
+    still adds tokens (the final window is truncated; a doc shorter than
+    one window yields exactly one chunk; an empty doc yields none).
+    Output: (doc_id, cidx, chunk, n_tokens).
+
+    Scale shape: a pure map — no shuffle, no state; the token buffer is
+    flattened once per batch and every chunk is a re-offset LIST VIEW of
+    that same buffer joined by ``pc.binary_join`` (the
+    ``_explode_chunks`` idiom of the chunk dedup, generalized to
+    stride < width).  Because windows overlap, the list-view trick needs
+    one gather: values are token indices repeated per window, built with
+    pure index arithmetic.
+    """
+    import pyarrow.compute as pc
+
+    from minhash_ray.functions.shingles import _segmented_arange, tokenize_with_strings
+    from minhash_ray.pipelines.dedup_text import DOC_CFG, _docs
+
+    if stride < 1 or words_per_chunk < 1:
+        raise ValueError("words_per_chunk and stride must be >= 1")
+    W, S = int(words_per_chunk), int(stride)
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, counts, _ = tokenize_with_strings(batch.column("text"), DOC_CFG.seed)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_starts = np.cumsum(counts) - counts
+        # chunks per doc: 1 + ceil(max(ntok - W, 0) / S); 0 for empty docs
+        extra = np.maximum(counts - W, 0)
+        nch = np.where(counts > 0, 1 + -(-extra // S), 0).astype(np.int64)
+        cidx = _segmented_arange(nch)
+        doc_rep = np.repeat(np.arange(len(counts), dtype=np.int64), nch)
+        w_start = cidx * S
+        w_len = np.minimum(counts[doc_rep] - w_start, W)
+        # gather: values = token indices of every window, concatenated
+        gidx = np.repeat(tok_starts[doc_rep] + w_start, w_len) + _segmented_arange(
+            w_len
+        )
+        offsets = np.concatenate(([0], np.cumsum(w_len))).astype(np.int32)
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.take(pa.array(gidx, pa.int64())) if len(gidx) else flat.slice(0, 0),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_rep], pa.int64()),
+                "cidx": pa.array(cidx, pa.int64()),
+                "chunk": pc.binary_join(chunk_list, " "),
+                "n_tokens": pa.array(w_len.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -61,6 +61,7 @@ SQL_QUERIES = [
     "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
     "tf_cosine_pairs", "cms_term_counts", "repeated_ngram_dedup",
+    "chunk_documents",
 ]
 
 
@@ -1186,3 +1187,55 @@ def test_repeated_ngram_dedup_keep_first_semantics(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(forced)
+
+
+def test_chunk_documents_window_semantics(ray_session, tmp_path):
+    """Sliding-window invariants on planted docs: stride-spaced starts,
+    truncated final window, short doc -> one chunk, empty doc -> none,
+    and full reconstruction when stride == width (no overlap)."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(25)]
+    short23 = [f"s{i}" for i in range(23)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [" ".join(toks), "short doc", "", " ".join(short23)], pa.string()
+            ),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = (
+        _pdf(chunk_documents(str(d), words_per_chunk=10, stride=5))
+        .sort_values(["doc_id", "cidx"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got.doc_id == 1]
+    # 25 tokens: 1 + ceil((25-10)/5) = 4 windows, last one full at [15, 25)
+    assert d1.cidx.tolist() == [0, 1, 2, 3]
+    assert d1.n_tokens.tolist() == [10, 10, 10, 10]
+    assert d1.chunk.iloc[0] == " ".join(toks[0:10])
+    assert d1.chunk.iloc[1] == " ".join(toks[5:15])
+    assert d1.chunk.iloc[3] == " ".join(toks[15:25])
+    d2 = got[got.doc_id == 2]
+    assert len(d2) == 1 and d2.chunk.iloc[0] == "short doc"
+    assert (got.doc_id != 3).all()                      # empty doc: no chunks
+    d4 = got[got.doc_id == 4]
+    # 23 tokens: starts 0,5,10,15 — final window truncated to [15, 23)
+    assert d4.n_tokens.tolist() == [10, 10, 10, 8]
+    assert d4.chunk.iloc[3] == " ".join(short23[15:23])
+
+    # stride == width: disjoint cover, concatenation reconstructs the doc
+    nz = (
+        _pdf(chunk_documents(str(d), words_per_chunk=10, stride=10))
+        .sort_values(["doc_id", "cidx"])
+        .reset_index(drop=True)
+    )
+    rec = " ".join(nz[nz.doc_id == 1].chunk)
+    assert rec == " ".join(toks)
