@@ -513,6 +513,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overlapping sliding-window chunking (RAG/pretraining
         # segmentation) — pure map, SQL-checked byte-for-byte
         "chunk_documents": text.chunk_documents,
+        # Okapi BM25 top-k lexical retrieval (rows-only: ln() is not
+        # bit-reproducible across engines; exactness covered by the
+        # numpy-mirror pytest)
+        "bm25_topk": text.bm25_topk,
         # inverted-index document frequencies (per-batch (doc,term) dedup
         # partial + groupby-sum final) — SQL-checked against unnest
         "term_doc_freq": text.term_doc_freq,

