@@ -414,6 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scan (range-partition on hash top bits + offset fold, no global
         # row sort) — SQL-checked against a window running sum
         "pack_sequences": text.pack_sequences,
+        # deterministic global pseudo-shuffle rank (training order) —
+        # SQL-checked against row_number over the splitmix64 order
+        "global_shuffle_order": text.global_shuffle_order,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_stats": text.lang_stats,
         # --- dedup over documents ---
@@ -1769,6 +1772,20 @@ def oracle_sql() -> dict[str, str]:
             "  sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)"
             "  - n_tokens) // 256 AS BIGINT) AS seq_id "
             "FROM hv"
+        ),
+        # global pseudo-shuffle: row_number over the splitmix64(doc_id)
+        # order (same HUGEINT hash chain as assign_splits)
+        "global_shuffle_order": (
+            "WITH sm1 AS (SELECT doc_id, "
+            f"(CAST(doc_id AS HUGEINT) + {0x9E3779B97F4A7C15}) % {1 << 64} AS x1 "
+            "FROM documents), "
+            f"sm2 AS (SELECT doc_id, "
+            f"{_modmul64(_xor64('x1', 'x1 // 1073741824'), 0xBF58476D1CE4E5B9)} AS x2 FROM sm1), "
+            f"sm3 AS (SELECT doc_id, "
+            f"{_modmul64(_xor64('x2', 'x2 // 134217728'), 0x94D049BB133111EB)} AS x3 FROM sm2), "
+            f"hv AS (SELECT doc_id, {_xor64('x3', 'x3 // 2147483648')} AS h FROM sm3) "
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)"
+            " AS pos FROM hv"
         ),
         # inverted-index document frequencies: distinct (doc, term) pairs
         # then count per term (lowercased whitespace tokens, df >= 5)

@@ -1112,6 +1112,76 @@ def pack_sequences(sf_dir: str, budget_tokens: int = 256, num_partitions: int = 
     return slim.groupby("part").map_groups(scan, batch_format="pyarrow")
 
 
+def global_shuffle_order(sf_dir: str, num_partitions: int = 32, docs=None):
+    """(doc_id, pos): deterministic global pseudo-shuffle — every doc's
+    1-based position in the ``(splitmix64(doc_id), doc_id)`` order, the
+    reproducible training-order shuffle a pre-training run needs
+    (content-independent, stable across runs/machines, no RNG state; the
+    deterministic stand-in for ``ds.random_shuffle`` whose output cannot
+    be replayed).  Downstream loaders stream shards in ``pos`` order.
+
+    Scale shape — the same distributed ordered prefix scan as
+    :func:`pack_sequences`, counting ROWS instead of tokens: range
+    partition on the hash's top bits (agrees with the global order by
+    construction), per-partition vectorized lexsort + local rank, and a
+    metadata-scale fold of per-partition row counts into starting
+    offsets (P integers through the driver, never rows).  No global row
+    sort, no shuffle of payloads — only (doc_id, h) ride the exchange."""
+    import ray
+
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import cached_get, clamp_partitions
+
+    np_parts = clamp_partitions(num_partitions)
+    k = max(1, int(np.ceil(np.log2(max(2, np_parts)))))
+    shift = np.uint64(64 - k)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "part": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id"])
+    slim = ds.map_batches(widen, batch_format="pyarrow").materialize()
+
+    # metadata-scale offset fold: P (part, rows) pairs -> starting offsets
+    totals = slim.groupby("part").count()
+    tt = pa.concat_tables(
+        list(totals.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    ccol = [c for c in tt.column_names if c != "part"][0]
+    parts_np = tt.column("part").to_numpy().astype(np.int64)
+    cnts_np = tt.column(ccol).to_numpy().astype(np.int64)
+    offsets = np.zeros(1 << k, dtype=np.int64)
+    offsets[parts_np] = cnts_np
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    off_ref = [ray.put(offsets)]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        offs = cached_get(off_ref[0])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        part = int(batch.column("part")[0].as_py())   # one part per group
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = offs[part] + np.arange(1, len(order) + 1, dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "pos": pa.array(pos, pa.int64())}
+        )
+
+    return slim.groupby("part").map_groups(scan, batch_format="pyarrow")
+
+
 def lang_confusion(sf_dir: str):
     """(lang, lang_pred, n_docs): declared-language × predicted-language
     confusion matrix — the QC cross-tab a corpus run uses to find

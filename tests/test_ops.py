@@ -61,7 +61,7 @@ SQL_QUERIES = [
     "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
     "tf_cosine_pairs", "cms_term_counts", "repeated_ngram_dedup",
-    "chunk_documents",
+    "chunk_documents", "global_shuffle_order",
 ]
 
 
@@ -1239,6 +1239,21 @@ def test_chunk_documents_window_semantics(ray_session, tmp_path):
     )
     rec = " ".join(nz[nz.doc_id == 1].chunk)
     assert rec == " ".join(toks)
+
+
+def test_global_shuffle_order_is_permutation_and_partition_invariant(ray_session, sf_dir):
+    """pos is exactly the permutation 1..N, identical at any partition
+    count (the range partitioning agrees with the global hash order by
+    construction), and genuinely shuffles (pos order != doc_id order)."""
+    from minhash_ray.pipelines.text import global_shuffle_order
+
+    a = _pdf(global_shuffle_order(sf_dir, num_partitions=32)).sort_values("doc_id").reset_index(drop=True)
+    b = _pdf(global_shuffle_order(sf_dir, num_partitions=4)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    n = len(a)
+    assert sorted(a.pos.tolist()) == list(range(1, n + 1))
+    by_pos = a.sort_values("pos").doc_id.to_numpy()
+    assert not (np.diff(by_pos) > 0).all()   # not the identity order
 
 
 def test_bm25_topk_matches_numpy_mirror(ray_session, sf_dir):
