@@ -523,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inverted-index document frequencies (per-batch (doc,term) dedup
         # partial + groupby-sum final) — SQL-checked against unnest
         "term_doc_freq": text.term_doc_freq,
+        # adjacent-token-pair counts (the BPE merge-round counting step) —
+        # SQL-checked against an unnest bigram oracle
+        "token_bigram_counts": text.token_bigram_counts,
         # deterministic per-stratum quota sample by smallest
         # splitmix64(doc_id) — SQL-checked (row_number over the emulated
         # splitmix64 hash); doc_sample stays the RNG fraction sampler
@@ -1772,6 +1775,21 @@ def oracle_sql() -> dict[str, str]:
             "  sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)"
             "  - n_tokens) // 256 AS BIGINT) AS seq_id "
             "FROM hv"
+        ),
+        # adjacent-token bigram counts: unnest consecutive positions of the
+        # lowercased whitespace token lists, HAVING-gated
+        "token_bigram_counts": (
+            "WITH toks AS ("
+            "  SELECT CASE WHEN trim(lower(text)) = ''"
+            "         THEN CAST([] AS VARCHAR[])"
+            "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+            "  FROM documents"
+            "), pairs AS ("
+            "  SELECT t[i] AS tok_a, t[i+1] AS tok_b"
+            "  FROM toks, UNNEST(range(1, length(t))) AS r(i)"
+            ") "
+            "SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS cnt FROM pairs "
+            "GROUP BY tok_a, tok_b HAVING count(*) >= 10"
         ),
         # global pseudo-shuffle: row_number over the splitmix64(doc_id)
         # order (same HUGEINT hash chain as assign_splits)

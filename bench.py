@@ -222,6 +222,7 @@ def run_bench() -> dict:
         ("chunk_documents", text.chunk_documents),
         ("bm25_topk", text.bm25_topk),
         ("global_shuffle_order", text.global_shuffle_order),
+        ("token_bigram_counts", text.token_bigram_counts),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_stats", _audio_stats),

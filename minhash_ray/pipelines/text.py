@@ -1112,6 +1112,82 @@ def pack_sequences(sf_dir: str, budget_tokens: int = 256, num_partitions: int = 
     return slim.groupby("part").map_groups(scan, batch_format="pyarrow")
 
 
+def token_bigram_counts(sf_dir: str, min_count: int = 10, num_partitions: int = 8):
+    """(tok_a, tok_b, cnt): corpus-wide adjacent-token-pair counts kept
+    where cnt >= min_count — the counting step of a BPE/WordPiece merge
+    round (argmax over these counts IS the next merge) and the
+    collocation table of corpus analytics.
+
+    Scale shape: per-batch bigram partial counts (one vectorized
+    dictionary-encode + bincount over "tok_a tok_b" join strings — tokens
+    never contain whitespace, so the join key is injective), folded
+    through a key-hash partition (:func:`minhash_ray.util.fold_by_str_key`
+    — the distinct-bigram space is corpus-width, never Ray-aggregate
+    groups).  The shuffle moves at most |batch bigram vocab| rows per
+    batch, never the token stream."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.utf8_lower(pc.fill_null(texts, ""))
+        toks = pc.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_ids = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, row_ids = flat.filter(pa.array(keep)), row_ids[keep]
+        empty = pa.table(
+            {
+                "bigram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(row_ids) < 2:
+            return empty
+        adj = row_ids[1:] == row_ids[:-1]          # next token in same doc
+        if not adj.any():
+            return empty
+        idx = np.flatnonzero(adj)
+        pairs = pc.binary_join_element_wise(
+            flat.take(pa.array(idx, pa.int64())),
+            flat.take(pa.array(idx + 1, pa.int64())),
+            " ",
+        )
+        enc = pairs.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"bigram": enc.dictionary, "cnt": pa.array(c, pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("bigram").aggregate([("cnt", "sum")])
+        kept = agg.filter(pc.greater_equal(agg.column("cnt_sum"), min_count))
+        if kept.num_rows == 0:
+            return pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        parts = pc.split_pattern(kept.column("bigram"), " ")  # exactly one space
+        return pa.table(
+            {
+                "tok_a": pc.list_element(parts, 0),
+                "tok_b": pc.list_element(parts, 1),
+                "cnt": pc.cast(kept.column("cnt_sum"), pa.int64()),
+            }
+        )
+
+    from minhash_ray.util import fold_by_str_key
+
+    return fold_by_str_key(
+        _docs(sf_dir, ["text"]), "bigram", partial, final, num_partitions
+    )
+
+
 def global_shuffle_order(sf_dir: str, num_partitions: int = 32, docs=None):
     """(doc_id, pos): deterministic global pseudo-shuffle — every doc's
     1-based position in the ``(splitmix64(doc_id), doc_id)`` order, the

@@ -61,7 +61,7 @@ SQL_QUERIES = [
     "dedup_cluster_sizes", "clips_rate_outliers", "nation_segment_balance",
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
     "tf_cosine_pairs", "cms_term_counts", "repeated_ngram_dedup",
-    "chunk_documents", "global_shuffle_order",
+    "chunk_documents", "global_shuffle_order", "token_bigram_counts",
 ]
 
 
@@ -1239,6 +1239,33 @@ def test_chunk_documents_window_semantics(ray_session, tmp_path):
     )
     rec = " ".join(nz[nz.doc_id == 1].chunk)
     assert rec == " ".join(toks)
+
+
+def test_token_bigram_counts_planted(ray_session, tmp_path):
+    """Planted corpus: bigrams never cross document boundaries, counts are
+    exact, lowercasing folds case variants, and the min_count gate holds."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import token_bigram_counts
+
+    texts = (["big cat"] * 3 + ["Big Cat"] * 2      # 5x (big, cat) after lower
+             + ["cat big"] * 2                      # 2x reversed — below gate
+             + ["big", "cat"] * 4)                  # singles: no pairs at all
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = _pdf(token_bigram_counts(str(d), min_count=3))
+    assert out.values.tolist() == [["big", "cat", 5]]
+    out2 = _pdf(token_bigram_counts(str(d), min_count=1))
+    got = {(a, b): c for a, b, c in out2.values.tolist()}
+    assert got == {("big", "cat"): 5, ("cat", "big"): 2}
 
 
 def test_global_shuffle_order_is_permutation_and_partition_invariant(ray_session, sf_dir):
