@@ -240,6 +240,24 @@ def audio_stats(sf_dir: str):
     return fn(clips)
 
 
+def audio_energy_stats(sf_dir: str):
+    """Per-clip decoded-sample QC stats (exact integers: energy, peak,
+    clipping/silence counts) over the synthesized clips corpus
+    (pipelines/audio.audio_energy_stats).  Rows-only: SQL cannot decode
+    PCM16 payloads; exactness is covered by the planted-waveform and
+    fixture numpy-mirror pytests."""
+    from minhash_ray.pipelines.audio import audio_energy_stats as fn
+    from minhash_ray.sources.clips import read_clips
+    from minhash_ray.sources.synth import clips_dir_for
+
+    d = clips_dir_for(sf_dir)
+    clips = read_clips(
+        os.path.join(d, "clips.parquet"),
+        columns=["clip_id", "bytes", "codec"],
+    )
+    return fn(clips)
+
+
 def clips_rate_outliers(sf_dir: str):
     """Speaking-rate QC flags over the synthesized clips corpus
     (pipelines/audio.transcript_rate_flags) — integer-exact gates."""
@@ -636,6 +654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- audio-payload ops (SQL-checked: oracle groups by the raw
         # BLOB, engine by its 128-bit payload digest) ---
         "audio_stats": audio_stats,
+        # per-clip decoded-sample QC (exact-integer energy/peak/clipping/
+        # silence) — rows-only: SQL cannot decode PCM16; pytest-mirrored
+        "audio_energy_stats": audio_energy_stats,
         # speaking-rate QC over audio+transcript pairs (integer gates)
         "clips_rate_outliers": clips_rate_outliers,
         "audio_exact_dedup": audio_exact_dedup,

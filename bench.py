@@ -144,6 +144,7 @@ def run_bench() -> dict:
     from minhash_ray.pipelines.audio import audio_dup_pairs as _adp
     from minhash_ray.pipelines.audio import audio_exact_dedup as _aed
     from minhash_ray.pipelines.audio import audio_stats as _ast
+    from minhash_ray.pipelines.audio import audio_energy_stats as _aes
     from minhash_ray.pipelines.audio import transcript_rate_flags as _rate_flags
     from minhash_ray.pipelines.dedup import run_dedup_tiered as _rdt
 
@@ -225,6 +226,8 @@ def run_bench() -> dict:
         ("token_bigram_counts", text.token_bigram_counts),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
+        ("audio_energy_stats", lambda _sf: _aes(
+            read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),
         ("audio_stats", _audio_stats),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),

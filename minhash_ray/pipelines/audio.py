@@ -154,6 +154,75 @@ def audio_stats(clips):
     return agg.map_batches(order, batch_format="pyarrow")
 
 
+def audio_energy_stats(clips, silence_abs: int = 512):
+    """Per-clip decoded-sample QC stats, ALL exact integers: ``(clip_id,
+    n_samples, energy, peak_abs, n_clipped, n_silent, decode_ok)`` —
+    the audio-payload quality gate of a speech-corpus run (dead/near-
+    silent uploads, clipped recordings, truncated payloads).
+
+    * ``energy`` = Σ s² over int16 samples (≤ 2³⁰ per sample — int64-exact
+      for clips up to ~2¹⁷ seconds, no float anywhere);
+    * ``peak_abs`` = max |s| (32768 for a full-scale negative sample);
+    * ``n_clipped`` = samples at digital full scale (s = 32767 or −32768);
+    * ``n_silent`` = samples with |s| <= ``silence_abs``;
+    * ``decode_ok`` = 0 for non-``pcm_s16le`` codecs (stub boundary, cf.
+      :mod:`minhash_ray.functions.audio`); their stat columns are 0.
+
+    Scale shape: a pure map over zero-copy Arrow payload buffers — per
+    batch the pcm rows' payloads are packed once (odd trailing bytes
+    trimmed, the signature stage's alignment rule, stages/signature.py)
+    and every stat is a segment fold over ONE int16 view (cumsum
+    difference — empty-row safe), never a per-sample Python loop.  The
+    payload never crosses the object store: stats ride out, bytes stay in
+    the read task."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offs = binary_flat_offsets(_combined(batch.column("bytes")))
+        codecs = batch.column("codec").to_pylist()
+        n = batch.num_rows
+        lens = offs[1:] - offs[:-1]
+        ok = np.array([c == "pcm_s16le" for c in codecs], dtype=bool)
+        usable = np.where(ok, lens - (lens % 2), 0)
+        # pack pcm payloads contiguously (even-aligned by construction)
+        segs = [flat[int(offs[i]): int(offs[i]) + int(usable[i])] for i in range(n)
+                if usable[i] > 0]
+        packed = np.concatenate(segs) if segs else np.empty(0, dtype=np.uint8)
+        if packed.ctypes.data % 2:
+            packed = packed.copy()
+        w16 = packed.view("<i2").astype(np.int64)
+        n_samp = (usable // 2).astype(np.int64)
+        ends = np.cumsum(n_samp)
+        starts = ends - n_samp
+        cs_e = np.concatenate(([0], np.cumsum(w16 * w16)))
+        energy = cs_e[ends] - cs_e[starts]
+        absw = np.abs(w16)
+        cs_c = np.concatenate(
+            ([0], np.cumsum(((w16 == 32767) | (w16 == -32768)).astype(np.int64)))
+        )
+        n_clipped = cs_c[ends] - cs_c[starts]
+        cs_s = np.concatenate(([0], np.cumsum((absw <= silence_abs).astype(np.int64))))
+        n_silent = cs_s[ends] - cs_s[starts]
+        # segment max via maximum.reduceat on the contiguous packing
+        # (pad one 0 so trailing empty rows can't index past the end),
+        # then zero out empty rows (reduceat returns the NEXT row's head)
+        padded = np.concatenate((absw, [0]))
+        peak = np.maximum.reduceat(padded, np.minimum(starts, len(padded) - 1))
+        peak[n_samp == 0] = 0
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "n_samples": pa.array(n_samp, pa.int64()),
+                "energy": pa.array(energy, pa.int64()),
+                "peak_abs": pa.array(peak, pa.int64()),
+                "n_clipped": pa.array(n_clipped, pa.int64()),
+                "n_silent": pa.array(n_silent, pa.int64()),
+                "decode_ok": pa.array(ok.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return clips.map_batches(fn, batch_format="pyarrow")
+
+
 def audio_dup_pairs(clips, cfg=None, tau: float = 0.6, num_partitions: int = 8):
     """Audio-channel-only near-duplicate pairs: (clip_id_a, clip_id_b,
     audio_sim) with ``audio_similarity >= tau`` — the standalone audio

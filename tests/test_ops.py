@@ -1241,6 +1241,57 @@ def test_chunk_documents_window_semantics(ray_session, tmp_path):
     assert rec == " ".join(toks)
 
 
+def test_audio_energy_stats_planted_and_mirrored(ray_session, tmp_path):
+    """Planted int16 waveforms: exact energy / peak / clipping / silence
+    counts, odd-trailing-byte truncation, empty payloads, non-pcm codec
+    stub rows — then a numpy mirror over a synthesized fixture slice."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.pipelines.audio import audio_energy_stats
+
+    wavs = {
+        "a": np.array([0, 100, -200, 32767, -32768], dtype="<i2"),
+        "b": np.array([512, -512, 513], dtype="<i2"),     # silence boundary
+        "c": np.array([], dtype="<i2"),                   # empty payload
+        "d": np.array([7, -7], dtype="<i2"),              # all silent
+    }
+    payloads = {k: v.tobytes() for k, v in wavs.items()}
+    payloads["a"] += b"\x01"                              # odd trailing byte
+    t = pa.table(
+        {
+            "clip_id": pa.array(list(payloads) + ["e"], pa.string()),
+            "bytes": pa.array(list(payloads.values()) + [b"\x00\x01\x02\x03"], pa.binary()),
+            "codec": pa.array(["pcm_s16le"] * 4 + ["opus"], pa.string()),
+        }
+    )
+    out = _pdf(audio_energy_stats(rd.from_arrow(t))).set_index("clip_id")
+    a = out.loc["a"]
+    assert (a.n_samples, a.energy, a.peak_abs, a.n_clipped, a.n_silent, a.decode_ok) == (
+        5, 100**2 + 200**2 + 32767**2 + 32768**2, 32768, 2, 3, 1)
+    b = out.loc["b"]
+    assert (b.n_samples, b.n_silent, b.peak_abs) == (3, 2, 513)
+    c = out.loc["c"]
+    assert (c.n_samples, c.energy, c.peak_abs, c.n_clipped, c.n_silent) == (0, 0, 0, 0, 0)
+    d = out.loc["d"]
+    assert (d.n_samples, d.energy, d.n_silent) == (2, 98, 2)
+    e = out.loc["e"]
+    assert (e.decode_ok, e.n_samples, e.energy) == (0, 0, 0)
+
+    # fixture mirror: per-row numpy decode must agree exactly
+    from minhash_ray.sources.synth import clips_dir_for
+
+    d_dir = clips_dir_for("/root/testdata/sf0.001")
+    ft = pq.read_table(f"{d_dir}/clips.parquet", columns=["clip_id", "bytes", "codec"])
+    got = _pdf(audio_energy_stats(rd.from_arrow(ft))).set_index("clip_id")
+    rows = ft.slice(0, 64).to_pylist()
+    for r in rows:
+        w = np.frombuffer(r["bytes"][: len(r["bytes"]) - len(r["bytes"]) % 2], dtype="<i2").astype(np.int64)
+        g = got.loc[r["clip_id"]]
+        assert g.n_samples == len(w) and g.energy == int((w * w).sum())
+        assert g.peak_abs == (int(np.abs(w).max()) if len(w) else 0)
+
+
 def test_token_bigram_counts_planted(ray_session, tmp_path):
     """Planted corpus: bigrams never cross document boundaries, counts are
     exact, lowercasing folds case variants, and the min_count gate holds."""
