@@ -471,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # estimator's equal-slot histogram (threshold tuning) — both are
         # hash aggregates over the metadata-scale verified pair table
         "dup_graph_degrees": dedup_text.dup_graph_degrees,
+        # near-dup contamination matrix per unordered source pair —
+        # SQL-checked (sims chain + two label joins)
+        "cross_source_dups": dedup_text.cross_source_dups,
         "minhash_sim_histogram": dedup_text.minhash_sim_histogram,
         # scope-partitioned near-dup pairs (per-language dedup): the scope
         # is XOR-folded into the LSH bucket key so cross-scope candidates
@@ -1288,6 +1291,24 @@ def _dup_degrees_sql(seed: int = 42) -> str:
     )
 
 
+def _cross_source_dups_sql(seed: int = 42) -> str:
+    """Cross-source contamination matrix over the gated LSH pair graph:
+    the ``_lsh_sims_ctes`` chain + two source-label joins + least/greatest
+    pair normalization."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    return (
+        f"WITH {_lsh_sims_ctes(seed)}, "
+        f"pairs AS (SELECT da, db FROM sims WHERE sim >= {threshold}), "
+        "lab AS (SELECT a.source AS sa, b.source AS sb FROM pairs p "
+        "JOIN documents a ON a.doc_id = p.da "
+        "JOIN documents b ON b.doc_id = p.db) "
+        "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM lab GROUP BY 1, 2"
+    )
+
+
 def _snm_pairs_sql(window: int = 8, key_chars: int = 24, threshold: float = 0.3) -> str:
     """DuckDB replay of ``snm_dup_pairs``: row_number over the normalized
     key order (binary collation = the engine's bytewise 'S' order),
@@ -2000,6 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "doc_dedup_keep_best": _keep_best_sql(),
         "dup_graph_degrees": _dup_degrees_sql(),
+        "cross_source_dups": _cross_source_dups_sql(),
         "minhash_sim_histogram": _sim_histogram_sql(),
         "scoped_dup_pairs": _scoped_pairs_sql(),
         "snm_dup_pairs": _snm_pairs_sql(),

@@ -224,6 +224,7 @@ def run_bench() -> dict:
         ("bm25_topk", text.bm25_topk),
         ("global_shuffle_order", text.global_shuffle_order),
         ("token_bigram_counts", text.token_bigram_counts),
+        ("cross_source_dups", dedup_text.cross_source_dups),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_energy_stats", lambda _sf: _aes(

@@ -2346,6 +2346,96 @@ def doc_dedup_keep_best(
     return routed.map_batches(finalize, batch_format="pyarrow")
 
 
+def cross_source_dups(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(source_a, source_b, n_pairs): near-dup pair counts per unordered
+    SOURCE pair — the cross-corpus contamination matrix a multi-dump
+    ingest run ships with (how much of dump A is near-copied in dump B;
+    the diagonal is within-source duplication).
+
+    Scale shape: the verified LSH pair table is metadata-scale by
+    construction; each endpoint's source label is attached by ONE slim
+    partitioned hash join against (doc_id, source) — never a broadcast
+    of the corpus — and the matrix itself is |sources|² rows, so the
+    final count is a tiny Ray aggregate over per-batch Arrow partials."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from minhash_ray.util import clamp_partitions, strip_empty_blocks
+
+    out_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()), ("n_pairs", pa.int64())]
+    )
+    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=docs)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"source_a": [], "source_b": [], "n_pairs": []}, schema=out_schema
+        )
+    np_ = clamp_partitions(num_partitions)
+    src = (
+        docs.select_columns(["doc_id", "source"])
+        if docs is not None
+        else _docs(sf_dir, ["doc_id", "source"])
+    )
+    src = strip_empty_blocks(src)
+    pds = strip_empty_blocks(rd.from_arrow(pairs.select(["doc_id_a", "doc_id_b"])))
+
+    j1 = pds.join(
+        src, join_type="inner", on=("doc_id_a",), right_on=("doc_id",),
+        num_partitions=np_,
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id_b": t.column("doc_id_b"), "source_a": t.column("source")}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = strip_empty_blocks(j1).join(
+        src, join_type="inner", on=("doc_id_b",), right_on=("doc_id",),
+        num_partitions=np_,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sa, sb = batch.column("source_a"), batch.column("source")
+        le = pc.less_equal(sa, sb)
+        t = pa.table(
+            {"source_a": pc.if_else(le, sa, sb), "source_b": pc.if_else(le, sb, sa)}
+        )
+        agg = t.group_by(["source_a", "source_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source_a": agg.column("source_a"),
+                "source_b": agg.column("source_b"),
+                "c": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    agg = (
+        j2.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .sum("c")
+    )
+    t = pa.concat_tables(
+        list(agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    if t.num_rows == 0:
+        return pa.table(
+            {"source_a": [], "source_b": [], "n_pairs": []}, schema=out_schema
+        )
+    ccol = [c for c in t.column_names if c not in ("source_a", "source_b")][0]
+    return pa.table(
+        {
+            "source_a": t.column("source_a"),
+            "source_b": t.column("source_b"),
+            "n_pairs": pc.cast(t.column(ccol), pa.int64()),
+        }
+    )
+
+
 def dup_graph_degrees(
     sf_dir: str,
     cfg: PipelineConfig = DOC_CFG,

@@ -62,6 +62,7 @@ SQL_QUERIES = [
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
     "tf_cosine_pairs", "cms_term_counts", "repeated_ngram_dedup",
     "chunk_documents", "global_shuffle_order", "token_bigram_counts",
+    "cross_source_dups",
 ]
 
 
@@ -1239,6 +1240,37 @@ def test_chunk_documents_window_semantics(ray_session, tmp_path):
     )
     rec = " ".join(nz[nz.doc_id == 1].chunk)
     assert rec == " ".join(toks)
+
+
+def test_cross_source_dups_planted(ray_session, tmp_path):
+    """Planted two-source corpus: a cross-source near-copy lands in the
+    (A, B) cell, a within-source copy in the (A, A) diagonal, and
+    unrelated docs contribute nothing."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import cross_source_dups
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before nightfall comes again") * 3
+    other = ("completely different content about distributed data "
+             "processing engines and arrow batches at large scale") * 3
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([base, base + " extra", base, other,
+                              "tiny unrelated"], pa.string()),
+            "source": pa.array(["A", "B", "A", "B", "A"], pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = _pdf(cross_source_dups(str(d))).sort_values(
+        ["source_a", "source_b"]).reset_index(drop=True)
+    got = {(a, b): c for a, b, c in out.values.tolist()}
+    assert got[("A", "A")] == 1          # docs 1-3 within-source copy
+    assert got[("A", "B")] == 2          # docs (1,2) and (2,3) cross pairs
+    assert ("B", "B") not in got
 
 
 def test_audio_energy_stats_planted_and_mirrored(ray_session, tmp_path):
