@@ -474,6 +474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup contamination matrix per unordered source pair —
         # SQL-checked (sims chain + two label joins)
         "cross_source_dups": dedup_text.cross_source_dups,
+        # connected components of the dup graph via the DISTRIBUTED
+        # label-propagation path — SQL-checked (recursive reachability)
+        "dup_graph_components": dedup_text.dup_graph_components,
         "minhash_sim_histogram": dedup_text.minhash_sim_histogram,
         # scope-partitioned near-dup pairs (per-language dedup): the scope
         # is XOR-folded into the LSH bucket key so cross-scope candidates
@@ -1291,6 +1294,30 @@ def _dup_degrees_sql(seed: int = 42) -> str:
     )
 
 
+def _dup_components_sql(seed: int = 42) -> str:
+    """Connected components over the gated LSH pair graph as a recursive
+    label-reachability CTE (the ``_tiered_dedup_sql`` cluster-tier shape,
+    restricted to graph nodes)."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    return (
+        "WITH RECURSIVE "
+        f"{_lsh_sims_ctes(seed)}, "
+        f"pairs AS (SELECT da, db FROM sims WHERE sim >= {threshold}), "
+        "edges AS (SELECT da AS a, db AS b FROM pairs"
+        "          UNION ALL SELECT db AS a, da AS b FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS node FROM edges), "
+        "walk(node, label) AS ("
+        "  SELECT node, node FROM nodes"
+        "  UNION"
+        "  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node"
+        ") "
+        "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id "
+        "FROM walk GROUP BY node"
+    )
+
+
 def _cross_source_dups_sql(seed: int = 42) -> str:
     """Cross-source contamination matrix over the gated LSH pair graph:
     the ``_lsh_sims_ctes`` chain + two source-label joins + least/greatest
@@ -2022,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_keep_best": _keep_best_sql(),
         "dup_graph_degrees": _dup_degrees_sql(),
         "cross_source_dups": _cross_source_dups_sql(),
+        "dup_graph_components": _dup_components_sql(),
         "minhash_sim_histogram": _sim_histogram_sql(),
         "scoped_dup_pairs": _scoped_pairs_sql(),
         "snm_dup_pairs": _snm_pairs_sql(),

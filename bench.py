@@ -225,6 +225,7 @@ def run_bench() -> dict:
         ("global_shuffle_order", text.global_shuffle_order),
         ("token_bigram_counts", text.token_bigram_counts),
         ("cross_source_dups", dedup_text.cross_source_dups),
+        ("dup_graph_components", dedup_text.dup_graph_components),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_energy_stats", lambda _sf: _aes(

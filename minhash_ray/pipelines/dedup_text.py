@@ -2346,6 +2346,43 @@ def doc_dedup_keep_best(
     return routed.map_batches(finalize, batch_format="pyarrow")
 
 
+def dup_graph_components(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(doc_id, component_id): connected components of the verified
+    near-dup pair graph, component id = min doc_id of the component —
+    computed by the DISTRIBUTED min-label-propagation path
+    (:func:`minhash_ray.stages.cluster.components_label_propagation`),
+    never the driver union-find, so the oracle hash-match independently
+    checks the 10^12-scale clustering code (``doc_dedup_tiered`` exercises
+    the auto-switching ``assign_clusters``, which at test scale takes the
+    driver path).  Only graph nodes get rows; singleton docs are not part
+    of the pair graph (``doc_dedup_tiered`` is the every-doc variant)."""
+    import ray.data as rd
+
+    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=docs)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "component_id": pa.array([], pa.int64()),
+            }
+        )
+    from minhash_ray.stages.cluster import components_label_propagation
+
+    edges = rd.from_arrow(pairs.select(["doc_id_a", "doc_id_b"]))
+    return components_label_propagation(
+        edges,
+        num_partitions=num_partitions,
+        col_a="doc_id_a",
+        col_b="doc_id_b",
+        out_cols=("doc_id", "component_id"),
+    )
+
+
 def cross_source_dups(
     sf_dir: str,
     cfg: PipelineConfig = DOC_CFG,

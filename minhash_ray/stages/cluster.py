@@ -76,8 +76,12 @@ def components_driver(edges_ds) -> dict[str, str]:
     return dict(zip(uniq_sorted.tolist(), uniq_sorted[lab].tolist()))
 
 
-def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: int = 50):
-    """Distributed min-label propagation. Returns a Dataset {clip_id, cluster_id}."""
+def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: int = 50,
+                                 col_a: str = "clip_id_a", col_b: str = "clip_id_b",
+                                 out_cols: tuple = ("clip_id", "cluster_id")):
+    """Distributed min-label propagation. Returns a Dataset
+    ``{out_cols[0]: node, out_cols[1]: min-label component id}`` — works
+    for any orderable id type (string clip_ids, int64 doc_ids)."""
     import ray.data as rd
 
     from minhash_ray.util import clamp_partitions
@@ -85,8 +89,8 @@ def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: 
     num_partitions = clamp_partitions(num_partitions)
 
     def to_directed(batch: pa.Table) -> pa.Table:
-        a = batch.column("clip_id_a")
-        b = batch.column("clip_id_b")
+        a = batch.column(col_a)
+        b = batch.column(col_b)
         if isinstance(a, pa.ChunkedArray):
             a = a.combine_chunks()
         if isinstance(b, pa.ChunkedArray):
@@ -101,7 +105,7 @@ def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: 
     from minhash_ray.util import strip_empty_blocks
 
     # join inputs must carry no empty blocks (util.strip_empty_blocks doc)
-    directed = strip_empty_blocks(edges_ds.select_columns(["clip_id_a", "clip_id_b"]).map_batches(
+    directed = strip_empty_blocks(edges_ds.select_columns([col_a, col_b]).map_batches(
         to_directed, batch_format="pyarrow"
     ))
 
@@ -171,8 +175,7 @@ def components_label_propagation(edges_ds, num_partitions: int = 32, max_iters: 
 
     return labels.map_batches(
         lambda t: pa.table(
-            {"clip_id": t.column("node"), "cluster_id": t.column("label")},
-            schema=ASSIGN_SCHEMA,
+            {out_cols[0]: t.column("node"), out_cols[1]: t.column("label")}
         ),
         batch_format="pyarrow",
     )

@@ -62,7 +62,7 @@ SQL_QUERIES = [
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
     "tf_cosine_pairs", "cms_term_counts", "repeated_ngram_dedup",
     "chunk_documents", "global_shuffle_order", "token_bigram_counts",
-    "cross_source_dups",
+    "cross_source_dups", "dup_graph_components",
 ]
 
 
