@@ -477,6 +477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components of the dup graph via the DISTRIBUTED
         # label-propagation path — SQL-checked (recursive reachability)
         "dup_graph_components": dedup_text.dup_graph_components,
+        # per-doc top-k dup neighbors (k-NN similarity graph) —
+        # SQL-checked (row_number window over the sims chain)
+        "dup_knn_graph": dedup_text.dup_knn_graph,
         "minhash_sim_histogram": dedup_text.minhash_sim_histogram,
         # scope-partitioned near-dup pairs (per-language dedup): the scope
         # is XOR-folded into the LSH bucket key so cross-scope candidates
@@ -502,6 +505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality gates → curated corpus manifest (SQL-checked via a
         # WITH-composition of the three sub-oracles)
         "corpus_curation": curation.corpus_curation,
+        # per-(source, lang) curation yield report — SQL-checked
+        # (curation sub-oracle LEFT JOINed onto per-doc token counts)
+        "curation_report": curation.curation_report,
         # end-to-end manifest: curation keep x hash split x per-split
         # token-budget sequence packing (SQL-checked, one WITH-composed
         # oracle over the three sub-recipes)
@@ -577,6 +583,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked end-to-end (centroid literals + recursive
         # reachability CTE, the _tiered_dedup_sql cluster pattern)
         "semantic_dedup": ann.semantic_dedup,
+        # distributed Lloyd k-means training (iterative streaming passes;
+        # rows-only: float sums are not bit-reproducible across batch
+        # orders — planted-cluster pytest covers exactness)
+        "kmeans_train": ann.kmeans_train,
         # --- relational engine surface (SQL-checked) ---
         "lineitem_agg": relational.lineitem_agg,
         "orders_by_segment": relational.orders_by_segment,
@@ -1250,6 +1260,28 @@ def _curation_sql(min_tokens: int = 10, punct_denom: int = 20) -> str:
     )
 
 
+def _curation_report_sql(min_tokens: int = 10, punct_denom: int = 20) -> str:
+    """Per-(source, lang) yield report: the curation sub-oracle LEFT JOINs
+    onto every document's (source, lang, token count)."""
+    n_tokens = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+    )
+    return (
+        f"WITH cur AS ({_curation_sql(min_tokens, punct_denom)}), "
+        f"base AS (SELECT doc_id, source, lang, {n_tokens} AS n_tokens "
+        "FROM documents) "
+        "SELECT b.source AS source, b.lang AS lang, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(b.n_tokens) AS BIGINT) AS tokens_total, "
+        "CAST(count(c.doc_id) AS BIGINT) AS n_kept, "
+        "CAST(coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN b.n_tokens END), 0)"
+        " AS BIGINT) AS tokens_kept "
+        "FROM base b LEFT JOIN cur c ON c.doc_id = b.doc_id "
+        "GROUP BY 1, 2"
+    )
+
+
 def _training_manifest_sql(budget: int = 256) -> str:
     """WITH-composition: the curation sub-oracle feeds the HUGEINT
     splitmix64 chain (split assignment) and a per-split window running
@@ -1315,6 +1347,24 @@ def _dup_components_sql(seed: int = 42) -> str:
         ") "
         "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id "
         "FROM walk GROUP BY node"
+    )
+
+
+def _dup_knn_sql(k: int = 3, seed: int = 42) -> str:
+    """Per-doc top-k dup neighbors: both edge directions + row_number
+    window over the sims chain."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    return (
+        f"WITH {_lsh_sims_ctes(seed)}, "
+        f"pairs AS (SELECT da, db, sim FROM sims WHERE sim >= {threshold}), "
+        "edges AS (SELECT da AS doc_id, db AS neighbor_id, sim FROM pairs "
+        "UNION ALL SELECT db, da, sim FROM pairs), "
+        "r AS (SELECT doc_id, neighbor_id, sim, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY sim DESC, neighbor_id) AS rnk FROM edges) "
+        "SELECT doc_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk "
+        f"FROM r WHERE rnk <= {k}"
     )
 
 
@@ -2050,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_degrees": _dup_degrees_sql(),
         "cross_source_dups": _cross_source_dups_sql(),
         "dup_graph_components": _dup_components_sql(),
+        "dup_knn_graph": _dup_knn_sql(),
         "minhash_sim_histogram": _sim_histogram_sql(),
         "scoped_dup_pairs": _scoped_pairs_sql(),
         "snm_dup_pairs": _snm_pairs_sql(),
@@ -2061,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM sizes GROUP BY cluster_size"
         ).format(TIERED=_tiered_dedup_sql()),
         "corpus_curation": _curation_sql(),
+        "curation_report": _curation_report_sql(),
         "training_manifest": _training_manifest_sql(),
         "lang_id": _lang_id_sql(),
         "lang_confusion": (

@@ -226,6 +226,9 @@ def run_bench() -> dict:
         ("token_bigram_counts", text.token_bigram_counts),
         ("cross_source_dups", dedup_text.cross_source_dups),
         ("dup_graph_components", dedup_text.dup_graph_components),
+        ("dup_knn_graph", dedup_text.dup_knn_graph),
+        ("curation_report", curation.curation_report),
+        ("kmeans_train", ann.kmeans_train),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_energy_stats", lambda _sf: _aes(

@@ -318,6 +318,123 @@ class _HyperplaneBucketer:
         )
 
 
+def kmeans_train(sf_dir: str, k: int = 8, iters: int = 5, seed: int = 42,
+                 emb=None):
+    """(cell, n_members, centroid list<double>): k-means centroids trained
+    by DISTRIBUTED Lloyd iterations over the embeddings table — the
+    iterative-training loop (each round = one streaming assignment pass)
+    that :func:`build_ivf_index`'s driver-side sample approximates; run
+    this when the index must be trained on the FULL corpus.
+
+    Scale shape per iteration: centroids broadcast once (``ray.put``,
+    k×dim floats), each batch assigns vectors vectorized (one matmul) and
+    emits k partial rows (cell, sum-vector, count); the driver folds
+    batches×k metadata-scale rows into new centroids.  Nothing
+    corpus-width ever leaves the tasks; empty cells keep their previous
+    centroid (standard Lloyd convention).
+
+    Init is deterministic and content-independent: the k vectors with the
+    smallest ``splitmix64(vec_id)`` (the engine's seeded-sample idiom).
+    Rows-only in CORRECTNESS (float sums are not bit-reproducible across
+    batch orders); exactness is covered by the planted-cluster pytest
+    (exact membership counts + centroid allclose)."""
+    import ray
+
+    from minhash_ray.stages.banding import splitmix64
+
+    ds = emb if emb is not None else _emb(sf_dir)
+    ds = ds.materialize()
+
+    # deterministic init: k smallest splitmix64(vec_id ^ seed)
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        o = np.argsort(h)[:k]
+        m = _matrix(batch)[o]
+        return pa.table(
+            {
+                "h": pa.array(h[o].view(np.int64), pa.int64()),
+                "vec": _pack_f64_rows(m),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(init_partial, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "n_members": pa.array([], pa.int64()),
+                "centroid": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    hs = parts.column("h").to_numpy().view(np.uint64)
+    order = np.argsort(hs)[: min(k, len(hs))]
+    dim = len(parts.column("vec")[0].as_py()) // 8
+    cents = np.stack(
+        [np.frombuffer(parts.column("vec")[int(i)].as_py(), dtype=np.float64)
+         for i in order]
+    )
+    counts = np.zeros(len(cents), dtype=np.int64)
+
+    for _ in range(iters):
+        cent_ref = [ray.put(cents)]
+
+        def step(batch: pa.Table) -> pa.Table:
+            from minhash_ray.util import cached_get
+
+            c = cached_get(cent_ref[0])
+            v = _matrix(batch)
+            # nearest centroid by squared euclidean (ties -> lowest cell)
+            d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(axis=1)[None, :]
+            cell = np.argmin(d2, axis=1).astype(np.int64)
+            kk = c.shape[0]
+            sums = np.zeros((kk, c.shape[1]), dtype=np.float64)
+            np.add.at(sums, cell, v)
+            n = np.bincount(cell, minlength=kk).astype(np.int64)
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(kk, dtype=np.int64), pa.int64()),
+                    "sum": _pack_f64_rows(sums),
+                    "n": pa.array(n, pa.int64()),
+                }
+            )
+
+        pt = pa.concat_tables(
+            list(
+                ds.map_batches(step, batch_format="pyarrow").iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            )
+        )
+        cells = pt.column("cell").to_numpy()
+        ns = pt.column("n").to_numpy()
+        sums = _unpack_f64_rows(pt.column("sum").combine_chunks(), dim)
+        tot_n = np.zeros(len(cents), dtype=np.int64)
+        np.add.at(tot_n, cells, ns)
+        tot_s = np.zeros_like(cents)
+        np.add.at(tot_s, cells, sums)
+        nonempty = tot_n > 0
+        cents[nonempty] = tot_s[nonempty] / tot_n[nonempty, None]
+        counts = tot_n
+
+    flat = pa.array(cents.reshape(-1), pa.float64())
+    return pa.table(
+        {
+            "cell": pa.array(np.arange(len(cents), dtype=np.int64), pa.int64()),
+            "n_members": pa.array(counts, pa.int64()),
+            "centroid": pa.FixedSizeListArray.from_arrays(flat, dim).cast(
+                pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
 def _pack_f64_rows(mat: np.ndarray) -> pa.Array:
     """(n, d) float64 matrix → large_binary column (Acero joins reject
     list payload columns; vectors ride as opaque byte strings)."""

@@ -91,6 +91,113 @@ def corpus_curation(
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def curation_report(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    min_tokens: int = 10,
+    punct_denom: int = 20,
+    num_partitions: int = 8,
+    ckpt_root: str | None = None,
+):
+    """(source, lang, n_docs, tokens_total, n_kept, tokens_kept): the
+    per-(source, declared-lang) yield report a curation run ships to its
+    operators — how many documents/tokens each dump contributed and how
+    many survived dedup + quality gates (low-yield sources are the first
+    thing a data owner investigates).
+
+    Scale shape: one map pass annotates every doc with its token count,
+    the curated id set attaches by ONE slim left-outer partitioned join
+    (keep flag, zero-filled), and the report itself is
+    |sources|×|langs| rows — per-batch Arrow partials through a tiny
+    final groupby."""
+    from minhash_ray.pipelines.text import _docs
+    from minhash_ray.util import clamp_partitions, strip_empty_blocks
+
+    np_parts = clamp_partitions(num_partitions)
+
+    kept = corpus_curation(
+        sf_dir, cfg, min_tokens=min_tokens, punct_denom=punct_denom,
+        num_partitions=num_partitions, ckpt_root=ckpt_root,
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "kept": pa.array([1] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def base_fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc2
+
+        toks = pc2.utf8_split_whitespace(pc2.utf8_trim_whitespace(batch.column("text")))
+        n = pc2.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empties = pc2.equal(
+            pc2.utf8_trim_whitespace(batch.column("text")), ""
+        ).to_numpy(zero_copy_only=False)
+        n[empties] = 0
+        return pa.table(
+            {
+                "doc_id": pc2.cast(batch.column("doc_id"), pa.int64()),
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    base = _docs(sf_dir, ["doc_id", "text", "source", "lang"]).map_batches(
+        base_fn, batch_format="pyarrow"
+    )
+    joined = strip_empty_blocks(base).join(
+        strip_empty_blocks(kept),
+        join_type="left_outer",
+        on=("doc_id",),
+        num_partitions=np_parts,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.fill_null(batch.column("kept"), 0)
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "one": pc.cast(pa.array([1] * batch.num_rows), pa.int64()),
+                "n_tokens": batch.column("n_tokens"),
+                "kept": pc.cast(k, pa.int64()),
+                "tok_kept": pc.multiply(
+                    pc.cast(k, pa.int64()), batch.column("n_tokens")
+                ),
+            }
+        )
+        agg = t.group_by(["source", "lang"]).aggregate(
+            [("one", "sum"), ("n_tokens", "sum"), ("kept", "sum"), ("tok_kept", "sum")]
+        )
+        return agg
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum(["one_sum", "n_tokens_sum", "kept_sum", "tok_kept_sum"])
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        def c(name):
+            return pc.cast(batch.column(name), pa.int64())
+
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": c("sum(one_sum)"),
+                "tokens_total": c("sum(n_tokens_sum)"),
+                "n_kept": c("sum(kept_sum)"),
+                "tokens_kept": c("sum(tok_kept_sum)"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def curation_audit(
     sf_dir: str,
     cfg: PipelineConfig = DOC_CFG,

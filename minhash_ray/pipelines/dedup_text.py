@@ -2383,6 +2383,105 @@ def dup_graph_components(
     )
 
 
+def dup_knn_graph(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    k: int = 3,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(doc_id, neighbor_id, sim, rnk): each document's k most-similar
+    verified near-dup neighbors (rank 1..k, ties broken by neighbor id)
+    — the k-NN similarity graph a curation run feeds to graph-based
+    cluster analysis or semantic-dedup audits.
+
+    Scale shape: the verified pair table is metadata-scale by
+    construction; both directions of each edge go through the two-level
+    exact top-k of ``relational.top_orders_per_customer`` (per-batch
+    prune to <= k rows per doc, doc-hash partition, identical final
+    selection — exact because a doc's global top-k is a subset of the
+    union of its per-batch top-ks).  Sims are exact multiples of
+    1/num_perm, so ranking on the integer equal-slot count is
+    float-hazard-free."""
+    import ray.data as rd
+
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import clamp_partitions
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("neighbor_id", pa.int64()),
+         ("sim", pa.float64()), ("rnk", pa.int64())]
+    )
+    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=docs)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"doc_id": [], "neighbor_id": [], "sim": [], "rnk": []},
+            schema=out_schema,
+        )
+    P = np.uint64(max(2, clamp_partitions(num_partitions)))
+    nperm = cfg.num_perm
+
+    da = pairs.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    db = pairs.column("doc_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    sim = pairs.column("sim").to_numpy(zero_copy_only=False)
+    both = pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([da, db]), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate([db, da]), pa.int64()),
+            # integer equal-slot count: exact sort key (sim = n_eq/num_perm)
+            "n_eq": pa.array(
+                np.rint(np.concatenate([sim, sim]) * nperm).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+    def _topk(doc, nb, n_eq):
+        order = np.lexsort((nb, -n_eq, doc))
+        d_s = doc[order]
+        n = len(order)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = d_s[1:] != d_s[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        r = idx - start
+        keep = r < k
+        return order[keep], r[keep]
+
+    def local(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        nb = batch.column("neighbor_id").to_numpy()
+        n_eq = batch.column("n_eq").to_numpy()
+        sel, _ = _topk(doc, nb, n_eq)
+        pkey = (splitmix64(doc[sel].astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[sel], pa.int64()),
+                "neighbor_id": pa.array(nb[sel], pa.int64()),
+                "n_eq": pa.array(n_eq[sel], pa.int64()),
+                "pkey": pa.array(pkey, pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        nb = batch.column("neighbor_id").to_numpy()
+        n_eq = batch.column("n_eq").to_numpy()
+        sel, r = _topk(doc, nb, n_eq)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[sel], pa.int64()),
+                "neighbor_id": pa.array(nb[sel], pa.int64()),
+                "sim": pa.array(n_eq[sel].astype(np.float64) / nperm, pa.float64()),
+                "rnk": pa.array(r + 1, pa.int64()),
+            }
+        )
+
+    pruned = rd.from_arrow(both).map_batches(local, batch_format="pyarrow")
+    return pruned.groupby("pkey").map_groups(final, batch_format="pyarrow")
+
+
 def cross_source_dups(
     sf_dir: str,
     cfg: PipelineConfig = DOC_CFG,

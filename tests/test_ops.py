@@ -62,7 +62,8 @@ SQL_QUERIES = [
     "lang_confusion", "session_stats", "repeated_ngram_scrub",
     "tf_cosine_pairs", "cms_term_counts", "repeated_ngram_dedup",
     "chunk_documents", "global_shuffle_order", "token_bigram_counts",
-    "cross_source_dups", "dup_graph_components",
+    "cross_source_dups", "dup_graph_components", "dup_knn_graph",
+    "curation_report",
 ]
 
 
@@ -1240,6 +1241,79 @@ def test_chunk_documents_window_semantics(ray_session, tmp_path):
     )
     rec = " ".join(nz[nz.doc_id == 1].chunk)
     assert rec == " ".join(toks)
+
+
+def test_kmeans_train_planted_clusters(ray_session, tmp_path):
+    """Three well-separated planted clusters: exact membership counts,
+    centroids allclose to the true cluster means, determinism across
+    runs, and k > #points keeps empty cells at their init vectors."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.pipelines.ann import kmeans_train
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0.0], [-10.0, 5.0], [0.0, -12.0]])
+    sizes = [40, 30, 20]
+    pts = np.concatenate(
+        [c + 0.01 * rng.standard_normal((s, 2)) for c, s in zip(centers, sizes)]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(pts)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1).astype(np.float32), pa.float32()), 2
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    out = _pdf(kmeans_train(str(d), k=3, iters=8))
+    assert sorted(out.n_members.tolist()) == sorted(sizes)
+    got = np.stack(out.centroid.to_numpy())
+    # each true center matched by exactly one learned centroid
+    for c, s in zip(centers, sizes):
+        dist = np.linalg.norm(got - c, axis=1)
+        j = int(np.argmin(dist))
+        assert dist[j] < 0.05 and out.n_members[j] == s
+    out2 = _pdf(kmeans_train(str(d), k=3, iters=8))
+    assert out2.n_members.tolist() == out.n_members.tolist()
+    assert np.allclose(np.stack(out2.centroid.to_numpy()), got, rtol=1e-12)
+
+
+def test_dup_knn_graph_planted_ties(ray_session, tmp_path):
+    """Three identical docs: every node's two neighbors tie at sim 1.0 and
+    rank by neighbor id; k=1 keeps only the smaller neighbor."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import dup_knn_graph
+
+    base = ("sphinx of black quartz judge my vow while zephyrs blow over "
+            "the quiet harbor wall at dawn and gulls wheel above") * 3
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30, 40], pa.int64()),
+            "text": pa.array([base, base, base, "totally unrelated words"],
+                             pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = _pdf(dup_knn_graph(str(d), k=3)).sort_values(
+        ["doc_id", "rnk"]).reset_index(drop=True)
+    got = {(r.doc_id, r.rnk): (r.neighbor_id, r.sim) for r in out.itertuples()}
+    assert got[(10, 1)] == (20, 1.0) and got[(10, 2)] == (30, 1.0)
+    assert got[(20, 1)] == (10, 1.0) and got[(30, 2)] == (20, 1.0)
+    assert 40 not in set(out.doc_id)
+
+    k1 = _pdf(dup_knn_graph(str(d), k=1))
+    assert len(k1) == 3 and set(k1.rnk) == {1}
+    assert {(r.doc_id, r.neighbor_id) for r in k1.itertuples()} == {
+        (10, 20), (20, 10), (30, 10)}
 
 
 def test_cross_source_dups_planted(ray_session, tmp_path):
