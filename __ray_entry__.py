@@ -527,6 +527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is deleted and the doc reassembled — SQL-checked byte-for-byte
         # via the HUGEINT gram chain + interval coverage replay
         "repeated_ngram_scrub": dedup_text.repeated_ngram_scrub,
+        # corpus-statistics LM familiarity score (perplexity-proxy quality
+        # filter) — SQL-checked (full HUGEINT gram-chain replay)
+        "bigram_familiarity": text.bigram_familiarity,
         # constant-space Bloom-filter decontamination (rows-only: false
         # positives are inherent to the sketch, so no SQL oracle — the
         # no-false-negative and FP-envelope guarantees are pytest-proven,
@@ -645,6 +648,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked against a chained min-after-min oracle
         "funnel_counts": events.funnel_counts,
         "asof_prior": events.asof_prior,
+        # retention / cohort matrix (first-period cohort × active period)
+        # — SQL-checked (distinct-activity + min-period oracle)
+        "retention_cohorts": events.retention_cohorts,
         # banded time-range join (interval semantics Ray Data lacks
         # natively) — SQL-checked against a correlated-count oracle
         "range_join_recent": events.range_join_recent,
@@ -1605,6 +1611,70 @@ def _repeated_scrub_sql(min_df: int = 4, seed: int = 42, w: int | None = None) -
     )
 
 
+def _familiarity_sql(min_count: int = 10, seed: int = 42, w: int = 2) -> str:
+    """DuckDB replay of ``bigram_familiarity``: the same FNV-1a token
+    hash + w-gram polynomial chain as ``_repeated_scrub_sql``, corpus-wide
+    gram OCCURRENCE counts, the >=min_count frequent gate, and the
+    integer basis-point score ``n_frequent * 10000 // n_grams``."""
+    from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+
+    m64 = 1 << 64
+    p = FNV_PRIME
+    init = FNV_OFFSET ^ seed
+    gram = "th[i]"
+    for r in range(2, w + 1):
+        gram = f"(({gram}) * {p} + th[i+{r - 1}]) % {m64}"
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), grams AS ("
+        f"  SELECT doc_id, {gram} AS g"
+        f"  FROM thash, UNNEST(range(1, len(th) - {w} + 2)) AS r(i)"
+        f"  WHERE len(th) >= {w}"
+        "), hot AS ("
+        f"  SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}"
+        "), per AS ("
+        "  SELECT gr.doc_id, count(*) AS n_grams, count(h.g) AS n_frequent"
+        "  FROM grams gr LEFT JOIN hot h ON h.g = gr.g GROUP BY 1"
+        ") "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(p2.n_grams, 0) AS BIGINT) AS n_grams, "
+        "CAST(coalesce(p2.n_frequent, 0) AS BIGINT) AS n_frequent, "
+        "CAST(CASE WHEN coalesce(p2.n_grams, 0) > 0 "
+        "THEN (p2.n_frequent * 10000) // p2.n_grams ELSE 0 END AS BIGINT) "
+        "AS familiar_bp "
+        "FROM documents d LEFT JOIN per p2 ON p2.doc_id = d.doc_id"
+    )
+
+
+def _retention_sql(bucket_days: int = 7) -> str:
+    """DuckDB replay of ``retention_cohorts``: distinct (user, period)
+    activity, per-user min period as the cohort, and the (cohort, period)
+    user-count matrix."""
+    b = bucket_days * 86_400_000_000
+    return (
+        f"WITH uw AS (SELECT DISTINCT user_id, "
+        f"(epoch_us(ts) // {b}) * {b} AS period_us FROM events), "
+        "fw AS (SELECT user_id, min(period_us) AS cohort_us "
+        "FROM uw GROUP BY 1) "
+        "SELECT CAST(f.cohort_us AS BIGINT) AS cohort_us, "
+        "CAST(u.period_us AS BIGINT) AS period_us, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM uw u JOIN fw f ON f.user_id = u.user_id GROUP BY 1, 2"
+    )
+
+
 def _tf_cosine_sql(threshold: float = 0.9, seed: int = 42) -> str:
     """DuckDB replay of ``tf_cosine_pairs``: the FNV-1a token hash chain
     (w=1 — the per-token hash itself), exact HUGEINT term-frequency dot
@@ -1984,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": _decontaminate_sql(),
         "repeated_ngram_scrub": _repeated_scrub_sql(),
+        "bigram_familiarity": _familiarity_sql(),
         "tf_cosine_pairs": _tf_cosine_sql(),
         "cms_term_counts": _cms_counts_sql(),
         "repeated_ngram_dedup": _repeated_dedup_sql(),
@@ -2309,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         # --- event-stream window operators (minhash_ray/pipelines/events.py)
         # window_us is the tumbling-window start in int64 epoch-us; value
         # sums in integer cents so float order can't flip a bit
+        "retention_cohorts": _retention_sql(),
         "window_counts": (
             f"SELECT (epoch_us(ts) // {3_600_000_000}) * {3_600_000_000} AS window_us, "
             "event_type, COUNT(*) AS n_events, "

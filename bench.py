@@ -229,6 +229,8 @@ def run_bench() -> dict:
         ("dup_knn_graph", dedup_text.dup_knn_graph),
         ("curation_report", curation.curation_report),
         ("kmeans_train", ann.kmeans_train),
+        ("bigram_familiarity", text.bigram_familiarity),
+        ("retention_cohorts", events.retention_cohorts),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_energy_stats", lambda _sf: _aes(

@@ -862,3 +862,112 @@ def session_stats(sf_dir: str, gap_minutes: int = 30, num_partitions: int = 32):
         _events(sf_dir, ["event_id", "user_id", "ts"]), num_partitions
     )
     return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
+
+
+def retention_cohorts(sf_dir: str, bucket_days: int = 7, num_partitions: int = 8):
+    """(cohort_us, period_us, n_users): the classic retention / cohort
+    matrix — users bucketed by the period of their FIRST event (cohort
+    row), counted once in every period they were active (column).  The
+    product-analytics deliverable every event warehouse ships; n_users at
+    (c, c) is the cohort size, the row's later cells are its retention.
+
+    Scale shape: per-batch distinct (user, period) pairs fold through a
+    USER-hash partition (users are corpus-width, never Ray-aggregate
+    groups); each partition holds all of its users' pairs, so the
+    per-user min-period (cohort) and the per-(cohort, period) user counts
+    are exact there.  Only spans²-scale matrix partials leave the fold —
+    a final tiny two-key sum is all that crosses partitions.  No ordering
+    needed anywhere (min is order-free), so no sort and no watermark.
+    """
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import fold_by_int_keys
+
+    bucket_us = np.int64(bucket_days) * 86_400_000_000
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        return pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "period_us": pa.array((ts // bucket_us) * bucket_us, pa.int64()),
+            }
+        )
+
+    def _distinct(u: np.ndarray, b: np.ndarray):
+        o = np.lexsort((b, u))
+        us, bs = u[o], b[o]
+        first = np.ones(len(us), dtype=bool)
+        if len(us) > 1:
+            first[1:] = (us[1:] != us[:-1]) | (bs[1:] != bs[:-1])
+        return us[first], bs[first]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us, bs = _distinct(
+            batch.column("user_id").to_numpy(zero_copy_only=False),
+            batch.column("period_us").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(us, pa.int64()),
+                "period_us": pa.array(bs, pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        # one partition holds every (user, period) partial for its users
+        us, bs = _distinct(
+            t.column("user_id").to_numpy(zero_copy_only=False),
+            t.column("period_us").to_numpy(zero_copy_only=False),
+        )
+        n = len(us)
+        if n == 0:
+            return pa.table(
+                {
+                    "cohort_us": pa.array([], pa.int64()),
+                    "period_us": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        # cohort = per-user min period = the user's first row in the
+        # (user, period) sort _distinct just produced
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = us[1:] != us[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        mat = pa.table(
+            {
+                "cohort_us": pa.array(bs[start], pa.int64()),
+                "period_us": pa.array(bs, pa.int64()),
+                "n_users": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+            }
+        )
+        agg = mat.group_by(["cohort_us", "period_us"]).aggregate([("n_users", "sum")])
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "cohort_us": agg.column("cohort_us"),
+                "period_us": agg.column("period_us"),
+                "n_users": pc2.cast(agg.column("n_users_sum"), pa.int64()),
+            }
+        )
+
+    widened = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        widen, batch_format="pyarrow"
+    )
+    matrix = fold_by_int_keys(widened, ["user_id"], partial, final, num_partitions)
+    # matrix partials are spans²-scale (independent of corpus width) —
+    # Ray's aggregate is safe for the final two-key sum
+    out = matrix.groupby(["cohort_us", "period_us"]).sum("n_users")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_us": pc.cast(batch.column("cohort_us"), pa.int64()),
+                "period_us": pc.cast(batch.column("period_us"), pa.int64()),
+                "n_users": pc.cast(batch.column("sum(n_users)"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")

@@ -1591,3 +1591,162 @@ def bm25_topk(
             "score": pa.array(sc[order], pa.float64()),
         }
     )
+
+
+def bigram_familiarity(
+    sf_dir: str,
+    min_count: int = 10,
+    w: int = 2,
+    num_partitions: int = 8,
+    broadcast_max_rows: int = 2_000_000,
+    docs=None,
+):
+    """(doc_id, n_grams, n_frequent, familiar_bp): a corpus-statistics
+    language-model familiarity score — the fraction (in integer basis
+    points, ``n_frequent * 10000 // n_grams``) of each document's token
+    w-grams whose corpus-wide OCCURRENCE count is >= ``min_count``.  The
+    integer-exact stand-in for n-gram-LM perplexity filtering (CCNet's
+    quality dimension): gibberish and boilerplate-free rare text scores
+    low, fluent in-distribution text scores high.  Uses the MinHash
+    chain's tokenizer + w-gram polynomial (``token_shingles``) so the
+    DuckDB oracle replays the full hash chain in HUGEINT SQL.
+
+    Scale shape (the ``repeated_ngram_scrub`` two-pass pattern):
+      1. count pass — per-batch gram occurrence counts fold through a
+         gram-hash partition (``fold_by_int_keys``); the >=min_count gate
+         keeps the FREQUENT set, which is vocabulary-scale, not
+         corpus-scale (rare grams — the long tail — are dropped).
+      2. score pass — if the frequent set fits (``broadcast_max_rows``,
+         8 B/gram) it is broadcast once via ``ray.put`` and the corpus
+         streams through one searchsorted membership probe + bincount.
+         Above the limit nothing is driver-resident: gram occurrences
+         join the frequent table on g, per-doc hit counts fold through a
+         doc-hash partition, and ONE left-outer join carries them back
+         onto the docs (bit-identical by the forced-path pytest).
+    """
+    import pyarrow.compute as pc2
+
+    import ray
+    from minhash_ray.functions.shingles import token_shingles
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+    from minhash_ray.util import (
+        cached_get,
+        clamp_partitions,
+        fold_by_int_keys,
+        strip_empty_blocks,
+    )
+
+    cfg = DOC_CFG
+    np_parts = clamp_partitions(num_partitions)
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        sh, _ = token_shingles(batch.column("text"), w, cfg.seed)
+        ug, c = np.unique(sh, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(ug.view(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def cnt_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["g"]).aggregate([("cnt", "sum")])
+        keep = pc2.greater_equal(agg.column("cnt_sum"), min_count)
+        return pa.table({"g": agg.column("g").filter(keep)})
+
+    hot = strip_empty_blocks(
+        fold_by_int_keys(ds, ["g"], cnt_partial, cnt_final, num_partitions)
+    )
+    n_hot = hot.count()
+
+    def famil_table(ids, n_grams: np.ndarray, n_freq: np.ndarray) -> pa.Table:
+        n_grams = n_grams.astype(np.int64)
+        n_freq = n_freq.astype(np.int64)
+        bp = np.zeros(len(n_grams), dtype=np.int64)
+        nz = n_grams > 0
+        bp[nz] = (n_freq[nz] * 10000) // n_grams[nz]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_frequent": pa.array(n_freq, pa.int64()),
+                "familiar_bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    if n_hot <= broadcast_max_rows:
+        parts = [
+            b.column("g").to_numpy().view(np.uint64)
+            for b in hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        hs_sorted = (
+            np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+        )
+        hot_ref = ray.put(hs_sorted)
+
+        def score(batch: pa.Table) -> pa.Table:
+            hs = cached_get(hot_ref)       # plasma-cached per worker
+            sh, s_cnt = token_shingles(batch.column("text"), w, cfg.seed)
+            if len(sh) and len(hs):
+                pos = np.minimum(np.searchsorted(hs, sh), len(hs) - 1)
+                hit = hs[pos] == sh
+            else:
+                hit = np.zeros(len(sh), dtype=bool)
+            row = np.repeat(np.arange(len(s_cnt), dtype=np.int64), s_cnt)
+            n_freq = np.bincount(row[hit], minlength=len(s_cnt))
+            return famil_table(batch.column("doc_id"), s_cnt, n_freq)
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # join-attach path: nothing driver-resident
+    def explode(batch: pa.Table) -> pa.Table:
+        sh, s_cnt = token_shingles(batch.column("text"), w, cfg.seed)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, s_cnt), pa.int64()),
+                "g": pa.array(sh.view(np.int64), pa.int64()),
+            }
+        )
+
+    hits = strip_empty_blocks(
+        ds.map_batches(explode, batch_format="pyarrow")
+    ).join(hot, join_type="inner", on=("g",), num_partitions=np_parts)
+
+    def hit_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ug, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ug, pa.int64()),
+                "n_frequent": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def hit_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["doc_id"]).aggregate([("n_frequent", "sum")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "n_frequent": pc2.cast(agg.column("n_frequent_sum"), pa.int64()),
+            }
+        )
+
+    freq_ds = strip_empty_blocks(
+        fold_by_int_keys(hits, ["doc_id"], hit_partial, hit_final, num_partitions)
+    )
+    joined = strip_empty_blocks(ds).join(
+        freq_ds, join_type="left_outer", on=("doc_id",), num_partitions=np_parts
+    )
+
+    def score_joined(batch: pa.Table) -> pa.Table:
+        _, s_cnt = token_shingles(batch.column("text"), w, cfg.seed)
+        n_freq = (
+            pc2.fill_null(batch.column("n_frequent"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return famil_table(batch.column("doc_id"), s_cnt, n_freq)
+
+    return joined.map_batches(score_joined, batch_format="pyarrow")

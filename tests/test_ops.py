@@ -63,7 +63,7 @@ SQL_QUERIES = [
     "tf_cosine_pairs", "cms_term_counts", "repeated_ngram_dedup",
     "chunk_documents", "global_shuffle_order", "token_bigram_counts",
     "cross_source_dups", "dup_graph_components", "dup_knn_graph",
-    "curation_report",
+    "curation_report", "bigram_familiarity", "retention_cohorts",
 ]
 
 
@@ -1478,3 +1478,75 @@ def test_bm25_topk_matches_numpy_mirror(ray_session, sf_dir):
     assert got["rank"].tolist() == list(range(1, len(order) + 1))
     assert np.allclose(got.score.to_numpy(), score[order], rtol=1e-12)
     assert (np.diff(got.score.to_numpy()) <= 1e-12).all()   # descending
+
+
+def test_bigram_familiarity_planted(ray_session, tmp_path):
+    """Planted corpus: a doc made of a bigram repeated past min_count
+    scores 10000 bp, an all-unique-bigram doc scores 0, a one-token doc
+    has zero grams, and the forced join-attach path is bit-identical."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import bigram_familiarity
+
+    common = "alpha beta " * 6            # bigram (alpha,beta) x6, (beta,alpha) x5
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [common, common, "one two three four five", "solo"],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = _pdf(bigram_familiarity(str(d), min_count=10)).set_index("doc_id")
+    # (alpha,beta) occurs 12x >= 10 across the two copies; (beta,alpha) 10x
+    assert out.loc[1].n_grams == 11 and out.loc[1].n_frequent == 11
+    assert out.loc[1].familiar_bp == 10000 and out.loc[2].familiar_bp == 10000
+    assert out.loc[3].n_grams == 4 and out.loc[3].n_frequent == 0
+    assert out.loc[3].familiar_bp == 0
+    assert out.loc[4].n_grams == 0 and out.loc[4].familiar_bp == 0
+
+    forced = _pdf(
+        bigram_familiarity(str(d), min_count=10, broadcast_max_rows=0)
+    ).sort_values("doc_id").reset_index(drop=True)
+    base = out.reset_index().sort_values("doc_id").reset_index(drop=True)
+    assert forced.equals(base[forced.columns.tolist()])
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    """Three users across three weekly periods: cohort rows count each
+    user once per active period, keyed by the period of its first event."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.events import retention_cohorts
+
+    W = 7 * 86_400_000_000
+    # user 1: periods 0, 1, 2; user 2: periods 0, 2; user 3: period 1 only
+    rows = [(1, 0), (1, 0), (1, W), (1, 2 * W), (2, 10), (2, 2 * W + 5),
+            (3, W + 3), (3, W + 9)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array([ts for _, ts in rows], pa.timestamp("us")),
+            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = _pdf(retention_cohorts(str(d)))
+    got = {(r.cohort_us, r.period_us): r.n_users for r in out.itertuples()}
+    assert got == {
+        (0, 0): 2,          # users 1, 2 start in period 0
+        (0, W): 1,          # user 1 active in period 1
+        (0, 2 * W): 2,      # users 1, 2 active in period 2
+        (W, W): 1,          # user 3 starts (and only lives) in period 1
+    }
