@@ -480,6 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc top-k dup neighbors (k-NN similarity graph) —
         # SQL-checked (row_number window over the sims chain)
         "dup_knn_graph": dedup_text.dup_knn_graph,
+        # per-node triangle counts (clustering-coefficient numerator) —
+        # SQL-checked (three-way self-join over the sims-chain edges)
+        "dup_graph_triangles": dedup_text.dup_graph_triangles,
         "minhash_sim_histogram": dedup_text.minhash_sim_histogram,
         # scope-partitioned near-dup pairs (per-language dedup): the scope
         # is XOR-folded into the LSH bucket key so cross-scope candidates
@@ -1374,6 +1377,30 @@ def _dup_knn_sql(k: int = 3, seed: int = 42) -> str:
     )
 
 
+def _dup_triangles_sql(seed: int = 42) -> str:
+    """Per-node triangle counts: with edges canonical (da < db), each
+    triangle {u < v < w} appears exactly once in the three-way self-join
+    e1=(u,v) ⋈ e2=(v,w) ⋈ e3=(u,w); every graph node appears in the
+    output (zero-filled)."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    return (
+        f"WITH {_lsh_sims_ctes(seed)}, "
+        f"pairs AS (SELECT da, db FROM sims WHERE sim >= {threshold}), "
+        "e AS (SELECT da AS a, db AS b FROM pairs), "
+        "tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "nodes AS (SELECT a AS doc_id FROM e UNION SELECT b FROM e), "
+        "tc AS (SELECT u AS doc_id FROM tri UNION ALL SELECT v FROM tri "
+        "UNION ALL SELECT w FROM tri), "
+        "cnt AS (SELECT doc_id, count(*) AS c FROM tc GROUP BY 1) "
+        "SELECT n.doc_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles "
+        "FROM nodes n LEFT JOIN cnt ON cnt.doc_id = n.doc_id"
+    )
+
+
 def _cross_source_dups_sql(seed: int = 42) -> str:
     """Cross-source contamination matrix over the gated LSH pair graph:
     the ``_lsh_sims_ctes`` chain + two source-label joins + least/greatest
@@ -2172,6 +2199,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dups": _cross_source_dups_sql(),
         "dup_graph_components": _dup_components_sql(),
         "dup_knn_graph": _dup_knn_sql(),
+        "dup_graph_triangles": _dup_triangles_sql(),
         "minhash_sim_histogram": _sim_histogram_sql(),
         "scoped_dup_pairs": _scoped_pairs_sql(),
         "snm_dup_pairs": _snm_pairs_sql(),

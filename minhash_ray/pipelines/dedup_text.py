@@ -4683,3 +4683,147 @@ def repeated_ngram_dedup(
         return _finish(batch, row_of, flat_starts)
 
     return out.map_batches(dedup_joined, batch_format="pyarrow")
+
+
+def dup_graph_triangles(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(doc_id, n_triangles): per-node triangle counts over the verified
+    near-dup graph — the clustering-coefficient numerator that separates
+    tight template families (cliques) from chain-shaped drift when a
+    curation run audits its dup clusters.
+
+    Scale shape (Suri & Vassilvitskii 2011 MR triangle counting with the
+    compact-forward degree orientation): every edge is directed from its
+    (degree, id)-smaller endpoint, so wedge generation at a node is
+    bounded by its OUT-degree — hubs receive edges, never fan out, and
+    Σ d_out² stays near-linear on skewed graphs.  Wedges (two
+    out-neighbors of one source, emitted per source-hash partition) join
+    the directed edge set on the (v, w) two-column key; each match is one
+    triangle counted exactly once (at its orientation-smallest vertex),
+    and the three endpoint increments fold through a node-hash partition.
+    The pair table is metadata-scale by construction (the LSH gate), so
+    the driver-side degree orientation follows the same convention as
+    every other dup-graph query; the wedge/join/fold stages are
+    distributed."""
+    import ray.data as rd
+
+    from minhash_ray.functions.shingles import _segmented_arange
+    from minhash_ray.util import clamp_partitions, fold_by_int_keys, strip_empty_blocks
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_triangles", pa.int64())])
+    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=docs)
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": [], "n_triangles": []}, schema=out_schema)
+    np_parts = clamp_partitions(num_partitions)
+
+    a = pairs.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs.column("doc_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    da_, db_ = deg[inv[: len(a)]], deg[inv[len(a):]]
+    # orient u -> v along the strict total order (degree, id)
+    swap = (db_ < da_) | ((db_ == da_) & (b < a))
+    u = np.where(swap, b, a)
+    v = np.where(swap, a, b)
+    vd = np.where(swap, da_, db_)          # target degree: wedge sort key
+    edges = pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "vdeg": pa.array(vd, pa.int64()),
+        }
+    )
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        # one source-hash partition holds ALL of its sources' out-edges
+        su = batch.column("u").to_numpy(zero_copy_only=False)
+        sv = batch.column("v").to_numpy(zero_copy_only=False)
+        sd = batch.column("vdeg").to_numpy(zero_copy_only=False)
+        o = np.lexsort((sv, sd, su))       # per-source neighbors in (deg, id) order
+        su, sv, sd = su[o], sv[o], sd[o]
+        n = len(su)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = su[1:] != su[:-1]
+        seg_id = np.cumsum(new) - 1
+        sizes = np.bincount(seg_id).astype(np.int64)
+        local = _segmented_arange(sizes)
+        # element at local position l pairs as FIRST with the following
+        # (size - 1 - l) out-neighbors of the same source
+        n_follow = sizes[seg_id] - 1 - local
+        first = np.repeat(np.arange(n, dtype=np.int64), n_follow)
+        second = first + _segmented_arange(n_follow) + 1
+        return pa.table(
+            {
+                "src": pa.array(su[first], pa.int64()),
+                "p": pa.array(sv[first], pa.int64()),
+                "q": pa.array(sv[second], pa.int64()),
+            }
+        )
+
+    def edge_pkey(batch: pa.Table) -> pa.Table:
+        return batch
+
+    wedge_ds = fold_by_int_keys(
+        rd.from_arrow(edges), ["u"], edge_pkey, wedges, num_partitions
+    )
+    key_ds = rd.from_arrow(edges.select(["u", "v"]).rename_columns(["p", "q"]))
+    tri = strip_empty_blocks(wedge_ds).join(
+        strip_empty_blocks(key_ds),
+        join_type="inner",
+        on=("p", "q"),
+        num_partitions=np_parts,
+    )
+
+    def endpoint_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in ("src", "p", "q")
+            ]
+        )
+        ug, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ug, pa.int64()),
+                "n_triangles": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def endpoint_final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        agg = t.group_by(["doc_id"]).aggregate([("n_triangles", "sum")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "n_triangles": pc.cast(agg.column("n_triangles_sum"), pa.int64()),
+            }
+        )
+
+    counts = strip_empty_blocks(
+        fold_by_int_keys(tri, ["doc_id"], endpoint_partial, endpoint_final,
+                         num_partitions)
+    )
+    node_ds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.int64())}))
+    joined = node_ds.join(
+        counts, join_type="left_outer", on=("doc_id",), num_partitions=np_parts
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_triangles": pc.cast(
+                    pc.fill_null(batch.column("n_triangles"), 0), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")

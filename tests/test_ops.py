@@ -64,6 +64,7 @@ SQL_QUERIES = [
     "chunk_documents", "global_shuffle_order", "token_bigram_counts",
     "cross_source_dups", "dup_graph_components", "dup_knn_graph",
     "curation_report", "bigram_familiarity", "retention_cohorts",
+    "dup_graph_triangles",
 ]
 
 
@@ -1550,3 +1551,32 @@ def test_retention_cohorts_planted(ray_session, tmp_path):
         (0, 2 * W): 2,      # users 1, 2 active in period 2
         (W, W): 1,          # user 3 starts (and only lives) in period 1
     }
+
+
+def test_dup_graph_triangles_planted(ray_session, tmp_path):
+    """A 4-clique of identical docs plus a pendant and a disjoint pair:
+    every clique node closes C(3,2)=3 triangles, the pendant and the
+    pair nodes close none (but appear zero-filled)."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import dup_graph_triangles
+
+    base = ("sphinx of black quartz judge my vow while zephyrs blow over "
+            "the quiet harbor wall at dawn and gulls wheel above") * 3
+    other = ("pack my box with five dozen liquor jugs under the bright "
+             "cold moon as trains rattle past the yard fence all night") * 3
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 7, 8], pa.int64()),
+            "text": pa.array([base, base, base, base, other, other], pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = _pdf(dup_graph_triangles(str(d))).set_index("doc_id")["n_triangles"]
+    assert out.loc[1] == 3 and out.loc[2] == 3 and out.loc[3] == 3
+    assert out.loc[4] == 3
+    assert out.loc[7] == 0 and out.loc[8] == 0
+    assert len(out) == 6
