@@ -654,6 +654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retention / cohort matrix (first-period cohort × active period)
         # — SQL-checked (distinct-activity + min-period oracle)
         "retention_cohorts": events.retention_cohorts,
+        # per-user z-score outlier flags, all-integer cross-product gate
+        # — SQL-checked (HUGEINT moment oracle)
+        "value_outliers": events.value_outliers,
         # banded time-range join (interval semantics Ray Data lacks
         # natively) — SQL-checked against a correlated-count oracle
         "range_join_recent": events.range_join_recent,
@@ -2409,6 +2412,19 @@ def oracle_sql() -> dict[str, str]:
         # window_us is the tumbling-window start in int64 epoch-us; value
         # sums in integer cents so float order can't flip a bit
         "retention_cohorts": _retention_sql(),
+        # per-user z-outliers: HUGEINT replay of the integer moment gate
+        "value_outliers": (
+            "WITH ev AS (SELECT event_id, user_id, "
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc FROM events), "
+            "st AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(vc) AS HUGEINT) AS s, "
+            "CAST(sum(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS s2 "
+            "FROM ev GROUP BY 1) "
+            "SELECT e.event_id, e.user_id, e.vc AS value_cents "
+            "FROM ev e JOIN st ON st.user_id = e.user_id "
+            "WHERE (e.vc * st.n - st.s) * (e.vc * st.n - st.s) "
+            "> 9 * (st.n * st.s2 - st.s * st.s)"
+        ),
         "window_counts": (
             f"SELECT (epoch_us(ts) // {3_600_000_000}) * {3_600_000_000} AS window_us, "
             "event_type, COUNT(*) AS n_events, "

@@ -232,6 +232,7 @@ def run_bench() -> dict:
         ("bigram_familiarity", text.bigram_familiarity),
         ("retention_cohorts", events.retention_cohorts),
         ("dup_graph_triangles", dedup_text.dup_graph_triangles),
+        ("value_outliers", events.value_outliers),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_energy_stats", lambda _sf: _aes(

@@ -971,3 +971,111 @@ def retention_cohorts(sf_dir: str, bucket_days: int = 7, num_partitions: int = 8
         )
 
     return out.map_batches(project, batch_format="pyarrow")
+
+
+def value_outliers(sf_dir: str, z: int = 3, num_partitions: int = 8):
+    """(event_id, user_id, value_cents): events whose value lies more than
+    ``z`` population standard deviations from their OWN user's mean — the
+    per-key statistical QC flag (fraud / telemetry-glitch screening) an
+    event warehouse runs continuously.
+
+    Exactness: the gate is the all-integer cross-product
+    ``(v·n − s)² > z²·(n·s2 − s²)`` (v cents, n/s/s2 the user's count /
+    cent sum / squared-cent sum), so no float σ ever decides a row.  The
+    hot path compares in float64 and re-checks only near-boundary rows
+    with arbitrary-precision Python ints (the ``tf_cosine_pairs``
+    pattern); int64 partials assume |value_cents| < 2^31 and per-user
+    squared-cent mass < 2^63 (documented envelope — beyond it, promote
+    the fold to two-limb arithmetic).
+
+    Scale shape: per-user (n, s, s2) moment partials fold through a
+    USER-hash partition (users are corpus-width), then attach back to
+    the stream by ONE slim partitioned join — nothing driver-resident,
+    no ordering anywhere (moments are order-free)."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import clamp_partitions, fold_by_int_keys, strip_empty_blocks
+
+    np_parts = clamp_partitions(num_partitions)
+    z2 = int(z) * int(z)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        vc = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "value_cents": pa.array(vc, pa.int64()),
+            }
+        )
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"]).map_batches(
+        widen, batch_format="pyarrow"
+    )
+
+    def mom_partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        vc = batch.column("value_cents").to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(u, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        # integer scatter-adds (bincount weights would round trip through
+        # float64, exact only below 2^53)
+        s_i = np.zeros(len(ug), dtype=np.int64)
+        np.add.at(s_i, inv, vc)
+        s2_i = np.zeros(len(ug), dtype=np.int64)
+        np.add.at(s2_i, inv, vc * vc)
+        return pa.table(
+            {
+                "user_id": pa.array(ug, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s_i, pa.int64()),
+                "s2": pa.array(s2_i, pa.int64()),
+            }
+        )
+
+    def mom_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["user_id"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "n": pc2.cast(agg.column("n_sum"), pa.int64()),
+                "s": pc2.cast(agg.column("s_sum"), pa.int64()),
+                "s2": pc2.cast(agg.column("s2_sum"), pa.int64()),
+            }
+        )
+
+    stats = strip_empty_blocks(
+        fold_by_int_keys(ev, ["user_id"], mom_partial, mom_final, num_partitions)
+    )
+    joined = strip_empty_blocks(ev).join(
+        stats, join_type="inner", on=("user_id",), num_partitions=np_parts
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        vc = batch.column("value_cents").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        s2 = batch.column("s2").to_numpy(zero_copy_only=False)
+        lhs_f = (vc.astype(np.float64) * n - s) ** 2
+        rhs_f = float(z2) * (n.astype(np.float64) * s2 - s.astype(np.float64) ** 2)
+        out = lhs_f > rhs_f
+        # near-boundary rows decided in arbitrary-precision integers
+        near = np.abs(lhs_f - rhs_f) <= 1e-6 * (np.abs(lhs_f) + np.abs(rhs_f) + 1.0)
+        for i in np.flatnonzero(near):
+            d = int(vc[i]) * int(n[i]) - int(s[i])
+            out[i] = d * d > z2 * (int(n[i]) * int(s2[i]) - int(s[i]) ** 2)
+        t = batch.filter(pa.array(out))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value_cents": t.column("value_cents"),
+            }
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow")

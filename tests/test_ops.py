@@ -64,7 +64,7 @@ SQL_QUERIES = [
     "chunk_documents", "global_shuffle_order", "token_bigram_counts",
     "cross_source_dups", "dup_graph_components", "dup_knn_graph",
     "curation_report", "bigram_familiarity", "retention_cohorts",
-    "dup_graph_triangles",
+    "dup_graph_triangles", "value_outliers",
 ]
 
 
@@ -1580,3 +1580,42 @@ def test_dup_graph_triangles_planted(ray_session, tmp_path):
     assert out.loc[4] == 3
     assert out.loc[7] == 0 and out.loc[8] == 0
     assert len(out) == 6
+
+
+def test_value_outliers_planted(ray_session, tmp_path):
+    """A user with 20 tight values and one 100x spike flags exactly the
+    spike; a two-event user never flags (every point is within 1σ of a
+    two-point mean); a boundary value exactly at z·σ does NOT flag
+    (strict inequality, decided in exact integers)."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.events import value_outliers
+
+    vals_u1 = [10.00] * 10 + [10.02] * 10 + [1000.00]   # spike at event 20
+    vals_u2 = [5.00, 50.00]
+    # user 3: values {0 x8, 4} → μ=4/9·? with cents: 0...0,400: n=9, s=400,
+    # s2=160000; event vc=0: lhs=(0·9-400)²=160000, rhs=9·(9·160000-160000)
+    # =9·1280000 — not boundary; craft exact boundary instead: two values
+    # a,a and one b where (b·n-s)² == z²(n·s2-s²): use {0,0,0} degenerate σ=0
+    # → any equal value has lhs=0=rhs → strict '>' keeps it unflagged.
+    vals_u3 = [7.00, 7.00, 7.00]
+    users = [1] * len(vals_u1) + [2] * len(vals_u2) + [3] * len(vals_u3)
+    vals = vals_u1 + vals_u2 + vals_u3
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array([i * 1000 for i in range(len(vals))],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["x"] * len(vals), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array([""] * len(vals), pa.string()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = _pdf(value_outliers(str(d)))
+    assert set(out.event_id) == {20}
+    assert out.loc[out.event_id == 20, "value_cents"].iloc[0] == 100000
