@@ -566,6 +566,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # splitmix64(doc_id) — SQL-checked (row_number over the emulated
         # splitmix64 hash); doc_sample stays the RNG fraction sampler
         "stratified_sample_docs": text.stratified_sample_docs,
+        # per-source downsample to a target mixture: integer quotas from
+        # corpus stats + weights, kept docs = smallest splitmix64(doc_id)
+        # per source — SQL-checked (row_number vs the quota CTE)
+        "mixture_sample": text.mixture_sample,
         # Gopher-style repetition quality signals (SQL-checked)
         "doc_repetition": text.doc_repetition,
         # --- similarity search ---
@@ -1938,6 +1942,40 @@ def _stratified_sample_sql(k: int = 20) -> str:
     )
 
 
+def _mixture_sample_sql() -> str:
+    """DuckDB replay of ``mixture_sample``: per-source integer quotas
+    quota_s = min_t floor(w_s * n_t / w_t) with the demo weight
+    w = 1 + (first digit run of the source name mod 3)
+    (``text.default_mixture_weight``), then a per-source row_number over
+    the emulated splitmix64(doc_id) hash gated at the quota."""
+    m64 = 1 << 64
+    ns = 0x9E3779B97F4A7C15
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return (
+        "WITH wt AS (SELECT source, 1 + (CAST(COALESCE(NULLIF("
+        "regexp_extract(source, '[0-9]+'), ''), '0') AS HUGEINT) % 3) AS wgt "
+        "FROM (SELECT DISTINCT source FROM documents)), "
+        "n AS (SELECT source, CAST(count(*) AS HUGEINT) AS n_s "
+        "FROM documents GROUP BY source), "
+        "q AS (SELECT wt.source, "
+        "(SELECT min((wt.wgt * n2.n_s) // w2.wgt) FROM n n2 "
+        " JOIN wt w2 ON w2.source = n2.source WHERE w2.wgt > 0) AS quota "
+        "FROM wt JOIN n ON n.source = wt.source WHERE wt.wgt > 0), "
+        f"sm1 AS (SELECT source, doc_id, "
+        f"(CAST(doc_id AS HUGEINT) + {ns}) % {m64} AS x1 FROM documents), "
+        f"sm2 AS (SELECT source, doc_id, "
+        f"{_modmul64(_xor64('x1', 'x1 // 1073741824'), k1)} AS x2 FROM sm1), "
+        f"sm3 AS (SELECT source, doc_id, "
+        f"{_modmul64(_xor64('x2', 'x2 // 134217728'), k2)} AS x3 FROM sm2), "
+        f"hv AS (SELECT source, doc_id, {_xor64('x3', 'x3 // 2147483648')} AS h "
+        "FROM sm3), "
+        "r AS (SELECT source, doc_id, row_number() OVER ("
+        "PARTITION BY source ORDER BY h, doc_id) AS rnk FROM hv) "
+        "SELECT r.source, r.doc_id FROM r JOIN q ON q.source = r.source "
+        "WHERE r.rnk <= q.quota"
+    )
+
+
 def _assign_splits_sql(pct_train: int = 90, pct_val: int = 5) -> str:
     """DuckDB replay of ``assign_splits``: the splitmix64(doc_id) HUGEINT
     emulation of ``_stratified_sample_sql``, bucketed mod 100."""
@@ -2048,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(*) >= (SELECT CAST(ceil(0.002 * n) AS BIGINT) FROM tot)"
         ),
         "stratified_sample_docs": _stratified_sample_sql(),
+        "mixture_sample": _mixture_sample_sql(),
         # Gopher-style repetition signals: exact (doc, gram) counts for
         # tokens / adjacent 2-grams / 3-grams plus integer-cross-product
         # gates — engine groups with Arrow group_by, oracle with UNNEST

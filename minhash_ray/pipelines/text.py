@@ -399,6 +399,211 @@ def stratified_sample_docs(sf_dir: str, k: int = 20, num_partitions: int = 32):
     return pruned.groupby("pkey").map_groups(final_topk, batch_format="pyarrow")
 
 
+def default_mixture_weight(source: str) -> int:
+    """Demo per-source target weight: 1 + (first digit run of the name
+    mod 3) — mirrored exactly by the DuckDB oracle's
+    ``regexp_extract(source, '[0-9]+')`` expression."""
+    import re
+
+    m = re.search(r"[0-9]+", source)
+    return 1 + (int(m.group(0)) if m else 0) % 3
+
+
+def mixture_sample(
+    sf_dir: str,
+    weights=default_mixture_weight,
+    bucket_bits: int = 16,
+    num_partitions: int = 32,
+    docs=None,
+):
+    """(source, doc_id): downsample every source to a target MIXTURE —
+    the per-source reweighting pass a training-data pipeline runs after
+    curation so over-represented sources (crawl dumps) don't drown
+    curated ones.  ``weights`` maps a source to an integer target weight
+    (dict or callable); the kept corpus is the largest one whose
+    per-source doc counts are exactly proportional to the weights
+    without oversampling any source:
+
+        quota_s = min_t floor(w_s * n_t / w_t)        (pure integers —
+                  floor and min commute with the monotone scaling by
+                  w_s, so this equals floor(w_s * min_t(n_t / w_t)))
+
+    and each source keeps its quota_s docs with the smallest
+    ``splitmix64(doc_id)`` — content-independent, reproducible, and
+    SQL-replayable (splitmix64 is a bijection on uint64 so ranks are
+    tie-free).
+
+    Scale shape (nothing corpus-width ever sits on the driver):
+      1. histogram pass — per-batch partial counts per (source, top
+         ``bucket_bits`` bits of the hash) fold through
+         ``fold_by_int_keys``; the driver reads ≤ S·2^bits rows
+         (metadata-scale: 65k buckets/source at the default) and picks
+         per-source cutoff buckets b_s with cum_below(b_s) ≤ quota_s.
+      2. tag pass — rows with bucket < b_s are kept outright and spread
+         across partitions; ONLY the boundary bucket (≈ n_s / 2^bits
+         rows, ~15M at 10^12 docs) is routed to a per-source partition
+         for the exact top-``need_s`` rank fix.  One slim shuffle of
+         (source, doc_id, h) at output width; text never moves.
+
+    ``stratified_sample_docs`` is the fixed-quota-per-stratum special
+    case; this op derives the quotas from corpus statistics + targets."""
+    from minhash_ray.functions.hashing import hash_str_array
+    from minhash_ray.stages.banding import splitmix64
+    from minhash_ray.util import clamp_partitions, fold_by_int_keys
+
+    if bucket_bits < 1 or bucket_bits > 32:
+        raise ValueError("bucket_bits must be in [1, 32]")
+    shift = np.uint64(64 - bucket_bits)
+    n_buckets = 1 << bucket_bits
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "source"])
+
+    def _src_codes(batch: pa.Table):
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        return src, codes, uniq
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        _, codes, uniq = _src_codes(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.int64).view(np.uint64))
+        b = (h >> shift).astype(np.int64)
+        order = np.lexsort((b, codes))
+        cs, bs = codes[order], b[order]
+        first = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            first[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(cs)))
+        srch = hash_str_array(uniq, 7).view(np.int64)
+        return pa.table(
+            {
+                "srch": pa.array(srch[cs[starts]], pa.int64()),
+                "bucket": pa.array(bs[starts], pa.int64()),
+                "source": pa.array([uniq[c] for c in cs[starts]], pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def hist_final(t: pa.Table) -> pa.Table:
+        sh = t.column("srch").to_numpy(zero_copy_only=False)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, sh))
+        sh, b, c = sh[order], b[order], c[order]
+        first = np.ones(len(sh), dtype=bool)
+        if len(sh) > 1:
+            first[1:] = (sh[1:] != sh[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(c, starts) if len(starts) else np.array([], np.int64)
+        src = t.column("source").take(pa.array(order[starts], pa.int64()))
+        return pa.table(
+            {
+                "source": src,
+                "bucket": pa.array(b[starts], pa.int64()),
+                "c": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = fold_by_int_keys(
+        ds, ["srch", "bucket"], hist_partial, hist_final, num_partitions
+    ).take_all()  # ≤ S · 2^bucket_bits rows — metadata-scale by design
+
+    per_src: dict[str, dict[int, int]] = {}
+    for row in hist:
+        per_src.setdefault(row["source"], {})[row["bucket"]] = row["c"]
+    n_by_src = {s: sum(bc.values()) for s, bc in per_src.items()}
+    if callable(weights):
+        w_by_src = {s: int(weights(s)) for s in n_by_src}
+    else:
+        w_by_src = {s: int(weights.get(s, 0)) for s in n_by_src}
+    pos = [(n_by_src[t], w_by_src[t]) for t in n_by_src if w_by_src[t] > 0]
+
+    # (cutoff bucket, exact need within it) per source
+    cut: dict[str, tuple[int, int]] = {}
+    for s, bc in per_src.items():
+        w_s = w_by_src[s]
+        quota = min((w_s * n_t) // w_t for n_t, w_t in pos) if (w_s > 0 and pos) else 0
+        if quota >= n_by_src[s]:
+            cut[s] = (n_buckets, 0)
+            continue
+        cum = 0
+        b_cut, need = 0, quota
+        for b in sorted(bc):
+            if cum + bc[b] > quota:
+                b_cut, need = b, quota - cum
+                break
+            cum += bc[b]
+        else:  # pragma: no cover — quota < n_s guarantees a break
+            b_cut, need = n_buckets, 0
+        cut[s] = (b_cut, need)
+
+    P = np.uint64(max(2, clamp_partitions(num_partitions)))
+    PB = np.uint64(max(2, clamp_partitions(num_partitions)))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src, codes, uniq = _src_codes(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.int64).view(np.uint64))
+        b = (h >> shift).astype(np.int64)
+        b_cut = np.array([cut.get(u, (0, 0))[0] for u in uniq], dtype=np.int64)
+        below = b < b_cut[codes]
+        boundary = b == b_cut[codes]
+        keep = below | boundary
+        srch = hash_str_array(uniq, 7)
+        pkey = np.where(
+            below,
+            (h % P).astype(np.int64),
+            (P + srch[codes] % PB).astype(np.int64),
+        )[keep]
+        sel = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table(
+            {
+                "source": src.take(sel),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "h": pa.array(h[keep], pa.uint64()),
+                "pkey": pa.array(pkey, pa.int64()),
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        out_cols = ["source", "doc_id"]
+        if t.num_rows == 0:
+            return t.select(out_cols)
+        if t.column("pkey")[0].as_py() < int(P):  # below-cutoff: pass through
+            return t.select(out_cols)
+        # boundary bucket(s): exact top-need_s per source by (h, doc_id)
+        _, codes, uniq = _src_codes(t)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, codes))
+        cs = codes[order]
+        n = len(cs)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = cs[1:] != cs[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - start
+        need = np.array([cut.get(u, (0, 0))[1] for u in uniq], dtype=np.int64)
+        sel = order[rank < need[cs]]
+        return pa.table(
+            {
+                "source": t.column("source").take(pa.array(sel, pa.int64())),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
 # denylist-scrub pattern: the PII-scrub shape (emails / long digit runs /
 # denylisted entity terms) restricted to classes that actually occur in the
 # synthetic corpus so the op is exercised, plus the PII classes for real

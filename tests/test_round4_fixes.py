@@ -432,3 +432,82 @@ def test_partitioned_sink_roundtrip_and_resume(ray_session, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="no _SUCCESS"):
         read_partitioned(out)
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample: per-source downsampling to a target mixture
+# ---------------------------------------------------------------------------
+
+
+def _mixture_pdf(ds):
+    return (
+        ds.to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_mixture_sample_dict_weights_exact_quotas(ray_session, sf_dir):
+    """Explicit dict weights: quota_s = min_t floor(w_s*n_t/w_t) exactly;
+    weight-0 and unlisted sources are dropped entirely; kept docs are the
+    hash-smallest per source (checked against a numpy replay)."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import mixture_sample
+    from minhash_ray.stages.banding import splitmix64
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    srcs = sorted(set(t.column("source").to_pylist()))
+    assert len(srcs) >= 4
+    # non-uniform: first source weight 3, second weight 1, third weight 0,
+    # fourth missing from the dict entirely
+    w = {srcs[0]: 3, srcs[1]: 1, srcs[2]: 0}
+    df = _mixture_pdf(mixture_sample(sf_dir, weights=w))
+
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    src = np.asarray(t.column("source").to_pylist())
+    n = {s: int((src == s).sum()) for s in srcs}
+    pos = [(n[s], w[s]) for s in srcs if w.get(s, 0) > 0]
+    for s in srcs:
+        ws = w.get(s, 0)
+        quota = min(ws * nt // wt for nt, wt in pos) if ws > 0 else 0
+        got = df[df["source"] == s]
+        assert len(got) == quota, (s, quota, len(got))
+        if quota:
+            h = splitmix64(ids[src == s].view(np.uint64))
+            want = np.sort(ids[src == s][np.argsort(h)][:quota])
+            assert list(got["doc_id"]) == list(want), s
+
+
+def test_mixture_sample_boundary_path_matches_coarse_buckets(ray_session, sf_dir):
+    """bucket_bits=2 (4 buckets → nearly everything rides the exact
+    boundary-rank path) must produce byte-identical output to the default
+    16-bit histogram (boundary work ≈ 0)."""
+    from minhash_ray.pipelines.text import mixture_sample
+
+    a = _mixture_pdf(mixture_sample(sf_dir, bucket_bits=2))
+    b = _mixture_pdf(mixture_sample(sf_dir, bucket_bits=16))
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_mixture_sample_uniform_weights_keep_all_on_balanced_corpus(
+    ray_session, sf_dir
+):
+    """Uniform weights on the balanced fixture (equal per-source counts):
+    quota_s = n_s for every source → the sample is the whole corpus (the
+    quota==n_s keep-all edge takes the b_cut=n_buckets branch)."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import mixture_sample
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    counts = {}
+    for s in t.column("source").to_pylist():
+        counts[s] = counts.get(s, 0) + 1
+    if len(set(counts.values())) != 1:  # pragma: no cover — fixture drift guard
+        import pytest as _pytest
+
+        _pytest.skip("fixture no longer balanced")
+    df = _mixture_pdf(mixture_sample(sf_dir, weights=lambda s: 1))
+    assert len(df) == t.num_rows
