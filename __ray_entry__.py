@@ -446,6 +446,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the full LSH pipeline, oracle-checked: sketch + banding +
         # candidate join + estimator gate replayed in DuckDB
         "minhash_dup_pairs": dedup_text.minhash_dup_pairs,
+        # b-bit MinHash (Li-König): low-8-bit slots through the SAME LSH
+        # machinery, collision-corrected gate + unbiased estimate —
+        # SQL-checked end-to-end via the masked sims chain
+        "bbit_minhash_pairs": dedup_text.bbit_minhash_pairs,
         # exact prefix-filtered similarity self-join — SQL-checked
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
         # exact weighted (multiset) Jaccard via occurrence-indexed tokens
@@ -779,7 +783,8 @@ def _modmul64(x: str, k: int) -> str:
     )
 
 
-def _lsh_sims_ctes(seed: int = 42, source: str = "documents") -> str:
+def _lsh_sims_ctes(seed: int = 42, source: str = "documents",
+                   bbits: int | None = None) -> str:
     """CTE chain (no ``WITH``, no final SELECT) replaying the MinHash-LSH
     near-dup pipeline over ``source`` (any relation with doc_id + text):
     the full 128-permutation sketch (same chain as ``_minhash_slots_sql``),
@@ -805,6 +810,7 @@ def _lsh_sims_ctes(seed: int = 42, source: str = "documents") -> str:
     ns = 0x9E3779B97F4A7C15
     k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     num_perm, bands, rows = DOC_CFG.num_perm, DOC_CFG.bands, DOC_CFG.rows_per_band
+    slot_mask = f" % {1 << bbits}" if bbits is not None else ""
     a, b = make_pairwise_coefficients(seed, num_perm, m_mod)
     coeff_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
     fold = f"((({ns} + band) * {p} + sl[{rows}*band + 1]) % {m64})"
@@ -832,7 +838,10 @@ def _lsh_sims_ctes(seed: int = 42, source: str = "documents") -> str:
         "  SELECT g.doc_id AS doc_id, p.perm AS perm,"
         f"    min((((p.pa * g.g) % {m64}) % {m_mod} + p.pb) % {m_mod}) AS slot"
         "  FROM grams g CROSS JOIN perms p GROUP BY g.doc_id, p.perm"
-        "), sigl AS (SELECT doc_id, list(slot ORDER BY perm) AS sl FROM slots GROUP BY doc_id),"
+        # bbits: band + estimate over the LOW b BITS of each slot
+        # (b-bit MinHash; slot values are nonnegative so % is the mask)
+        f"), sigl AS (SELECT doc_id, list(slot{slot_mask} ORDER BY perm) AS sl"
+        " FROM slots GROUP BY doc_id),"
         f"bands0 AS (SELECT doc_id, band, {fold} AS x0"
         f"           FROM sigl, UNNEST(range(0, {bands})) AS rb(band)),"
         f"sm1 AS (SELECT doc_id, ((x0 + 11400714819323198485) % {m64}) AS x1 FROM bands0),"
@@ -844,7 +853,8 @@ def _lsh_sims_ctes(seed: int = 42, source: str = "documents") -> str:
         "  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id"
         "), sims AS ("
         "  SELECT c.da AS da, c.db AS db,"
-        f"    CAST(sum(CASE WHEN sa.slot = sb.slot THEN 1 ELSE 0 END) AS DOUBLE) / {num_perm} AS sim"
+        f"    CAST(sum(CASE WHEN sa.slot{slot_mask} = sb.slot{slot_mask}"
+        f" THEN 1 ELSE 0 END) AS DOUBLE) / {num_perm} AS sim"
         "  FROM cands c"
         "  JOIN slots sa ON sa.doc_id = c.da"
         "  JOIN slots sb ON sb.doc_id = c.db AND sb.perm = sa.perm"
@@ -863,6 +873,25 @@ def _lsh_pairs_sql(seed: int = 42) -> str:
     return (
         f"WITH {_lsh_sims_ctes(seed)} "
         f"SELECT da AS doc_id_a, db AS doc_id_b, sim FROM sims WHERE sim >= {threshold}"
+    )
+
+
+def _bbit_pairs_sql(b: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of ``bbit_minhash_pairs``: the LSH sims chain with
+    every slot masked to its low b bits (band fold AND estimator), gated
+    at the collision-corrected threshold, plus the unbiased Li-König
+    Jaccard estimate — exact-integer operands and a single IEEE division,
+    so the DOUBLE hash-matches the engine bit-for-bit."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG, bbit_threshold
+
+    thr = bbit_threshold(DOC_CFG.tau - DOC_CFG.verify_margin, b)
+    k = DOC_CFG.num_perm
+    num = 1 << b
+    return (
+        f"WITH {_lsh_sims_ctes(seed, bbits=b)} "
+        "SELECT da AS doc_id_a, db AS doc_id_b, sim, "
+        f"(sim * {k} * {num} - {k}) / {k * (num - 1)} AS est_jaccard "
+        f"FROM sims WHERE sim >= {thr!r}"
     )
 
 
@@ -2235,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _simhash_sql(),
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),
+        "bbit_minhash_pairs": _bbit_pairs_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "doc_dedup_keep_best": _keep_best_sql(),
         "dup_graph_degrees": _dup_degrees_sql(),

@@ -178,6 +178,7 @@ def run_bench() -> dict:
         ("session_stats", events.session_stats),
         ("asof_prior", events.asof_prior),
         ("simhash_dup_pairs", dedup_text.simhash_dup_pairs),
+        ("bbit_minhash_pairs", dedup_text.bbit_minhash_pairs),
         ("token_quantiles", text.token_quantiles),
         ("corpus_curation", curation.corpus_curation),
         # round-4 operators

@@ -511,3 +511,47 @@ def test_mixture_sample_uniform_weights_keep_all_on_balanced_corpus(
         _pytest.skip("fixture no longer balanced")
     df = _mixture_pdf(mixture_sample(sf_dir, weights=lambda s: 1))
     assert len(df) == t.num_rows
+
+
+# ---------------------------------------------------------------------------
+# b-bit MinHash (Li & König 2010)
+# ---------------------------------------------------------------------------
+
+
+def test_bbit_minhash_pairs_matches_fullwidth_on_fixture(ray_session, sf_dir):
+    """At b=8 over the planted fixture the b-bit pipeline recovers the
+    SAME pair set as the full-width estimator (the 2^-8 collision noise
+    is far below the gate margin), and est_jaccard is exactly the
+    collision-corrected transform of the reported match fraction."""
+    from minhash_ray.pipelines.dedup_text import (
+        DOC_CFG,
+        bbit_minhash_pairs,
+        bbit_threshold,
+        minhash_dup_pairs,
+    )
+
+    full = minhash_dup_pairs(sf_dir).to_pandas()
+    bb = bbit_minhash_pairs(sf_dir, b=8).to_pandas()
+    assert len(bb) > 0
+    assert set(zip(full["doc_id_a"], full["doc_id_b"])) == set(
+        zip(bb["doc_id_a"], bb["doc_id_b"])
+    )
+    k = DOC_CFG.num_perm
+    want = (bb["sim"].to_numpy() * k * 256 - k) / (k * 255)
+    assert np.array_equal(bb["est_jaccard"].to_numpy(), want)
+    # every kept pair clears the collision-corrected gate exactly
+    thr = bbit_threshold(DOC_CFG.tau - DOC_CFG.verify_margin, 8)
+    assert (bb["sim"].to_numpy() >= thr).all()
+    # the b-bit match fraction can only exceed the full-width one
+    # (masking never splits an equal slot pair)
+    m = bb.merge(full, on=["doc_id_a", "doc_id_b"], suffixes=("_b", "_full"))
+    assert (m["sim_b"].to_numpy() >= m["sim_full"].to_numpy() - 1e-12).all()
+
+
+def test_bbit_threshold_endpoints():
+    from minhash_ray.pipelines.dedup_text import bbit_threshold
+
+    assert bbit_threshold(0.0, 8) == 1.0 / 256
+    assert bbit_threshold(1.0, 8) == 1.0
+    # wider b → smaller collision floor → threshold approaches tau
+    assert abs(bbit_threshold(0.7, 32) - 0.7) < 1e-6
