@@ -566,6 +566,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adjacent-token-pair counts (the BPE merge-round counting step) —
         # SQL-checked against an unnest bigram oracle
         "token_bigram_counts": text.token_bigram_counts,
+        # exact corpus-wide term frequencies via the term-hash fold —
+        # SQL-checked against an unnest GROUP BY oracle
+        "word_counts": text.word_counts,
+        # iterative BPE merge-table learning over the word histogram
+        # (rows-only: the merge loop is iterative, not SQL; exactness
+        # covered by the naive-reference pytest)
+        "bpe_train": text.bpe_train,
         # deterministic per-stratum quota sample by smallest
         # splitmix64(doc_id) — SQL-checked (row_number over the emulated
         # splitmix64 hash); doc_sample stays the RNG fraction sampler
@@ -2076,6 +2083,16 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS cnt FROM pairs "
             "GROUP BY tok_a, tok_b HAVING count(*) >= 10"
+        ),
+        # exact corpus-wide term frequencies (the BPE trainer's corpus pass)
+        "word_counts": (
+            "WITH toks AS ("
+            "  SELECT CASE WHEN trim(lower(text)) = ''"
+            "         THEN CAST([] AS VARCHAR[])"
+            "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+            "  FROM documents"
+            "), occ AS (SELECT unnest(t) AS word FROM toks) "
+            "SELECT word, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY word"
         ),
         # global pseudo-shuffle: row_number over the splitmix64(doc_id)
         # order (same HUGEINT hash chain as assign_splits)

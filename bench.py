@@ -186,6 +186,8 @@ def run_bench() -> dict:
         ("term_doc_freq", text.term_doc_freq),
         ("stratified_sample_docs", text.stratified_sample_docs),
         ("mixture_sample", text.mixture_sample),
+        ("word_counts", text.word_counts),
+        ("bpe_train", text.bpe_train),
         ("scrub_terms", text.scrub_terms),
         ("lang_token_quantiles", text.lang_token_quantiles),
         ("distinct_users_per_type", events.distinct_users_per_type),

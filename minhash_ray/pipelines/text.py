@@ -854,6 +854,99 @@ def salient_terms(sf_dir: str, k: int = 3):
     )
 
 
+def word_counts(sf_dir: str, num_partitions: int = 32, docs=None):
+    """(word, c): exact corpus-wide term frequencies — per-batch bincount
+    partials folded through a term-hash partition (``fold_by_str_key``),
+    so Ray only ever shuffles (word, partial-count) rows and the full
+    Zipf vocabulary never meets a sort-based aggregate."""
+    from minhash_ray.util import fold_by_str_key
+
+    ds = docs if docs is not None else _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = _flat_tokens(batch)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"word": enc.dictionary, "c": pa.array(c, pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        enc = t.column("word").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        sums = np.bincount(codes, weights=c, minlength=len(enc.dictionary))
+        return pa.table(
+            {"word": enc.dictionary, "c": pa.array(sums.astype(np.int64), pa.int64())}
+        )
+
+    return fold_by_str_key(ds, "word", partial, final, num_partitions)
+
+
+def bpe_train(sf_dir: str, n_merges: int = 30, num_partitions: int = 32, docs=None):
+    """(rank, left, right, merged, pair_count): learn a BPE merge table
+    from the corpus — the tokenizer-induction step of a training-data
+    pipeline (Sennrich et al. 2016), run the way scalable BPE trainers
+    actually run: the CORPUS pass is one distributed word-frequency fold
+    (:func:`word_counts`; ``token_bigram_counts`` is the corpus-wide form
+    of a single counting round), after which training operates on the
+    vocab-scale (word, count) histogram — merge decisions depend only on
+    that histogram, so the iterative loop is metadata-scale by
+    construction, not a per-round corpus scan.
+
+    Determinism: each round merges the (left, right) symbol pair with the
+    highest weighted count, ties broken by the lexicographically smallest
+    pair; occurrences merge left-to-right non-overlapping.  Stops early
+    when no pair occurs twice.  Words are the lowercased whitespace
+    tokens every term-level oracle replays; symbols start as single
+    characters (no end-of-word marker — documented deviation from
+    GPT-2-style byte-level pretokenization, whose regex is exercised by
+    ``bpe_token_counts``)."""
+    hist = word_counts(sf_dir, num_partitions=num_partitions, docs=docs).take_all()
+    words = [(list(r["word"]), int(r["c"])) for r in hist]
+
+    ranks, lefts, rights, mergeds, pcounts = [], [], [], [], []
+    for rank in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for seq, c in words:
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, rb), bc = best
+        if bc < 2:
+            break
+        merged = la + rb
+        for wi, (seq, c) in enumerate(words):
+            if len(seq) < 2:
+                continue
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == la and seq[i + 1] == rb:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            words[wi] = (out, c)
+        ranks.append(rank)
+        lefts.append(la)
+        rights.append(rb)
+        mergeds.append(merged)
+        pcounts.append(bc)
+
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "left": pa.array(lefts, pa.string()),
+            "right": pa.array(rights, pa.string()),
+            "merged": pa.array(mergeds, pa.string()),
+            "pair_count": pa.array(pcounts, pa.int64()),
+        }
+    )
+
+
 def _flat_tokens(batch: pa.Table):
     """Lowercased whitespace tokens of a batch as a flat StringArray
     (empty tokens dropped) — the tokenization every term-level oracle

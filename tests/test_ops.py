@@ -49,7 +49,7 @@ SQL_QUERIES = [
     "top_orders_per_customer", "term_doc_freq", "stratified_sample_docs",
     "decontaminate", "distinct_users_per_type", "customers_without_orders",
     "scrub_terms", "lang_token_quantiles", "salient_terms", "nation_revenue",
-    "mixture_sample", "bbit_minhash_pairs",
+    "mixture_sample", "bbit_minhash_pairs", "word_counts",
     "audio_stats", "audio_exact_dedup", "customer_order_counts",
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
     "semantic_dedup", "doc_repetition", "customers_with_orders",
@@ -123,6 +123,7 @@ def test_rows_only_queries_have_stable_schema(ray_session, sf_dir):
 
     expected_cols = {
         "doc_sample": ["doc_id", "n_chars_measured", "n_tokens"],
+        "bpe_train": ["rank", "left", "right", "merged", "pair_count"],
     }
     for name, cols in expected_cols.items():
         df = _pdf(E.queries()[name](sf_dir))

@@ -555,3 +555,93 @@ def test_bbit_threshold_endpoints():
     assert bbit_threshold(1.0, 8) == 1.0
     # wider b → smaller collision floor → threshold approaches tau
     assert abs(bbit_threshold(0.7, 32) - 0.7) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: iterative BPE merge learning over the word histogram
+# ---------------------------------------------------------------------------
+
+
+def _naive_bpe(texts, n_merges):
+    """Independent reference: straight Sennrich-style BPE over the corpus
+    word multiset (no histogram shortcut) — ties by lexicographically
+    smallest pair, left-to-right non-overlapping application."""
+    from collections import Counter
+
+    words = []
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                words.append(list(w))
+    merges = []
+    for _ in range(n_merges):
+        pc_ = Counter()
+        for seq in words:
+            for i in range(len(seq) - 1):
+                pc_[(seq[i], seq[i + 1])] += 1
+        if not pc_:
+            break
+        (la, rb), bc = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        if bc < 2:
+            break
+        for seq in words:
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == la and seq[i + 1] == rb:
+                    seq[i : i + 2] = [la + rb]
+                else:
+                    i += 1
+        merges.append((la, rb, la + rb, bc))
+    return merges
+
+
+def test_bpe_train_matches_naive_reference(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import bpe_train
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quicker brown foxes jumped over lazy dogs",
+        "lowering the lower bound lowers the lowest bound",
+        "pack my box with five dozen liquor jugs",
+        "the THE The tHe",  # case folding
+        "",  # empty doc
+        "   ",  # whitespace-only doc
+    ] * 3
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = bpe_train(str(d), n_merges=25).to_pandas()
+    want = _naive_bpe(texts, 25)
+    assert len(got) == len(want)
+    for i, (la, rb, m, bc) in enumerate(want):
+        row = got.iloc[i]
+        assert (row["left"], row["right"], row["merged"], row["pair_count"]) == (
+            la, rb, m, bc
+        ), i
+
+    # deterministic across runs
+    again = bpe_train(str(d), n_merges=25).to_pandas()
+    assert got.equals(again)
+
+
+def test_bpe_train_early_stop_when_no_repeated_pair(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import bpe_train
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["ab", "cd"], pa.string())}
+    )
+    d = tmp_path / "bpe2"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = bpe_train(str(d), n_merges=10).to_pandas()
+    assert len(got) == 0
