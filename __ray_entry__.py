@@ -450,6 +450,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery, collision-corrected gate + unbiased estimate —
         # SQL-checked end-to-end via the masked sims chain
         "bbit_minhash_pairs": dedup_text.bbit_minhash_pairs,
+        # one-permutation-hashing sketch (Li-Owen-Zhang): one hash per
+        # gram, min per bin — SQL-checked via the gram chain + emulated
+        # splitmix64 + min-per-bin replay
+        "oph_minhash_slots": dedup_text.oph_minhash_slots,
         # exact prefix-filtered similarity self-join — SQL-checked
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
         # exact weighted (multiset) Jaccard via occurrence-indexed tokens
@@ -766,6 +770,49 @@ def _minhash_slots_sql(n_perms: int = 8, seed: int = 42, source: str = "document
         "CAST(COALESCE(s.slot, -1) AS BIGINT) AS slot "
         f"FROM {source} d CROSS JOIN perms p "
         f"LEFT JOIN slots s ON s.doc_id = d.{id_col} AND s.perm = p.perm"
+    )
+
+
+def _oph_slots_sql(k: int = 16, seed: int = 42) -> str:
+    """DuckDB replay of ``oph_minhash_slots``: the FNV-1a → polynomial
+    w-gram chain of ``_minhash_slots_sql``, ONE splitmix64 per gram
+    (emulated in HUGEINT), min per (doc, h % k) bin, empty bins -1, slot
+    bit-reinterpreted to BIGINT."""
+    from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
+
+    m64 = 1 << 64
+    init = FNV_OFFSET ^ seed
+    p = FNV_PRIME
+    ns = 0x9E3779B97F4A7C15
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
+        "         THEN CAST([] AS VARCHAR[])"
+        "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
+        "  FROM documents"
+        "), thash AS ("
+        "  SELECT doc_id, list_transform(t, s -> list_reduce("
+        f"      list_prepend(CAST({init} AS HUGEINT),"
+        "        list_transform(range(1, length(s)+1),"
+        "                       i -> CAST(ascii(substr(s, i, 1)) AS HUGEINT))),"
+        "      (h, byte) -> ((xor(CAST(h % 256 AS BIGINT), CAST(byte AS BIGINT))"
+        f"                    + (h // 256) * 256) * {p}) % {m64}"
+        "  )) AS th FROM toks"
+        "), grams AS ("
+        f"  SELECT doc_id, ((th[i] * {p} + th[i+1]) % {m64} * {p} + th[i+2]) % {m64} AS g"
+        "  FROM thash, UNNEST(range(1, len(th) - 1)) AS r(i) WHERE len(th) >= 3"
+        f"), sm1 AS (SELECT doc_id, ((g + {ns}) % {m64}) AS x1 FROM grams),"
+        f"sm2 AS (SELECT doc_id, {_modmul64(_xor64('x1', 'x1 // 1073741824'), k1)} AS x2 FROM sm1),"
+        f"sm3 AS (SELECT doc_id, {_modmul64(_xor64('x2', 'x2 // 134217728'), k2)} AS x3 FROM sm2),"
+        f"hv AS (SELECT doc_id, {_xor64('x3', 'x3 // 2147483648')} AS h FROM sm3),"
+        f"binned AS (SELECT doc_id, CAST(h % {k} AS BIGINT) AS bin, min(h) AS mh"
+        "           FROM hv GROUP BY doc_id, bin) "
+        "SELECT d.doc_id AS doc_id, CAST(b.bin AS BIGINT) AS bin, "
+        "CAST(CASE WHEN bn.mh IS NULL THEN -1 "
+        f"WHEN bn.mh >= {1 << 63} THEN bn.mh - {m64} ELSE bn.mh END AS BIGINT) AS slot "
+        f"FROM documents d CROSS JOIN (SELECT unnest(range({k})) AS bin) b "
+        "LEFT JOIN binned bn ON bn.doc_id = d.doc_id AND bn.bin = b.bin"
     )
 
 
@@ -2282,6 +2329,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _simhash_pairs_sql(),
         "minhash_dup_pairs": _lsh_pairs_sql(),
         "bbit_minhash_pairs": _bbit_pairs_sql(),
+        "oph_minhash_slots": _oph_slots_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "doc_dedup_keep_best": _keep_best_sql(),
         "dup_graph_degrees": _dup_degrees_sql(),

@@ -1039,6 +1039,56 @@ def doc_minhash_slots(sf_dir: str, cfg: PipelineConfig = DOC_CFG, n_perms: int =
     return sigs.map_batches(explode, batch_format="pyarrow")
 
 
+def oph_minhash_slots(sf_dir: str, k: int = 16, cfg: PipelineConfig = DOC_CFG,
+                      docs=None):
+    """(doc_id, bin, slot): ONE-PERMUTATION-HASHING sketch (Li, Owen &
+    Zhang 2012) over the doc's token w-gram shingles — each gram is
+    hashed ONCE (``splitmix64`` over the same FNV-1a → polynomial w-gram
+    chain the k-permutation sketch uses), routed to bin ``h % k``, and
+    each bin keeps its minimum.  One hash per gram instead of k
+    (``doc_minhash_slots`` recomputes the pairwise family per
+    permutation), the O(grams) sketch-construction path for CPU-bound
+    corpora; empty bins surface as slot = -1 (the OPH analog of the
+    reference INFTY semantics — densification is the documented next
+    step before an estimator uses these).
+
+    Slot values are the full 64-bit hashes bit-reinterpreted to int64 so
+    the relation is plain-SQL; the DuckDB oracle replays gram chain +
+    splitmix64 + min-per-bin in HUGEINT."""
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+    from minhash_ray.functions.shingles import token_shingles
+    from minhash_ray.stages.banding import splitmix64
+
+    K = np.uint64(k)
+    U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        grams, counts = token_shingles(texts, cfg.shingle_w, cfg.seed)
+        h = splitmix64(grams)
+        n = len(counts)
+        buf = np.full(n * k, U64_MAX, dtype=np.uint64)
+        if len(h):
+            rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+            np.minimum.at(buf, rows * k + (h % K).astype(np.int64), h)
+        slot = buf.view(np.int64).copy()
+        slot[buf == U64_MAX] = -1  # empty bin sentinel (min can't be 2^64-1
+        # unless a gram hashes there — astronomically unlikely and the
+        # oracle would flag it)
+        ids = np.asarray(batch.column("doc_id").to_numpy(), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "bin": pa.array(np.tile(np.arange(k, dtype=np.int64), n), pa.int64()),
+                "slot": pa.array(slot, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8,
                      docs=None, ckpt_root: str | None = None):
     """TIERED dedup — the production shape of a training-data dedup stage
