@@ -454,6 +454,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gram, min per bin — SQL-checked via the gram chain + emulated
         # splitmix64 + min-per-bin replay
         "oph_minhash_slots": dedup_text.oph_minhash_slots,
+        # densified OPH (Shrivastava-Li rotation): empty bins borrow the
+        # nearest occupied cyclic-right bin — SQL-checked incl. the
+        # borrow distance itself
+        "oph_dense_slots": dedup_text.oph_dense_slots,
         # exact prefix-filtered similarity self-join — SQL-checked
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
         # exact weighted (multiset) Jaccard via occurrence-indexed tokens
@@ -773,11 +777,11 @@ def _minhash_slots_sql(n_perms: int = 8, seed: int = 42, source: str = "document
     )
 
 
-def _oph_slots_sql(k: int = 16, seed: int = 42) -> str:
-    """DuckDB replay of ``oph_minhash_slots``: the FNV-1a → polynomial
-    w-gram chain of ``_minhash_slots_sql``, ONE splitmix64 per gram
-    (emulated in HUGEINT), min per (doc, h % k) bin, empty bins -1, slot
-    bit-reinterpreted to BIGINT."""
+def _oph_binned_ctes(k: int = 16, seed: int = 42) -> str:
+    """Shared CTE chain (no WITH, no final SELECT) for the OPH oracles:
+    the FNV-1a → polynomial w-gram chain of ``_minhash_slots_sql``, ONE
+    splitmix64 per gram (emulated in HUGEINT), min per (doc, h % k) bin
+    in ``binned(doc_id, bin, mh)``."""
     from minhash_ray.functions.hashing import FNV_OFFSET, FNV_PRIME
 
     m64 = 1 << 64
@@ -786,7 +790,7 @@ def _oph_slots_sql(k: int = 16, seed: int = 42) -> str:
     ns = 0x9E3779B97F4A7C15
     k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     return (
-        "WITH toks AS ("
+        "toks AS ("
         "  SELECT doc_id, CASE WHEN trim(lower(text)) = ''"
         "         THEN CAST([] AS VARCHAR[])"
         "         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t"
@@ -807,12 +811,51 @@ def _oph_slots_sql(k: int = 16, seed: int = 42) -> str:
         f"sm3 AS (SELECT doc_id, {_modmul64(_xor64('x2', 'x2 // 134217728'), k2)} AS x3 FROM sm2),"
         f"hv AS (SELECT doc_id, {_xor64('x3', 'x3 // 2147483648')} AS h FROM sm3),"
         f"binned AS (SELECT doc_id, CAST(h % {k} AS BIGINT) AS bin, min(h) AS mh"
-        "           FROM hv GROUP BY doc_id, bin) "
+        "           FROM hv GROUP BY doc_id, bin)"
+    )
+
+
+def _oph_reint(col: str) -> str:
+    """HUGEINT uint64 → BIGINT bit-reinterpret expression."""
+    return (
+        f"CAST(CASE WHEN {col} IS NULL THEN -1 "
+        f"WHEN {col} >= {1 << 63} THEN {col} - {1 << 64} "
+        f"ELSE {col} END AS BIGINT)"
+    )
+
+
+def _oph_slots_sql(k: int = 16, seed: int = 42) -> str:
+    """DuckDB replay of ``oph_minhash_slots`` (see ``_oph_binned_ctes``):
+    empty bins -1, slot bit-reinterpreted to BIGINT."""
+    return (
+        f"WITH {_oph_binned_ctes(k, seed)} "
         "SELECT d.doc_id AS doc_id, CAST(b.bin AS BIGINT) AS bin, "
-        "CAST(CASE WHEN bn.mh IS NULL THEN -1 "
-        f"WHEN bn.mh >= {1 << 63} THEN bn.mh - {m64} ELSE bn.mh END AS BIGINT) AS slot "
+        f"{_oph_reint('bn.mh')} AS slot "
         f"FROM documents d CROSS JOIN (SELECT unnest(range({k})) AS bin) b "
         "LEFT JOIN binned bn ON bn.doc_id = d.doc_id AND bn.bin = b.bin"
+    )
+
+
+def _oph_dense_sql(k: int = 16, seed: int = 42) -> str:
+    """DuckDB replay of ``oph_dense_slots``: each (doc, bin) borrows the
+    value of the nearest occupied bin at cyclic distance t = min over
+    occupied bins y of (y - bin + k) % k; all-empty docs keep -1/t=0."""
+    return (
+        f"WITH {_oph_binned_ctes(k, seed)}, "
+        "base AS (SELECT d.doc_id AS doc_id, CAST(b.bin AS BIGINT) AS bin, bn.mh AS mh "
+        f"FROM documents d CROSS JOIN (SELECT unnest(range({k})) AS bin) b "
+        "LEFT JOIN binned bn ON bn.doc_id = d.doc_id AND bn.bin = b.bin), "
+        "borrow AS (SELECT x.doc_id AS doc_id, x.bin AS bin, "
+        f"min((y.bin - x.bin + {k}) % {k}) AS t "
+        "FROM base x JOIN base y ON y.doc_id = x.doc_id AND y.mh IS NOT NULL "
+        "GROUP BY x.doc_id, x.bin) "
+        "SELECT base.doc_id AS doc_id, base.bin AS bin, "
+        f"{_oph_reint('donor.mh')} AS slot, "
+        "CAST(COALESCE(br.t, 0) AS BIGINT) AS borrowed "
+        "FROM base "
+        "LEFT JOIN borrow br ON br.doc_id = base.doc_id AND br.bin = base.bin "
+        "LEFT JOIN base donor ON donor.doc_id = base.doc_id "
+        f"AND donor.bin = (base.bin + br.t) % {k}"
     )
 
 
@@ -2330,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_pairs": _lsh_pairs_sql(),
         "bbit_minhash_pairs": _bbit_pairs_sql(),
         "oph_minhash_slots": _oph_slots_sql(),
+        "oph_dense_slots": _oph_dense_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "doc_dedup_keep_best": _keep_best_sql(),
         "dup_graph_degrees": _dup_degrees_sql(),

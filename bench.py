@@ -180,6 +180,7 @@ def run_bench() -> dict:
         ("simhash_dup_pairs", dedup_text.simhash_dup_pairs),
         ("bbit_minhash_pairs", dedup_text.bbit_minhash_pairs),
         ("oph_minhash_slots", dedup_text.oph_minhash_slots),
+        ("oph_dense_slots", dedup_text.oph_dense_slots),
         ("token_quantiles", text.token_quantiles),
         ("corpus_curation", curation.corpus_curation),
         # round-4 operators

@@ -1056,37 +1056,98 @@ def oph_minhash_slots(sf_dir: str, k: int = 16, cfg: PipelineConfig = DOC_CFG,
     the relation is plain-SQL; the DuckDB oracle replays gram chain +
     splitmix64 + min-per-bin in HUGEINT."""
     ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, s = _oph_matrix(batch, k, cfg)
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "bin": pa.array(np.tile(np.arange(k, dtype=np.int64), n), pa.int64()),
+                "slot": pa.array(s.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _oph_matrix(batch: pa.Table, k: int, cfg: PipelineConfig):
+    """Per-batch OPH core: (doc ids int64, (n, k) int64 slot matrix with
+    -1 for empty bins)."""
     from minhash_ray.functions.shingles import token_shingles
     from minhash_ray.stages.banding import splitmix64
 
     K = np.uint64(k)
     U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    grams, counts = token_shingles(texts, cfg.shingle_w, cfg.seed)
+    h = splitmix64(grams)
+    n = len(counts)
+    buf = np.full(n * k, U64_MAX, dtype=np.uint64)
+    if len(h):
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        np.minimum.at(buf, rows * k + (h % K).astype(np.int64), h)
+    slot = buf.view(np.int64).copy()
+    slot[buf == U64_MAX] = -1  # empty bin sentinel (min can't be 2^64-1
+    # unless a gram hashes exactly there — astronomically unlikely and the
+    # oracle would flag it)
+    ids = np.asarray(batch.column("doc_id").to_numpy(), dtype=np.int64)
+    return ids, slot.reshape(n, k)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text")
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        grams, counts = token_shingles(texts, cfg.shingle_w, cfg.seed)
-        h = splitmix64(grams)
-        n = len(counts)
-        buf = np.full(n * k, U64_MAX, dtype=np.uint64)
-        if len(h):
-            rows = np.repeat(np.arange(n, dtype=np.int64), counts)
-            np.minimum.at(buf, rows * k + (h % K).astype(np.int64), h)
-        slot = buf.view(np.int64).copy()
-        slot[buf == U64_MAX] = -1  # empty bin sentinel (min can't be 2^64-1
-        # unless a gram hashes there — astronomically unlikely and the
-        # oracle would flag it)
-        ids = np.asarray(batch.column("doc_id").to_numpy(), dtype=np.int64)
+
+def oph_dense_slots(sf_dir: str, k: int = 16, cfg: PipelineConfig = DOC_CFG,
+                    docs=None):
+    """(doc_id, bin, slot, borrowed): DENSIFIED one-permutation sketch —
+    every empty bin borrows the value of the nearest non-empty bin to its
+    cyclic right (the rotation scheme of Shrivastava & Li 2014's improved
+    densification, direction fixed), so the estimator downstream never
+    meets an empty slot and two docs' sketches stay alignable bin-by-bin.
+    Docs with NO shingles at all keep all bins at -1 (nothing to borrow —
+    reference INFTY semantics).  ``borrowed`` is the cyclic distance to
+    the donor bin (0 = the bin was occupied), making the densification
+    itself part of the checked relation.
+
+    Fully vectorized: one reverse-running-min pass over the doubled bin
+    axis finds every bin's donor; no per-doc loop.  Densification runs in
+    the SAME task as sketch construction (shares the per-batch (n, k)
+    matrix — no doc can straddle a batch boundary).  The DuckDB oracle
+    replays gram chain + splitmix64 + min-per-bin + a min-t cyclic
+    borrow join."""
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def densify(batch: pa.Table) -> pa.Table:
+        ids, s = _oph_matrix(batch, k, cfg)
+        n = len(ids)
+        occupied = s != -1
+        # donor index per (doc, bin): nearest occupied at (bin + t) % k,
+        # smallest t >= 0 — scan the doubled axis right-to-left keeping
+        # the closest occupied position
+        occ2 = np.concatenate([occupied, occupied], axis=1)  # (n, 2k)
+        idx2 = np.where(occ2, np.arange(2 * k, dtype=np.int64), np.iinfo(np.int64).max)
+        # reverse running-min gives, at column j, the smallest occupied
+        # column >= j
+        donor2 = np.minimum.accumulate(idx2[:, ::-1], axis=1)[:, ::-1]
+        donor = donor2[:, :k]
+        any_occ = occupied.any(axis=1)
+        dense = s.copy()
+        t = np.zeros((n, k), dtype=np.int64)
+        rows = np.flatnonzero(any_occ)
+        if rows.size:
+            d = donor[rows]
+            dense[rows] = s[rows][np.arange(rows.size)[:, None], d % k]
+            t[rows] = d - np.arange(k, dtype=np.int64)[None, :]
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, k), pa.int64()),
                 "bin": pa.array(np.tile(np.arange(k, dtype=np.int64), n), pa.int64()),
-                "slot": pa.array(slot, pa.int64()),
+                "slot": pa.array(dense.reshape(-1), pa.int64()),
+                "borrowed": pa.array(t.reshape(-1), pa.int64()),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(densify, batch_format="pyarrow")
 
 
 def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8,

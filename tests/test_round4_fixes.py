@@ -645,3 +645,65 @@ def test_bpe_train_early_stop_when_no_repeated_pair(ray_session, tmp_path):
     pq.write_table(t, str(d / "documents.parquet"))
     got = bpe_train(str(d), n_merges=10).to_pandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# OPH densification (rotation borrow)
+# ---------------------------------------------------------------------------
+
+
+def test_oph_dense_borrow_semantics_on_planted_docs(ray_session, tmp_path):
+    """Planted corpus: a zero-shingle doc (stays all -1, borrowed 0), a
+    short doc (few grams → guaranteed empty bins) and a long doc; the
+    dense output must equal a per-doc brute-force rotation borrow of the
+    sparse output, and occupied bins never change."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.dedup_text import oph_dense_slots, oph_minhash_slots
+
+    texts = [
+        "one two",                       # < w tokens → no shingles at all
+        "alpha beta gamma delta",        # 2 trigrams → mostly empty bins
+        " ".join(f"tok{i}" for i in range(60)),  # long doc
+    ]
+    t = pa.table(
+        {"doc_id": pa.array([10, 20, 30], pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    d = tmp_path / "oph"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    k = 16
+    sparse = (
+        oph_minhash_slots(str(d), k=k).to_pandas()
+        .sort_values(["doc_id", "bin"]).reset_index(drop=True)
+    )
+    dense = (
+        oph_dense_slots(str(d), k=k).to_pandas()
+        .sort_values(["doc_id", "bin"]).reset_index(drop=True)
+    )
+    assert len(sparse) == len(dense) == 3 * k
+
+    for doc in [10, 20, 30]:
+        s = sparse[sparse["doc_id"] == doc]["slot"].to_numpy()
+        got = dense[dense["doc_id"] == doc]
+        occ = np.flatnonzero(s != -1)
+        if occ.size == 0:
+            assert (got["slot"].to_numpy() == -1).all()
+            assert (got["borrowed"].to_numpy() == 0).all()
+            continue
+        for b in range(k):
+            ts = [(j - b) % k for j in occ]
+            tmin = min(ts)
+            donor = (b + tmin) % k
+            row = got[got["bin"] == b].iloc[0]
+            assert row["borrowed"] == tmin, (doc, b)
+            assert row["slot"] == s[donor], (doc, b)
+
+    # the zero-shingle doc really had zero shingles, and the short doc
+    # really had empty bins (the test exercises both paths)
+    s10 = sparse[sparse["doc_id"] == 10]["slot"].to_numpy()
+    s20 = sparse[sparse["doc_id"] == 20]["slot"].to_numpy()
+    assert (s10 == -1).all()
+    assert (s20 == -1).any() and (s20 != -1).any()
