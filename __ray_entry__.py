@@ -458,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nearest occupied cyclic-right bin — SQL-checked incl. the
         # borrow distance itself
         "oph_dense_slots": dedup_text.oph_dense_slots,
+        # END-TO-END OPH near-dup pipeline (dense bins through the
+        # production LSH band/verify machinery) — SQL-checked
+        "oph_dup_pairs": dedup_text.oph_dup_pairs,
         # exact prefix-filtered similarity self-join — SQL-checked
         "ngram_jaccard_pairs": dedup_text.ngram_jaccard_pairs,
         # exact weighted (multiset) Jaccard via occurrence-indexed tokens
@@ -821,6 +824,62 @@ def _oph_reint(col: str) -> str:
         f"CAST(CASE WHEN {col} IS NULL THEN -1 "
         f"WHEN {col} >= {1 << 63} THEN {col} - {1 << 64} "
         f"ELSE {col} END AS BIGINT)"
+    )
+
+
+def _oph_pairs_sql(k: int = 16, bands: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of ``oph_dup_pairs`` END-TO-END: gram chain →
+    splitmix64 → min-per-bin → rotation-borrow densification → the
+    production band fold (bands × k/bands rows over the dense bins) →
+    splitmix64 bucket keys → bucket self-join candidates → dense-bin
+    fraction-equal estimator gated at tau - margin."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    rows = k // bands
+    m64 = 1 << 64
+    p = 0x100000001B3
+    ns = 0x9E3779B97F4A7C15
+    k1, k2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    fold = f"((({ns} + band) * {p} + sl[{rows}*band + 1]) % {m64})"
+    for r in range(2, rows + 1):
+        fold = f"(({fold}) * {p} + sl[{rows}*band + {r}]) % {m64}"
+    return (
+        f"WITH {_oph_binned_ctes(k, seed)}, "
+        # densified bins for docs with >= 1 occupied bin (zero-shingle
+        # docs are excluded from banding, INFTY semantics)
+        "base AS (SELECT d.doc_id AS doc_id, CAST(b.bin AS BIGINT) AS bin, bn.mh AS mh "
+        f"FROM (SELECT DISTINCT doc_id FROM binned) d "
+        f"CROSS JOIN (SELECT unnest(range({k})) AS bin) b "
+        "LEFT JOIN binned bn ON bn.doc_id = d.doc_id AND bn.bin = b.bin), "
+        "borrow AS (SELECT x.doc_id AS doc_id, x.bin AS bin, "
+        f"min((y.bin - x.bin + {k}) % {k}) AS t "
+        "FROM base x JOIN base y ON y.doc_id = x.doc_id AND y.mh IS NOT NULL "
+        "GROUP BY x.doc_id, x.bin), "
+        "densed AS (SELECT base.doc_id AS doc_id, base.bin AS bin, donor.mh AS dmh "
+        "FROM base "
+        "JOIN borrow br ON br.doc_id = base.doc_id AND br.bin = base.bin "
+        "JOIN base donor ON donor.doc_id = base.doc_id "
+        f"AND donor.bin = (base.bin + br.t) % {k}), "
+        "sigl AS (SELECT doc_id, list(dmh ORDER BY bin) AS sl FROM densed GROUP BY doc_id), "
+        f"bands0 AS (SELECT doc_id, band, {fold} AS x0"
+        f"           FROM sigl, UNNEST(range(0, {bands})) AS rb(band)),"
+        f"bm1 AS (SELECT doc_id, ((x0 + {ns}) % {m64}) AS x1 FROM bands0),"
+        f"bm2 AS (SELECT doc_id, {_modmul64(_xor64('x1', 'x1 // 1073741824'), k1)} AS x2 FROM bm1),"
+        f"bm3 AS (SELECT doc_id, {_modmul64(_xor64('x2', 'x2 // 134217728'), k2)} AS x3 FROM bm2),"
+        f"buckets AS (SELECT doc_id, ({_xor64('x3', 'x3 // 2147483648')}) // 2 AS bucket FROM bm3),"
+        "cands AS ("
+        "  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db"
+        "  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id"
+        "), sims AS ("
+        "  SELECT c.da AS da, c.db AS db,"
+        f"    CAST(sum(CASE WHEN sa.dmh = sb.dmh THEN 1 ELSE 0 END) AS DOUBLE) / {k} AS sim"
+        "  FROM cands c"
+        "  JOIN densed sa ON sa.doc_id = c.da"
+        "  JOIN densed sb ON sb.doc_id = c.db AND sb.bin = sa.bin"
+        "  GROUP BY c.da, c.db"
+        ") "
+        f"SELECT da AS doc_id_a, db AS doc_id_b, sim FROM sims WHERE sim >= {threshold}"
     )
 
 
@@ -2374,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "bbit_minhash_pairs": _bbit_pairs_sql(),
         "oph_minhash_slots": _oph_slots_sql(),
         "oph_dense_slots": _oph_dense_sql(),
+        "oph_dup_pairs": _oph_pairs_sql(),
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "doc_dedup_keep_best": _keep_best_sql(),
         "dup_graph_degrees": _dup_degrees_sql(),

@@ -181,6 +181,7 @@ def run_bench() -> dict:
         ("bbit_minhash_pairs", dedup_text.bbit_minhash_pairs),
         ("oph_minhash_slots", dedup_text.oph_minhash_slots),
         ("oph_dense_slots", dedup_text.oph_dense_slots),
+        ("oph_dup_pairs", dedup_text.oph_dup_pairs),
         ("token_quantiles", text.token_quantiles),
         ("corpus_curation", curation.corpus_curation),
         # round-4 operators

@@ -1150,6 +1150,66 @@ def oph_dense_slots(sf_dir: str, k: int = 16, cfg: PipelineConfig = DOC_CFG,
     return ds.map_batches(densify, batch_format="pyarrow")
 
 
+def oph_dup_pairs(sf_dir: str, k: int = 16, bands: int = 8,
+                  cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8,
+                  docs=None):
+    """(doc_id_a, doc_id_b, sim): near-dup pairs from the DENSIFIED OPH
+    sketch end-to-end — the modern fast-MinHash dedup shape: one hash per
+    gram at sketch time (O(grams), vs O(k·grams) for the k-permutation
+    chain), rotation densification so every bin is comparable, then the
+    UNCHANGED production LSH machinery (band fold → salted bucket shuffle
+    → broadcast/shuffle auto-switch verify) over the k dense bins as the
+    signature.  ``sim`` is the fraction of equal dense bins — the OPH
+    Jaccard estimator — gated at the same tau - margin as the flagship
+    chain.  Zero-shingle docs are excluded from banding (INFTY semantics,
+    same as the k-permutation path).
+
+    The DuckDB oracle replays gram chain → splitmix64 → min-per-bin →
+    borrow join → band fold → bucket self-join → estimator gate, so the
+    whole OPH pipeline is SQL-checked, not just the sketch."""
+    import dataclasses
+
+    if k % bands:
+        raise ValueError("bands must divide k")
+    cfg2 = dataclasses.replace(
+        cfg, num_perm=k, bands=bands, rows_per_band=k // bands
+    )
+    ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        ids, s = _oph_matrix(batch, k, cfg)
+        n = len(ids)
+        occupied = s != -1
+        occ2 = np.concatenate([occupied, occupied], axis=1)
+        idx2 = np.where(occ2, np.arange(2 * k, dtype=np.int64), np.iinfo(np.int64).max)
+        donor = np.minimum.accumulate(idx2[:, ::-1], axis=1)[:, ::-1][:, :k]
+        dense = s.copy()
+        rows = np.flatnonzero(occupied.any(axis=1))
+        if rows.size:
+            d = donor[rows]
+            dense[rows] = s[rows][np.arange(rows.size)[:, None], d % k]
+        sig = pa.FixedSizeListArray.from_arrays(
+            pa.array(dense.reshape(-1).view(np.uint64), pa.uint64()), k
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "signature": sig,
+                "simhash": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+                # band fn's zero-shingle skip keys on this column: occupied
+                # bin count is 0 exactly when the doc had no shingles
+                "n_shingles": pa.array(
+                    occupied.sum(axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    sigs = ds.map_batches(sig_fn, batch_format="pyarrow")
+    return minhash_dup_pairs(
+        sf_dir, cfg2, num_partitions=num_partitions, sigs=sigs
+    )
+
+
 def doc_dedup_tiered(sf_dir: str, cfg: PipelineConfig = DOC_CFG, num_partitions: int = 8,
                      docs=None, ckpt_root: str | None = None):
     """TIERED dedup — the production shape of a training-data dedup stage

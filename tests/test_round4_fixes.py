@@ -707,3 +707,21 @@ def test_oph_dense_borrow_semantics_on_planted_docs(ray_session, tmp_path):
     s20 = sparse[sparse["doc_id"] == 20]["slot"].to_numpy()
     assert (s10 == -1).all()
     assert (s20 == -1).any() and (s20 != -1).any()
+
+
+def test_oph_dup_pairs_recovers_planted_pairs(ray_session, sf_dir):
+    """The 16-bin densified-OPH pipeline recovers the planted dup pairs
+    the 128-permutation flagship chain finds (at 1/8 the sketch width the
+    estimator is noisier, so subset-equality of the pair KEYS with full
+    recall of the planted set is the right assertion, not sim equality)."""
+    from minhash_ray.pipelines.dedup_text import minhash_dup_pairs, oph_dup_pairs
+
+    full = minhash_dup_pairs(sf_dir).to_pandas()
+    oph = oph_dup_pairs(sf_dir).to_pandas()
+    full_keys = set(zip(full["doc_id_a"], full["doc_id_b"]))
+    oph_keys = set(zip(oph["doc_id_a"], oph["doc_id_b"]))
+    assert len(full_keys) > 0
+    # full recall of the flagship's pairs on the planted fixture
+    assert full_keys <= oph_keys
+    # and no wild fan-out of false positives (16 bins, tau-margin gate)
+    assert len(oph_keys) <= 2 * len(full_keys)
