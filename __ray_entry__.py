@@ -665,6 +665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set intersection (INTERSECT shape) via per-batch distinct + flag max
         "users_with_both": events.users_with_both,
         "window_counts": events.window_counts,
+        # per-window top-k event types (grouped exact top-k over time
+        # buckets) — SQL-checked against a row_number oracle
+        "window_top_events": events.window_top_events,
         "sliding_window_counts": events.sliding_window_counts,
         "sessionize": events.sessionize,
         # per-session length/dwell summary computed inside the same
@@ -2662,6 +2665,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM ev e JOIN st ON st.user_id = e.user_id "
             "WHERE (e.vc * st.n - st.s) * (e.vc * st.n - st.s) "
             "> 9 * (st.n * st.s2 - st.s * st.s)"
+        ),
+        # per-window top-k event types by count, ties by type asc
+        "window_top_events": (
+            f"WITH wc AS (SELECT (epoch_us(ts) // {3_600_000_000}) * {3_600_000_000}"
+            " AS window_us, event_type, COUNT(*) AS n_events FROM events GROUP BY 1, 2), "
+            "r AS (SELECT window_us, event_type, n_events, row_number() OVER ("
+            "PARTITION BY window_us ORDER BY n_events DESC, event_type) AS rnk FROM wc) "
+            "SELECT window_us, event_type, CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3"
         ),
         "window_counts": (
             f"SELECT (epoch_us(ts) // {3_600_000_000}) * {3_600_000_000} AS window_us, "

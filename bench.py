@@ -174,6 +174,7 @@ def run_bench() -> dict:
         ("orders_by_segment", relational.orders_by_segment),
         ("events_by_type", relational.events_by_type),
         ("window_counts", events.window_counts),
+        ("window_top_events", events.window_top_events),
         ("sessionize", events.sessionize),
         ("session_stats", events.session_stats),
         ("asof_prior", events.asof_prior),

@@ -173,6 +173,65 @@ def sliding_window_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: in
     )
 
 
+def window_top_events(sf_dir: str, window_minutes: int = 60, topk: int = 3,
+                      num_partitions: int = 8):
+    """(window_us, event_type, n_events, rnk): the top-``topk`` event
+    types of every tumbling window by count (ties broken by event_type
+    asc) — the per-window heavy-hitter report of a streaming dashboard.
+
+    Scale shape: rides :func:`window_counts` (already one row per
+    (window, type) — metadata-scale), then ONE window-hash partition so
+    each window's rows meet in a single task for the exact vectorized
+    rank; nothing resembling corpus width ever moves."""
+    from minhash_ray.util import clamp_partitions
+
+    wc = window_counts(sf_dir, window_minutes)
+    P = np.uint64(max(2, clamp_partitions(num_partitions)))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        w = batch.column("window_us").to_numpy(zero_copy_only=False)
+        pkey = (splitmix64(w.view(np.uint64)) % P).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pkey, pa.int64()))
+
+    def rank_fn(t: pa.Table) -> pa.Table:
+        w = t.column("window_us").to_numpy(zero_copy_only=False)
+        n = t.column("n_events").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # event_type ties must break in STRING order, not dictionary order
+        str_rank = np.argsort(
+            np.argsort(np.asarray(enc.dictionary.to_pylist(), dtype=object))
+        )
+        order = np.lexsort((str_rank[codes], -n, w))
+        ws = w[order]
+        m = len(ws)
+        new = np.ones(m, dtype=bool)
+        if m > 1:
+            new[1:] = ws[1:] != ws[:-1]
+        idx = np.arange(m, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rnk = idx - start + 1
+        keep = rnk <= topk
+        sel = pa.array(order[keep], pa.int64())
+        return pa.table(
+            {
+                "window_us": pa.array(ws[keep], pa.int64()),
+                "event_type": et.take(sel),
+                "n_events": pa.array(n[order[keep]], pa.int64()),
+                "rnk": pa.array(rnk[keep], pa.int64()),
+            }
+        )
+
+    return (
+        wc.map_batches(add_key, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(rank_fn, batch_format="pyarrow")
+    )
+
+
 def _with_user_partition(ds, num_partitions: int):
     """Append ``pkey = splitmix64(user_id) % P``: the hash partition that
     co-locates each user's full event history (the op's partitioning

@@ -50,7 +50,7 @@ SQL_QUERIES = [
     "decontaminate", "distinct_users_per_type", "customers_without_orders",
     "scrub_terms", "lang_token_quantiles", "salient_terms", "nation_revenue",
     "mixture_sample", "bbit_minhash_pairs", "word_counts", "oph_minhash_slots",
-    "oph_dense_slots", "oph_dup_pairs",
+    "oph_dense_slots", "oph_dup_pairs", "window_top_events",
     "audio_stats", "audio_exact_dedup", "customer_order_counts",
     "users_with_both", "weighted_jaccard_pairs", "frequent_terms",
     "semantic_dedup", "doc_repetition", "customers_with_orders",
