@@ -130,6 +130,8 @@ def run_bench() -> dict:
     # isolation"); each query now runs twice and reports best-of-2 with the
     # raw runs alongside so run-to-run variance is visible in the record ---
     def timed2(fn):
+        import gc
+
         runs = []
         for _ in range(2):
             t = time.time()
@@ -137,6 +139,11 @@ def run_bench() -> dict:
             if hasattr(out, "count"):
                 out.count()
             runs.append(round(time.time() - t, 3))
+            # drop the result's materialized blocks before the next query:
+            # with 80+ timed queries in one session, lingering object-store
+            # refs push later queries into spill and inflate their numbers
+            del out
+            gc.collect()
         return min(runs), runs
 
     # audio/tiered ops run over the headline clips corpus (already cached
