@@ -74,6 +74,17 @@ def clips_dedup_edges(sf_dir: str):
     return _clips_dedup(sf_dir).edges
 
 
+def clips_pair_snr(sf_dir: str):
+    """(clip_id_a, clip_id_b, channel, snr_db, snr_ok) — the north-rule
+    per-row invariant (decoded-PCM SNR of every verified dup edge, gate
+    at 30 dB) as a relation; rows-only (binary payloads), gate semantics
+    pytest-asserted against the fixture's planted truth kinds."""
+    from minhash_ray.pipelines.audio import pair_snr
+
+    clips, _ = _clips_ds(sf_dir)
+    return pair_snr(clips, _clips_dedup(sf_dir).edges)
+
+
 def clips_dedup_tiered(sf_dir: str):
     """(clip_id, cluster_id, keep, tier) — tiered flagship: exact content
     tier → LSH over exact representatives → components (rows-only: sketch/
@@ -700,6 +711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship clips pipelines (rows-only: sketch/LSH semantics) ---
         "clips_dedup_assignments": clips_dedup_assignments,
         "clips_dedup_edges": clips_dedup_edges,
+        # rows-only: the north-rule per-row invariant (decoded-PCM SNR of
+        # every verified dup edge, 30 dB gate) as a relation
+        "clips_pair_snr": clips_pair_snr,
         # rows-only: tiered flagship (exact tier -> LSH over reps);
         # partition-equality with run_dedup proven in pytest
         "clips_dedup_tiered": clips_dedup_tiered,

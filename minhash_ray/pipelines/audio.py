@@ -340,3 +340,82 @@ def transcript_rate_flags(clips, min_tps: int = 10, max_tps: int = 100):
         )
 
     return clips.map_batches(fn, batch_format="pyarrow")
+
+
+def pair_snr(clips, edges, min_snr_db: float = 30.0, num_partitions: int = 8):
+    """(clip_id_a, clip_id_b, channel, snr_db, snr_ok): the NORTH-RULE
+    per-row invariant — decoded-PCM SNR of every verified dup edge — as a
+    queryable relation (BASELINE.json input_hint: "decoded-PCM allclose
+    (SNR>=30dB) + transcript equality").  ``snr_db`` is the SNR of clip B
+    against clip A as reference (lengths truncated to the shorter, the
+    fixture's own gate), ``snr_ok`` gates at ``min_snr_db``.  Text-channel
+    edges (same transcript, unrelated audio) legitimately score low — the
+    ``channel`` column rides along so the audit reads per channel.
+
+    Scale shape: edges are metadata-scale; the heavy byte payloads attach
+    through TWO partitioned ``Dataset.join``s (payload side streams, edge
+    side is slim — the verify_shuffle join-attach pattern), and the SNR
+    kernel runs per edge (numpy decode + one dot per pair; edge-scale,
+    never corpus-scale).  Nothing is driver-resident."""
+    import pyarrow.compute as pc2
+
+    def slim(batch: pa.Table) -> pa.Table:
+        cols = {"clip_id_a": batch.column("clip_id_a"),
+                "clip_id_b": batch.column("clip_id_b")}
+        if "channel" in batch.schema.names:
+            cols["channel"] = batch.column("channel")
+        else:
+            cols["channel"] = pa.array(["?"] * batch.num_rows, pa.string())
+        return pa.table(cols)
+
+    e = edges.map_batches(slim, batch_format="pyarrow")
+    payload = clips.select_columns(["clip_id", "bytes", "codec"])
+
+    a = e.join(
+        payload.rename_columns(
+            {"clip_id": "clip_id_a", "bytes": "bytes_a", "codec": "codec_a"}
+        ),
+        join_type="inner", on=("clip_id_a",), num_partitions=num_partitions,
+    )
+    ab = a.join(
+        payload.rename_columns(
+            {"clip_id": "clip_id_b", "bytes": "bytes_b", "codec": "codec_b"}
+        ),
+        join_type="inner", on=("clip_id_b",), num_partitions=num_partitions,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        from minhash_ray.functions.audio import (
+            UnsupportedCodecError,
+            decode_pcm,
+            snr_db,
+        )
+
+        ba = _combined(batch.column("bytes_a"))
+        bb = _combined(batch.column("bytes_b"))
+        ca = _combined(batch.column("codec_a"))
+        cb = _combined(batch.column("codec_b"))
+        n = batch.num_rows
+        snr = np.empty(n, dtype=np.float64)
+        for i in range(n):  # edge-scale loop (pairs, not corpus rows)
+            try:
+                snr[i] = snr_db(
+                    decode_pcm(ba[i].as_py(), ca[i].as_py()),
+                    decode_pcm(bb[i].as_py(), cb[i].as_py()),
+                )
+            except UnsupportedCodecError:
+                # honest stub boundary: undecodable codec → NaN (never ok)
+                snr[i] = float("nan")
+        return pa.table(
+            {
+                "clip_id_a": batch.column("clip_id_a"),
+                "clip_id_b": batch.column("clip_id_b"),
+                "channel": batch.column("channel"),
+                "snr_db": pa.array(snr, pa.float64()),
+                "snr_ok": pa.array(
+                    (snr >= min_snr_db).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ab.map_batches(score, batch_format="pyarrow")

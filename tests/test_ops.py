@@ -125,6 +125,7 @@ def test_rows_only_queries_have_stable_schema(ray_session, sf_dir):
     expected_cols = {
         "doc_sample": ["doc_id", "n_chars_measured", "n_tokens"],
         "bpe_train": ["rank", "left", "right", "merged", "pair_count"],
+        "clips_pair_snr": ["clip_id_a", "clip_id_b", "channel", "snr_db", "snr_ok"],
     }
     for name, cols in expected_cols.items():
         df = _pdf(E.queries()[name](sf_dir))

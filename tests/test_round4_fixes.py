@@ -725,3 +725,50 @@ def test_oph_dup_pairs_recovers_planted_pairs(ray_session, sf_dir):
     assert full_keys <= oph_keys
     # and no wild fan-out of false positives (16 bins, tau-margin gate)
     assert len(oph_keys) <= 2 * len(full_keys)
+
+
+# ---------------------------------------------------------------------------
+# pair_snr: the north-rule per-row invariant as a relation
+# ---------------------------------------------------------------------------
+
+
+def test_pair_snr_gates_match_planted_truth(ray_session, small_fixture):
+    """Over the planted fixture's verified dup edges: every truth pair
+    whose audio is planted same-or-perturbed-at-SNR>=30dB (exact,
+    near_audio, near_both, and near_transcript — whose audio is
+    IDENTICAL, only the transcript is perturbed) must pass the 30 dB
+    gate; boilerplate edges (shared template text, independent audio)
+    must fail it.  This is BASELINE.json's per-row invariant
+    (decoded-PCM SNR gate) as an executable check."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.audio import pair_snr
+    from minhash_ray.pipelines.dedup import run_dedup
+    from minhash_ray.sources.clips import read_clips
+
+    clips = read_clips(str(small_fixture / "clips.parquet"))
+    res = run_dedup(clips, PipelineConfig(), num_partitions=4)
+    out = pair_snr(
+        read_clips(str(small_fixture / "clips.parquet")), res.edges
+    ).to_pandas()
+    assert len(out) > 0
+
+    truth = pq.read_table(str(small_fixture / "truth_pairs.parquet")).to_pandas()
+    kind = {}
+    for r in truth.itertuples():
+        kind[(r.clip_id_a, r.clip_id_b)] = r.kind
+        kind[(r.clip_id_b, r.clip_id_a)] = r.kind
+
+    audio_same = {"exact", "near_audio", "near_both", "near_transcript"}
+    n_audio = n_boiler = 0
+    for r in out.itertuples():
+        k = kind.get((r.clip_id_a, r.clip_id_b))
+        if k in audio_same:
+            n_audio += 1
+            assert r.snr_ok == 1 and r.snr_db >= 30.0, (r.clip_id_a, r.clip_id_b, k, r.snr_db)
+        elif k == "boilerplate":
+            n_boiler += 1
+            assert r.snr_ok == 0, (r.clip_id_a, r.clip_id_b, r.snr_db)
+    # both regimes actually exercised
+    assert n_audio > 0 and n_boiler > 0
