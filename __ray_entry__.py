@@ -700,6 +700,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # banded time-range join (interval semantics Ray Data lacks
         # natively) — SQL-checked against a correlated-count oracle
         "range_join_recent": events.range_join_recent,
+        # exact per-type inter-arrival stats (per-(user,type) LAG deltas)
+        # — SQL-checked against a DuckDB lag() oracle
+        "interarrival_stats": events.interarrival_stats,
+        # CUBE(segment, priority) grouping sets: coarser sets derive from
+        # the fine cells (SQL-checked against GROUP BY CUBE)
+        "segment_priority_cube": relational.segment_priority_cube,
+        # percentile-gated length filter (exact global q-quantile cut)
+        # — SQL-checked against a row_number quantile + filter oracle
+        "length_gate_docs": text.length_gate_docs,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---
@@ -2742,6 +2751,35 @@ def oracle_sql() -> dict[str, str]:
         # step's earliest feasible time (greedy-earliest is optimal) —
         # generated from the SAME steps tuple the Ray operator defaults to
         "funnel_counts": _funnel_sql(),
+        "interarrival_stats": (
+            "WITH d AS (SELECT event_type, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "  PARTITION BY user_id, event_type ORDER BY ts, event_id) AS delta "
+            "FROM events) "
+            "SELECT event_type, count(*) AS n_deltas, "
+            "CAST(sum(delta) AS BIGINT) AS sum_delta_us, "
+            "CAST(min(delta) AS BIGINT) AS min_delta_us, "
+            "CAST(max(delta) AS BIGINT) AS max_delta_us "
+            "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "segment_priority_cube": (
+            "SELECT COALESCE(c_mktsegment, '<all>') AS c_mktsegment, "
+            "COALESCE(o_orderpriority, '<all>') AS o_orderpriority, "
+            "count(*) AS n_orders, "
+            "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY CUBE(c_mktsegment, o_orderpriority)"
+        ),
+        "length_gate_docs": (
+            f"WITH c AS (SELECT doc_id, {n_tokens} AS v FROM documents), "
+            "o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r, "
+            "count(*) OVER () AS n FROM c), "
+            "cut AS (SELECT v FROM o "
+            "WHERE r = CAST(floor((n - 1) * 0.1) AS BIGINT) LIMIT 1) "
+            "SELECT c.doc_id AS doc_id, c.v AS n_tokens "
+            "FROM c, cut WHERE c.v >= cut.v"
+        ),
         "range_join_recent": (
             "SELECT e.event_id, CAST((SELECT count(*) FROM events c "
             "WHERE c.event_type = 'click' "

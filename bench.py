@@ -248,6 +248,9 @@ def run_bench() -> dict:
         ("retention_cohorts", events.retention_cohorts),
         ("dup_graph_triangles", dedup_text.dup_graph_triangles),
         ("value_outliers", events.value_outliers),
+        ("interarrival_stats", events.interarrival_stats),
+        ("segment_priority_cube", relational.segment_priority_cube),
+        ("length_gate_docs", text.length_gate_docs),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_energy_stats", lambda _sf: _aes(

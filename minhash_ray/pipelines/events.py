@@ -1138,3 +1138,91 @@ def value_outliers(sf_dir: str, z: int = 3, num_partitions: int = 8):
         )
 
     return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def interarrival_stats(sf_dir: str, num_partitions: int = 32):
+    """(event_type, n_deltas, sum_delta_us, min_delta_us, max_delta_us):
+    exact inter-arrival-time statistics — for each (user, event_type)
+    stream the gaps between consecutive events (LAG semantics, ordered by
+    ts then event_id), aggregated per event type.  The cadence profile a
+    rate-limiter / bot-detector / traffic model reads off an event log.
+
+    Scale shape: user-hash partition (same contract as :func:`sessionize`
+    — one USER's rows per task, never the corpus), within-partition
+    lexsort by (user, type-code, ts, id) + one vectorized diff, then
+    per-type partials; count/sum/min/max are all mergeable, so the final
+    exchange carries ≤ |event types| rows per partition.  Deltas depend
+    only on the sorted timestamp sequence, so the event_id tie-break
+    keeps the op deterministic without affecting any statistic.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_deltas": pa.array([], pa.int64()),
+            "sum_delta_us": pa.array([], pa.int64()),
+            "min_delta_us": pa.array([], pa.int64()),
+            "max_delta_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        etype = batch.column("event_type")
+        if isinstance(etype, pa.ChunkedArray):
+            etype = etype.combine_chunks()
+        enc = etype.dictionary_encode()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        uid = batch.column("user_id").to_numpy()
+        ts = _ts_us(batch.column("ts"))
+        ids = batch.column("event_id").to_numpy()
+        o = np.lexsort((ids, ts, codes, uid))
+        uid_s, code_s, ts_s = uid[o], codes[o], ts[o]
+        n = len(o)
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[1:] = (uid_s[1:] == uid_s[:-1]) & (code_s[1:] == code_s[:-1])
+        if not same.any():
+            return empty
+        delta = np.zeros(n, dtype=np.int64)
+        delta[1:] = ts_s[1:] - ts_s[:-1]
+        keep_codes = pa.array(code_s[same], pa.int64())
+        t = pa.table(
+            {
+                "event_type": enc.dictionary.take(keep_codes),
+                "delta": pa.array(delta[same], pa.int64()),
+            }
+        )
+        agg = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("delta", "sum"), ("delta", "min"), ("delta", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "n_deltas": pc.cast(agg.column("count_all"), pa.int64()),
+                "sum_delta_us": pc.cast(agg.column("delta_sum"), pa.int64()),
+                "min_delta_us": pc.cast(agg.column("delta_min"), pa.int64()),
+                "max_delta_us": pc.cast(agg.column("delta_max"), pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), num_partitions
+    )
+    return (
+        ds.groupby("pkey")
+        .map_groups(per_partition, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_deltas", alias_name="n_deltas"),
+            Sum("sum_delta_us", alias_name="sum_delta_us"),
+            Min("min_delta_us", alias_name="min_delta_us"),
+            Max("max_delta_us", alias_name="max_delta_us"),
+        )
+    )

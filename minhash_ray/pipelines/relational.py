@@ -711,3 +711,99 @@ def nation_segment_balance(
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def segment_priority_cube(sf_dir: str):
+    """CUBE(c_mktsegment, o_orderpriority) over orders ⋈ customer: order
+    count + total price cents at all FOUR grouping-set levels — detail
+    cells, per-segment subtotals, per-priority subtotals, grand total,
+    '<all>' as the cubed-out sentinel (the GROUP BY CUBE shape Ray Data
+    has no native operator for; :func:`revenue_rollup` is the linear
+    ROLLUP cousin).
+
+    Scale shape: ONE scan builds the finest-level cells exactly like
+    :func:`orders_by_segment` (broadcast customer→segment lookup +
+    hash aggregate over ≤ |segments|·|priorities| groups); every other
+    grouping set derives from those FINE CELLS — a metadata-scale fold
+    over ≤ 25 rows, never a re-scan.  This is the cube contract at any
+    corpus size: 2^k - 1 coarser sets are re-aggregations of the finest
+    set's (already tiny) output."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from minhash_ray.util import int_lookup_pack
+
+    cust = pa.concat_tables(
+        list(
+            _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        )
+    )
+    ref = [ray.put(int_lookup_pack(
+        cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_pylist()
+    ))]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get, int_lookup_take
+
+        pack = cached_get(ref[0])
+        seg = int_lookup_take(pack, batch.column("o_custkey").to_numpy())
+        t = pa.table(
+            {
+                "c_mktsegment": seg,
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "total_cents": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy()), pa.int64()
+                ),
+            }
+        )
+        return t.filter(pc.is_valid(t.column("c_mktsegment")))
+
+    fine = (
+        _t(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("total_cents", alias_name="total_cents")
+        )
+    )
+    ft = pa.concat_tables(
+        list(fine.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    segs = ft.column("c_mktsegment").to_pylist()
+    pris = ft.column("o_orderpriority").to_pylist()
+    cnt = np.asarray(ft.column("n_orders").to_numpy(), dtype=np.int64)
+    tot = np.asarray(ft.column("total_cents").to_numpy(), dtype=np.int64)
+
+    def _fold(keys) -> pa.Table:
+        acc: dict = {}
+        for i, k in enumerate(keys):
+            c, s = acc.get(k, (0, 0))
+            acc[k] = (c + int(cnt[i]), s + int(tot[i]))
+        rows = sorted(acc.items())
+        return rows
+
+    by_seg = _fold(segs)
+    by_pri = _fold(pris)
+    grand = [("<all>", (int(cnt.sum()), int(tot.sum())))] if len(cnt) else []
+    out_seg, out_pri, out_n, out_t = (
+        list(segs),
+        list(pris),
+        [int(x) for x in cnt],
+        [int(x) for x in tot],
+    )
+    for k, (c, s) in by_seg:
+        out_seg.append(k); out_pri.append("<all>"); out_n.append(c); out_t.append(s)
+    for k, (c, s) in by_pri:
+        out_seg.append("<all>"); out_pri.append(k); out_n.append(c); out_t.append(s)
+    for k, (c, s) in grand:
+        out_seg.append(k); out_pri.append(k); out_n.append(c); out_t.append(s)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out_seg, pa.string()),
+            "o_orderpriority": pa.array(out_pri, pa.string()),
+            "n_orders": pa.array(out_n, pa.int64()),
+            "total_cents": pa.array(out_t, pa.int64()),
+        }
+    )

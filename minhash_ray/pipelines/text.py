@@ -2048,3 +2048,34 @@ def bigram_familiarity(
         return famil_table(batch.column("doc_id"), s_cnt, n_freq)
 
     return joined.map_batches(score_joined, batch_format="pyarrow")
+
+
+def length_gate_docs(sf_dir: str, q: float = 0.1):
+    """(doc_id, n_tokens): documents whose whitespace token count is >=
+    the corpus's EXACT q-quantile token count — percentile-gated length
+    filtering, the data-driven form of the fixed ``min_tokens`` gate in
+    :func:`minhash_ray.pipelines.curation.corpus_curation` (cut chosen
+    from the corpus's own distribution instead of a config constant).
+
+    Scale shape: pass 1 is the :func:`token_quantiles` histogram fold
+    (per-batch (value, count) partials → tiny groupby → driver folds a
+    metadata-scale histogram into the exact order statistic; no global
+    sort); the scalar cut then rides into pass 2, a streaming
+    filter-and-project scan.  Two corpus scans, zero wide shuffles, and
+    the only driver-resident state is one integer."""
+    qt = token_quantiles(sf_dir, qs=(q,))
+    cut = int(qt.column("n_tokens")[0].as_py()) if qt.num_rows else 0
+
+    def gate(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch.column("text")))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empties = pc.equal(
+            pc.utf8_trim_whitespace(batch.column("text")), ""
+        ).to_numpy(zero_copy_only=False)
+        n[empties] = 0
+        t = pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
+        )
+        return t.filter(pa.array(n >= cut))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(gate, batch_format="pyarrow")

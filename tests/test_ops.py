@@ -66,7 +66,8 @@ SQL_QUERIES = [
     "chunk_documents", "global_shuffle_order", "token_bigram_counts",
     "cross_source_dups", "dup_graph_components", "dup_knn_graph",
     "curation_report", "bigram_familiarity", "retention_cohorts",
-    "dup_graph_triangles", "value_outliers",
+    "dup_graph_triangles", "value_outliers", "interarrival_stats",
+    "segment_priority_cube", "length_gate_docs",
 ]
 
 
@@ -444,10 +445,13 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
         top_orders_per_customer,
     )
 
+    from minhash_ray.pipelines.events import interarrival_stats
+
     for fn, kw in [
         (customers_without_orders, {}),
         (distinct_users_per_type, {}),
         (top_orders_per_customer, {}),
+        (interarrival_stats, {}),
     ]:
         a = _canon(_pdf(fn(sf_dir, num_partitions=3, **kw)))
         b = _canon(_pdf(fn(sf_dir, num_partitions=32, **kw)))
