@@ -703,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact per-type inter-arrival stats (per-(user,type) LAG deltas)
         # — SQL-checked against a DuckDB lag() oracle
         "interarrival_stats": events.interarrival_stats,
+        # cumulative per-user running value total (SUM OVER window shape)
+        # — SQL-checked against a DuckDB sum()-over-window oracle
+        "cumulative_user_value": events.cumulative_user_value,
         # CUBE(segment, priority) grouping sets: coarser sets derive from
         # the fine cells (SQL-checked against GROUP BY CUBE)
         "segment_priority_cube": relational.segment_priority_cube,
@@ -2761,6 +2764,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(delta) AS BIGINT) AS min_delta_us, "
             "CAST(max(delta) AS BIGINT) AS max_delta_us "
             "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "cumulative_user_value": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS cum_cents FROM events"
         ),
         "segment_priority_cube": (
             "SELECT COALESCE(c_mktsegment, '<all>') AS c_mktsegment, "

@@ -1226,3 +1226,54 @@ def interarrival_stats(sf_dir: str, num_partitions: int = 32):
             Max("max_delta_us", alias_name="max_delta_us"),
         )
     )
+
+
+def cumulative_user_value(sf_dir: str, num_partitions: int = 32):
+    """(event_id, user_id, cum_cents): each event annotated with the
+    running total of its user's value (in exact integer cents) up to and
+    including that event, ordered by (ts, event_id) — the cumulative-sum
+    window function (``SUM(...) OVER (PARTITION BY user ORDER BY ts)``),
+    the running-balance / lifetime-spend shape every event warehouse
+    needs and Ray Data has no native window operator for.
+
+    Scale shape: the same user-hash partition contract as
+    :func:`sessionize` (one USER's complete history per task — the unit a
+    running total is defined over — never the corpus), then one
+    within-partition lexsort by (user, ts, id) and a single vectorized
+    ``np.cumsum`` with per-user offsets subtracted (group-reset prefix
+    sum, no Python loop).  Output rows = input rows; the op is a pure
+    per-partition map, zero post-partition exchanges.
+    """
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "cum_cents": pa.array([], pa.int64()),
+                }
+            )
+        o, uid_s, _ts_s, ids_s, new_user, _user_start = _user_sorted(batch)
+        value = batch.column("value").to_numpy()
+        vc = np.floor(value * 100.0 + 0.5).astype(np.int64)[o]
+        cs = np.cumsum(vc)
+        # subtract the prefix ending just before each user's first row
+        grp = np.cumsum(new_user) - 1
+        starts = np.flatnonzero(new_user)
+        offsets = np.zeros(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            offsets[1:] = cs[starts[1:] - 1]
+        cum = cs - offsets[grp]
+        return pa.table(
+            {
+                "event_id": pa.array(ids_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "cum_cents": pa.array(cum, pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]), num_partitions
+    )
+    return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")

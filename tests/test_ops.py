@@ -67,7 +67,7 @@ SQL_QUERIES = [
     "cross_source_dups", "dup_graph_components", "dup_knn_graph",
     "curation_report", "bigram_familiarity", "retention_cohorts",
     "dup_graph_triangles", "value_outliers", "interarrival_stats",
-    "segment_priority_cube", "length_gate_docs",
+    "segment_priority_cube", "length_gate_docs", "cumulative_user_value",
 ]
 
 
@@ -445,13 +445,14 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
         top_orders_per_customer,
     )
 
-    from minhash_ray.pipelines.events import interarrival_stats
+    from minhash_ray.pipelines.events import cumulative_user_value, interarrival_stats
 
     for fn, kw in [
         (customers_without_orders, {}),
         (distinct_users_per_type, {}),
         (top_orders_per_customer, {}),
         (interarrival_stats, {}),
+        (cumulative_user_value, {}),
     ]:
         a = _canon(_pdf(fn(sf_dir, num_partitions=3, **kw)))
         b = _canon(_pdf(fn(sf_dir, num_partitions=32, **kw)))
