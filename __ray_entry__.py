@@ -706,6 +706,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cumulative per-user running value total (SUM OVER window shape)
         # — SQL-checked against a DuckDB sum()-over-window oracle
         "cumulative_user_value": events.cumulative_user_value,
+        # schema-on-read JSON property extraction + per-type stats
+        # — SQL-checked against a DuckDB json_extract_string oracle
+        "props_field_stats": events.props_field_stats,
         # CUBE(segment, priority) grouping sets: coarser sets derive from
         # the fine cells (SQL-checked against GROUP BY CUBE)
         "segment_priority_cube": relational.segment_priority_cube,
@@ -2764,6 +2767,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(delta) AS BIGINT) AS min_delta_us, "
             "CAST(max(delta) AS BIGINT) AS max_delta_us "
             "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "props_field_stats": (
+            "WITH x AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS v "
+            "FROM events) "
+            "SELECT event_type, count(*) AS n_with_field, "
+            "CAST(sum(v) AS BIGINT) AS sum_v, "
+            "CAST(min(v) AS BIGINT) AS min_v, "
+            "CAST(max(v) AS BIGINT) AS max_v "
+            "FROM x WHERE v IS NOT NULL GROUP BY event_type"
         ),
         "cumulative_user_value": (
             "SELECT event_id, user_id, "

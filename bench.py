@@ -250,6 +250,7 @@ def run_bench() -> dict:
         ("value_outliers", events.value_outliers),
         ("interarrival_stats", events.interarrival_stats),
         ("cumulative_user_value", events.cumulative_user_value),
+        ("props_field_stats", events.props_field_stats),
         ("segment_priority_cube", relational.segment_priority_cube),
         ("length_gate_docs", text.length_gate_docs),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),

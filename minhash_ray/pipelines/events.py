@@ -1277,3 +1277,77 @@ def cumulative_user_value(sf_dir: str, num_partitions: int = 32):
         _events(sf_dir, ["event_id", "user_id", "ts", "value"]), num_partitions
     )
     return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
+
+
+def props_field_stats(sf_dir: str, field: str = "k"):
+    """(event_type, n_with_field, sum_v, min_v, max_v): exact integer
+    statistics of a JSON property extracted from the semi-structured
+    ``props`` column, per event type — the schema-on-read projection
+    every event log needs (payloads arrive as JSON strings; analytics
+    want typed columns).
+
+    Scale shape: extraction is one vectorized RE2 ``extract_regex`` per
+    batch (pyarrow has no JSON kernel; the anchored ``"field": int``
+    pattern is exact for flat integer fields — nested/typed payloads
+    would swap this stage for an actor-pool ``orjson`` parser with the
+    same downstream), rows lacking the field drop out as nulls, then the
+    standard partial→final mergeable fold: per-batch Arrow group_by
+    partials, one tiny |event types|-row exchange.
+    """
+    import re
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    pattern = '"' + re.escape(field) + '":\\s*(?P<v>-?\\d+)'
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_with_field": pa.array([], pa.int64()),
+            "sum_v": pa.array([], pa.int64()),
+            "min_v": pa.array([], pa.int64()),
+            "max_v": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ex = pc.extract_regex(props, pattern)
+        valid = pc.is_valid(ex)
+        if not pc.any(valid).as_py():
+            return empty
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "v": pc.cast(pc.struct_field(ex, "v"), pa.int64()),
+            }
+        ).filter(valid)
+        agg = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("v", "sum"), ("v", "min"), ("v", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "n_with_field": pc.cast(agg.column("count_all"), pa.int64()),
+                "sum_v": pc.cast(agg.column("v_sum"), pa.int64()),
+                "min_v": pc.cast(agg.column("v_min"), pa.int64()),
+                "max_v": pc.cast(agg.column("v_max"), pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_with_field", alias_name="n_with_field"),
+            Sum("sum_v", alias_name="sum_v"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+    )

@@ -68,6 +68,7 @@ SQL_QUERIES = [
     "curation_report", "bigram_familiarity", "retention_cohorts",
     "dup_graph_triangles", "value_outliers", "interarrival_stats",
     "segment_priority_cube", "length_gate_docs", "cumulative_user_value",
+    "props_field_stats",
 ]
 
 
