@@ -715,6 +715,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percentile-gated length filter (exact global q-quantile cut)
         # — SQL-checked against a row_number quantile + filter oracle
         "length_gate_docs": text.length_gate_docs,
+        # Gopher-rules composite quality gate (exact integer rule forms)
+        # — SQL-checked against an unnest-token aggregate oracle
+        "gopher_quality_gate": text.gopher_quality_gate,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---
@@ -2767,6 +2770,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(delta) AS BIGINT) AS min_delta_us, "
             "CAST(max(delta) AS BIGINT) AS max_delta_us "
             "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "gopher_quality_gate": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS w "
+            "FROM documents WHERE trim(text) <> ''), "
+            "agg AS (SELECT doc_id, count(*) AS n_tokens, "
+            "CAST(sum(length(w)) AS BIGINT) AS tok_chars, "
+            "CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_alpha_tokens, "
+            "CAST(count(DISTINCT CASE WHEN w IN "
+            "('the','a','of','to','and','in') THEN w END) AS BIGINT) "
+            "AS n_stopwords FROM tok GROUP BY doc_id), "
+            "f AS (SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, "
+            "COALESCE(a.tok_chars, 0) AS tok_chars, "
+            "COALESCE(a.n_alpha_tokens, 0) AS n_alpha_tokens, "
+            "COALESCE(a.n_stopwords, 0) AS n_stopwords "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)) "
+            "SELECT doc_id, n_tokens, tok_chars, n_alpha_tokens, n_stopwords, "
+            "(n_tokens >= 10 AND n_tokens <= 100000 "
+            "AND 10 * tok_chars >= 20 * n_tokens "
+            "AND 10 * tok_chars <= 120 * n_tokens "
+            "AND 100 * n_alpha_tokens >= 80 * n_tokens "
+            "AND n_stopwords >= 2) AS keep FROM f"
         ),
         "props_field_stats": (
             "WITH x AS (SELECT event_type, "

@@ -2079,3 +2079,91 @@ def length_gate_docs(sf_dir: str, q: float = 0.1):
         return t.filter(pa.array(n >= cut))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(gate, batch_format="pyarrow")
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def gopher_quality_gate(
+    sf_dir: str,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_len_x10: int = 20,
+    max_mean_len_x10: int = 120,
+    min_alpha_pct: int = 80,
+    min_stopwords: int = 2,
+):
+    """(doc_id, n_tokens, tok_chars, n_alpha_tokens, n_stopwords, keep):
+    a Gopher-rules-style composite quality gate (Rae et al. 2021, "Scaling
+    Language Models", Appendix A) — token-count bounds, mean-word-length
+    bounds, minimum alphabetic-token fraction, and a minimum number of
+    DISTINCT stopwords present.  Every rule is decided in exact integer
+    arithmetic by cross-multiplication (mean length bounds are supplied
+    ×10, the alpha fraction as a percent), so the keep flag is
+    bit-reproducible and the whole gate SQL-expressible.
+
+    Scale shape: one streaming pass; per-token predicates run on the
+    FLATTENED token array (``pc.list_flatten`` + one vectorized regex /
+    equality scan each, folded back per doc with ``np.add.reduceat`` over
+    the list offsets — never a Python loop over rows or tokens).  Rows
+    out = rows in; the flag (not a filter) so downstream composites can
+    route kept/dropped docs without a second scan."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(text)
+        toks = pc.utf8_split_whitespace(trimmed).combine_chunks() \
+            if isinstance(pc.utf8_split_whitespace(trimmed), pa.ChunkedArray) \
+            else pc.utf8_split_whitespace(trimmed)
+        n = len(text)
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empties = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n_tok[empties] = 0
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = pc.list_flatten(toks)
+        flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+        def fold(per_tok: np.ndarray) -> np.ndarray:
+            out = np.zeros(n, dtype=np.int64)
+            has = np.flatnonzero(n_tok > 0)
+            if len(has):
+                sums = np.add.reduceat(per_tok, offsets[:-1][has])
+                # reduceat with duplicate/trailing starts is avoided by
+                # only reducing at docs that own >=1 token
+                out[has] = sums
+            return out
+
+        tok_chars = fold(flat_len)
+        n_alpha = fold(flat_alpha)
+        n_stop = np.zeros(n, dtype=np.int64)
+        for sw in GOPHER_STOPWORDS:
+            present = fold(
+                pc.equal(flat, sw).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            n_stop += (present > 0).astype(np.int64)
+        keep = (
+            (n_tok >= min_tokens)
+            & (n_tok <= max_tokens)
+            & (10 * tok_chars >= min_mean_len_x10 * n_tok)
+            & (10 * tok_chars <= max_mean_len_x10 * n_tok)
+            & (100 * n_alpha >= min_alpha_pct * n_tok)
+            & (n_stop >= min_stopwords)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "tok_chars": pa.array(tok_chars, pa.int64()),
+                "n_alpha_tokens": pa.array(n_alpha, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

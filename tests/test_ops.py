@@ -68,7 +68,7 @@ SQL_QUERIES = [
     "curation_report", "bigram_familiarity", "retention_cohorts",
     "dup_graph_triangles", "value_outliers", "interarrival_stats",
     "segment_priority_cube", "length_gate_docs", "cumulative_user_value",
-    "props_field_stats",
+    "props_field_stats", "gopher_quality_gate",
 ]
 
 
@@ -1629,3 +1629,48 @@ def test_value_outliers_planted(ray_session, tmp_path):
     out = _pdf(value_outliers(str(d)))
     assert set(out.event_id) == {20}
     assert out.loc[out.event_id == 20, "value_cents"].iloc[0] == 100000
+
+
+def test_gopher_gate_rules_trigger_on_planted_docs(ray_session, tmp_path):
+    """Planted edge docs: each rule of the composite gate flips keep=False
+    for exactly the doc built to violate it (the testdata corpus never
+    violates the alpha/stopword rules, so the parametrized oracle check
+    alone can't exercise them); the planted fixture also re-checks oracle
+    agreement so both engines see identical rule semantics on the edges."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    good = "the cat sat of the mat and ran to town in style " * 3
+    texts = [
+        good,                                   # 0: passes every rule
+        "the a of",                             # 1: too few tokens
+        good.replace("cat", "123").replace("sat", "456")
+            .replace("mat", "789").replace("ran", "000")
+            .replace("town", "111").replace("style", "222"),  # 2: alpha frac
+        "cat sat mat ran town style park door " * 2,          # 3: no stopwords
+        "",                                     # 4: empty
+        ("a " * 11) + "supercalifragilisticexpialidocious" * 3,  # 5: mean len
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    from minhash_ray.pipelines.text import gopher_quality_gate
+
+    out = _pdf(gopher_quality_gate(str(d))).set_index("doc_id").sort_index()
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1:, "keep"].any()
+    assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "n_stopwords"] == 0
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    odf = _canon(con.execute(E.oracle_sql()["gopher_quality_gate"]).fetchdf())
+    assert _canon(out.reset_index()).equals(odf)
