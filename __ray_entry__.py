@@ -205,6 +205,37 @@ def _audio_exact_dedup_sql() -> str:
     )
 
 
+def audio_chunk_plan(sf_dir: str):
+    """Fixed-duration chunk boundaries (samples) for every clip, derived
+    from the pcm_s16le payload length (pipelines/multimodal.py)."""
+    from minhash_ray.pipelines.multimodal import audio_chunk_plan as fn
+    from minhash_ray.sources.clips import read_clips
+    from minhash_ray.sources.synth import clips_dir_for
+
+    d = clips_dir_for(sf_dir)
+    clips = read_clips(
+        os.path.join(d, "clips.parquet"), columns=["clip_id", "sr_hz", "bytes"]
+    )
+    return fn(clips)
+
+
+def _audio_chunk_plan_sql(window_ms: int = 250, hop_ms: int = 250) -> str:
+    path = _clips_parquet_path()
+    return (
+        "WITH c AS (SELECT clip_id, "
+        "CAST(octet_length(bytes) // 2 AS BIGINT) AS n_smp, "
+        f"CAST(greatest(({window_ms} * sr_hz) // 1000, 1) AS BIGINT) AS win, "
+        f"CAST(greatest(({hop_ms} * sr_hz) // 1000, 1) AS BIGINT) AS hop "
+        f"FROM read_parquet('{path}')) "
+        ", ks AS (SELECT unnest(generate_series(0, "
+        "(SELECT max((n_smp + hop - 1) // hop) FROM c) - 1)) AS k) "
+        "SELECT clip_id, CAST(k AS BIGINT) AS chunk_idx, "
+        "CAST(k * hop AS BIGINT) AS start_smp, "
+        "CAST(least(k * hop + win, n_smp) AS BIGINT) AS end_smp "
+        "FROM c JOIN ks ON ks.k < (c.n_smp + c.hop - 1) // c.hop"
+    )
+
+
 def audio_frame_features(sf_dir: str):
     from minhash_ray.pipelines.multimodal import audio_frame_features as affn
 
@@ -743,6 +774,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- audio-payload ops (SQL-checked: oracle groups by the raw
         # BLOB, engine by its 128-bit payload digest) ---
         "audio_stats": audio_stats,
+        # windowed segmentation plan over the pcm payloads — SQL-checked
+        # against a generate_series oracle on the same clips parquet
+        "audio_chunk_plan": audio_chunk_plan,
         # per-clip decoded-sample QC (exact-integer energy/peak/clipping/
         # silence) — rows-only: SQL cannot decode PCM16; pytest-mirrored
         "audio_energy_stats": audio_energy_stats,
@@ -2460,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         # the engine shuffles a 128-bit payload digest instead — an
         # independent identity check of the digest channel
         "audio_stats": _audio_stats_sql(),
+        "audio_chunk_plan": _audio_chunk_plan_sql(),
         "clips_rate_outliers": _rate_outliers_sql(),
         "audio_exact_dedup": _audio_exact_dedup_sql(),
         "simhash_fingerprints": _simhash_sql(),

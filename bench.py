@@ -153,6 +153,7 @@ def run_bench() -> dict:
     from minhash_ray.pipelines.audio import audio_stats as _ast
     from minhash_ray.pipelines.audio import audio_energy_stats as _aes
     from minhash_ray.pipelines.audio import transcript_rate_flags as _rate_flags
+    from minhash_ray.pipelines.multimodal import audio_chunk_plan as _chunk_plan
     from minhash_ray.pipelines.dedup import run_dedup_tiered as _rdt
 
     def _audio_stats(_sf):
@@ -259,6 +260,8 @@ def run_bench() -> dict:
         ("audio_energy_stats", lambda _sf: _aes(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),
         ("audio_stats", _audio_stats),
+        ("audio_chunk_plan", lambda _sf: _chunk_plan(
+            read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),
     ):

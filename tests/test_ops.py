@@ -68,7 +68,7 @@ SQL_QUERIES = [
     "curation_report", "bigram_familiarity", "retention_cohorts",
     "dup_graph_triangles", "value_outliers", "interarrival_stats",
     "segment_priority_cube", "length_gate_docs", "cumulative_user_value",
-    "props_field_stats", "gopher_quality_gate",
+    "props_field_stats", "gopher_quality_gate", "audio_chunk_plan",
 ]
 
 
@@ -1674,3 +1674,43 @@ def test_gopher_gate_rules_trigger_on_planted_docs(ray_session, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
     odf = _canon(con.execute(E.oracle_sql()["gopher_quality_gate"]).fetchdf())
     assert _canon(out.reset_index()).equals(odf)
+
+
+def test_audio_chunk_bytes_tiles_and_overlaps(ray_session, sf_dir):
+    """hop == window tiles the payload exactly (concatenating a clip's
+    chunks reproduces its even-length byte prefix); hop = window/2 doubles
+    chunk count (±1 tail) and every chunk's bytes equal the payload slice
+    its plan row claims; the plan op is the bytes op minus the payload."""
+    import os
+
+    from minhash_ray.pipelines.multimodal import audio_chunk_bytes, audio_chunk_plan
+    from minhash_ray.sources.clips import read_clips
+    from minhash_ray.sources.synth import clips_dir_for
+
+    p = os.path.join(clips_dir_for(sf_dir), "clips.parquet")
+    clips = read_clips(p, columns=["clip_id", "sr_hz", "bytes"])
+    out = _pdf(audio_chunk_bytes(clips, window_ms=250, hop_ms=250))
+    plan = _canon(_pdf(audio_chunk_plan(clips, window_ms=250, hop_ms=250)))
+    assert _canon(out.drop(columns=["bytes"])).equals(plan)
+
+    import pyarrow.parquet as pq
+
+    orig = (
+        pq.read_table(p, columns=["clip_id", "bytes"])
+        .to_pandas()
+        .set_index("clip_id")["bytes"]
+    )
+    grouped = out.sort_values(["clip_id", "chunk_idx"]).groupby("clip_id")
+    n_tile = {}
+    for cid, grp in grouped:
+        cat = b"".join(grp["bytes"])
+        b = orig[cid]
+        assert cat == b[: 2 * (len(b) // 2)]
+        n_tile[cid] = len(grp)
+
+    ov = _pdf(audio_chunk_bytes(clips, window_ms=250, hop_ms=125))
+    for cid, grp in ov.sort_values(["clip_id", "chunk_idx"]).groupby("clip_id"):
+        assert len(grp) in (2 * n_tile[cid] - 1, 2 * n_tile[cid])
+        b = orig[cid]
+        for _, r in grp.head(3).iterrows():
+            assert r["bytes"] == b[2 * r["start_smp"]: 2 * r["end_smp"]]
