@@ -749,6 +749,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-rules composite quality gate (exact integer rule forms)
         # — SQL-checked against an unnest-token aggregate oracle
         "gopher_quality_gate": text.gopher_quality_gate,
+        # inverted-index sample: k smallest doc_ids per term — SQL-checked
+        # against a row_number-over-distinct-postings oracle
+        "posting_lists": text.posting_lists,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---
@@ -2805,6 +2808,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(delta) AS BIGINT) AS min_delta_us, "
             "CAST(max(delta) AS BIGINT) AS max_delta_us "
             "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "posting_lists": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS term "
+            "FROM documents WHERE trim(text) <> ''), "
+            "d AS (SELECT DISTINCT term, doc_id FROM tok), "
+            "r AS (SELECT term, doc_id, row_number() OVER ("
+            "  PARTITION BY term ORDER BY doc_id) AS rank FROM d) "
+            "SELECT term, CAST(rank AS BIGINT) AS rank, doc_id "
+            "FROM r WHERE rank <= 5"
         ),
         "gopher_quality_gate": (
             "WITH tok AS (SELECT doc_id, "

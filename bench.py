@@ -255,6 +255,7 @@ def run_bench() -> dict:
         ("segment_priority_cube", relational.segment_priority_cube),
         ("length_gate_docs", text.length_gate_docs),
         ("gopher_quality_gate", text.gopher_quality_gate),
+        ("posting_lists", text.posting_lists),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_energy_stats", lambda _sf: _aes(

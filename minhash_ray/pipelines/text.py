@@ -2167,3 +2167,76 @@ def gopher_quality_gate(
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def posting_lists(sf_dir: str, k: int = 5, num_partitions: int = 8):
+    """(term, rank, doc_id): an inverted-index sample — for every
+    vocabulary term, the ``k`` smallest doc_ids containing it, rank 1-based
+    in doc_id order.  The index-construction primitive behind retrieval /
+    exact-match decontamination lookups (posting lists, truncated to a
+    bounded sample per term so the output is |vocab|·k no matter the
+    corpus size).
+
+    Scale shape: per batch, DISTINCT (term, doc) pairs via an Arrow
+    group_by, then a vectorized per-term k-min selection (lexsort + run
+    detection — each batch emits ≤ k rows per term it saw); partials fold
+    through the term-hash partition (:func:`minhash_ray.util.fold_by_str_key`
+    — vocabulary scales with the corpus, so terms must never become Ray
+    aggregate groups) where the same k-min selection merges them.  The
+    k-min statistic is mergeable, so no stage ever holds more than
+    (terms-in-partition × k) rows."""
+
+    def kmin(t: pa.Table) -> pa.Table:
+        term = t.column("term")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        enc = term.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        docs = t.column("doc_id").to_numpy()
+        o = np.lexsort((docs, codes))
+        code_s, doc_s = codes[o], docs[o]
+        n = len(o)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = code_s[1:] != code_s[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - start + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(code_s[keep], pa.int64())),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "doc_id": pa.array(doc_s[keep], pa.int64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(text)
+        toks = pc.utf8_split_whitespace(trimmed)
+        # true per-row list widths (an empty doc splits to [""], which
+        # must not become a posting) — repeat by the raw width, then drop
+        # empty tokens from BOTH columns with one mask
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        docs = np.repeat(batch.column("doc_id").to_numpy(), n_tok)
+        nonempty = pc.not_equal(flat, "")
+        pairs = (
+            pa.table({"term": flat, "doc_id": pa.array(docs, pa.int64())})
+            .filter(nonempty)
+            .group_by(["term", "doc_id"])
+            .aggregate([])
+        )
+        return kmin(pairs)
+
+    def final(t: pa.Table) -> pa.Table:
+        return kmin(t.drop_columns(["rank"]))
+
+    from minhash_ray.util import fold_by_str_key
+
+    return fold_by_str_key(
+        _docs(sf_dir, ["doc_id", "text"]), "term", partial, final, num_partitions
+    )
