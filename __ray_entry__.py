@@ -341,6 +341,17 @@ def audio_dup_pairs_q(sf_dir: str):
     return audio_dup_pairs(clips)
 
 
+def audio_containment_pairs_q(sf_dir: str):
+    """(clip_id_a, clip_id_b, n_matched_a, n_chunks_a, n_matched_b,
+    n_chunks_b) — chunk-level partial-overlap (containment) audio pairs
+    (rows-only: OPH/LSH estimator; planted half-clip containment is
+    pytest-asserted)."""
+    from minhash_ray.pipelines.audio import audio_containment_pairs
+
+    clips, _ = _clips_ds(sf_dir)
+    return audio_containment_pairs(clips)
+
+
 def audio_exact_dedup(sf_dir: str):
     """Exact byte-identical audio dedup: (clip_id, rep_clip_id,
     group_size) — the audio exact tier (pipelines/audio.py)."""
@@ -790,6 +801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate; rows-only — float sketch semantics, pytest-covered
         # against the fixture's planted near_audio truth pairs)
         "audio_dup_pairs": audio_dup_pairs_q,
+        # chunk-level partial-overlap containment pairs (rows-only:
+        # LSH/OPH; planted containment pytest-asserted)
+        "audio_containment_pairs": audio_containment_pairs_q,
     }
 
 

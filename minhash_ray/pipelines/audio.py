@@ -419,3 +419,269 @@ def pair_snr(clips, edges, min_snr_db: float = 30.0, num_partitions: int = 8):
         )
 
     return ab.map_batches(score, batch_format="pyarrow")
+
+
+def audio_containment_pairs(
+    clips,
+    cfg=None,
+    window_ms: int = 250,
+    hop_ms: int = 250,
+    tau: float | None = None,
+    containment_pct: int = 60,
+    num_partitions: int = 8,
+):
+    """Partial-overlap (containment) audio near-dup pairs: (clip_id_a,
+    clip_id_b, n_matched_a, n_chunks_a, n_matched_b, n_chunks_b) where at
+    least ``containment_pct`` percent of ONE side's chunks near-match a
+    chunk of the other — the trims / excerpts / concatenations that
+    whole-clip fingerprints structurally miss (a clip embedded in a 2×
+    longer one shares only ~half its grams, far below ``audio_tau``).
+
+    How: every clip is segmented into (window, hop) pcm chunks (the
+    :func:`minhash_ray.pipelines.multimodal.audio_chunk_plan` geometry —
+    one vectorized gather per batch), each CHUNK gets the byte-OPH sketch
+    (content-defined gram sampling keeps chunk sketches robust to modest
+    boundary misalignment), and the chunks ride the UNCHANGED production
+    LSH machinery — band map, salted bucket shuffle, join-attach verify —
+    under composite ``clip#chunk`` ids.  Matched chunk pairs then fold to
+    clip pairs: DISTINCT matched chunks per side over a pair-key hash
+    partition, two slim joins attach per-clip chunk totals, and the
+    directional gate is exact integer cross-multiplication.  Nothing is
+    driver-resident; every stage is the flagship's scale shape.
+
+    Contract: ``#`` must not appear in clip ids (composite id separator;
+    the id is recovered with an anchored RE2 split on the LAST ``#``)."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.functions.audio import (
+        audio_similarity,
+        byte_oph_signatures_flat,
+    )
+    from minhash_ray.pipelines.multimodal import _chunk_geometry
+    from minhash_ray.stages.banding import make_audio_band_fn
+    from minhash_ray.stages.candidates import candidate_pairs
+    from minhash_ray.stages.verify import _pack_u64_column, _unpack_u64_column
+    from minhash_ray.util import clamp_partitions, fold_by_str_key, strip_empty_blocks
+
+    cfg = cfg or PipelineConfig()
+    tau = cfg.audio_tau if tau is None else tau
+    np_parts = clamp_partitions(num_partitions)
+    k = cfg.audio_num_perm
+
+    def chunk_sigs(batch: pa.Table) -> pa.Table:
+        payload, _, row, kk, start, end = _chunk_geometry(batch, window_ms, hop_ms)
+        ids = batch.column("clip_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        empty = pa.table(
+            {
+                "clip_id": pa.array([], pa.string()),
+                "chunk_id": pa.array([], pa.string()),
+                "audio_sig": pa.array(
+                    [], pa.list_(pa.uint64(), cfg.audio_num_perm)
+                ),
+            }
+        )
+        if len(row) == 0:
+            return empty
+        buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+        off_buf = np.frombuffer(payload.buffers()[1], dtype=np.int32)
+        val_off = off_buf[payload.offset: payload.offset + len(payload) + 1].astype(
+            np.int64
+        )
+        byte_start = val_off[:-1][row] + 2 * start
+        byte_len = 2 * (end - start)
+        out_off = np.zeros(len(row) + 1, dtype=np.int64)
+        np.cumsum(byte_len, out=out_off[1:])
+        idx = np.repeat(byte_start - out_off[:-1], byte_len) + np.arange(
+            int(out_off[-1]), dtype=np.int64
+        )
+        values = np.ascontiguousarray(buf[idx])
+        sig = byte_oph_signatures_flat(
+            values, out_off, cfg.audio_num_perm, cfg.audio_ngram, cfg.seed
+        )
+        clip = ids.take(pa.array(row, pa.int64()))
+        chunk_id = pc.binary_join_element_wise(
+            clip, pc.cast(pa.array(kk, pa.int64()), pa.string()), "#"
+        )
+        return pa.table(
+            {
+                "clip_id": clip,
+                "chunk_id": chunk_id,
+                "audio_sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1), pa.uint64()), cfg.audio_num_perm
+                ),
+            }
+        )
+
+    sigs = clips.map_batches(
+        chunk_sigs, batch_format="pyarrow", batch_size=cfg.batch_size or None
+    ).materialize()
+
+    # per-clip chunk totals (slim fold: chunk counts, never payloads)
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select(["clip_id"])
+            .group_by("clip_id")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "clip_id": agg.column("clip_id"),
+                "n_chunks": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    def cnt_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("clip_id").aggregate([("n_chunks", "sum")])
+        return pa.table(
+            {
+                "clip_id": agg.column("clip_id"),
+                "n_chunks": pc.cast(agg.column("n_chunks_sum"), pa.int64()),
+            }
+        )
+
+    chunk_counts = fold_by_str_key(sigs, "clip_id", cnt_partial, cnt_final, np_parts)
+
+    band_rows = sigs.map_batches(
+        lambda b: pa.table(
+            {"clip_id": b.column("chunk_id"), "audio_sig": b.column("audio_sig")}
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        make_audio_band_fn(
+            cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm,
+            min_filled=cfg.audio_min_filled,
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = candidate_pairs(band_rows, cfg, num_partitions=np_parts).materialize()
+
+    def side(suffix: str):
+        def pack(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "chunk_id": batch.column("chunk_id"),
+                    f"as_{suffix}": _pack_u64_column(batch.column("audio_sig")),
+                }
+            )
+
+        return sigs.map_batches(pack, batch_format="pyarrow")
+
+    with_a = pairs.join(
+        side("a"), join_type="inner", on=("clip_id_a",), right_on=("chunk_id",),
+        num_partitions=np_parts,
+    )
+    with_ab = strip_empty_blocks(with_a).join(
+        side("b"), join_type="inner", on=("clip_id_b",), right_on=("chunk_id",),
+        num_partitions=np_parts,
+    )
+
+    min_filled = cfg.audio_min_filled
+    split_pat = "^(?P<clip>.*)#(?P<idx>[0-9]+)$"
+
+    def verify(batch: pa.Table) -> pa.Table:
+        fa, _ = _unpack_u64_column(batch.column("as_a"))
+        fb, _ = _unpack_u64_column(batch.column("as_b"))
+        sim = audio_similarity(
+            fa.reshape(-1, k), fb.reshape(-1, k), min_filled=min_filled
+        )
+        keep = pa.array(sim >= tau)
+        ca = pc.extract_regex(batch.column("clip_id_a"), split_pat)
+        cb = pc.extract_regex(batch.column("clip_id_b"), split_pat)
+        t = pa.table(
+            {
+                "clip_a": pc.struct_field(ca, "clip"),
+                "ka": pc.cast(pc.struct_field(ca, "idx"), pa.int64()),
+                "clip_b": pc.struct_field(cb, "clip"),
+                "kb": pc.cast(pc.struct_field(cb, "idx"), pa.int64()),
+            }
+        ).filter(keep)
+        # drop same-clip chunk matches, canonicalize clip order
+        t = t.filter(pc.not_equal(t.column("clip_a"), t.column("clip_b")))
+        swap = pc.greater(t.column("clip_a"), t.column("clip_b")).to_numpy(
+            zero_copy_only=False
+        )
+        sw = pa.array(swap)
+        return pa.table(
+            {
+                "clip_id_a": pc.if_else(sw, t.column("clip_b"), t.column("clip_a")),
+                "ka": pc.if_else(sw, t.column("kb"), t.column("ka")),
+                "clip_id_b": pc.if_else(sw, t.column("clip_a"), t.column("clip_b")),
+                "kb": pc.if_else(sw, t.column("ka"), t.column("kb")),
+            }
+        )
+
+    matches = with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+
+    # fold matched chunk pairs → per-pair DISTINCT matched chunks per side.
+    # pair co-location only needs ONE side's key: hashing clip_id_a puts
+    # every (a, *) pair in one partition, where the (a, b) group is whole.
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(
+            ["clip_id_a", "clip_id_b", "ka", "kb"]
+        ).aggregate([])
+
+    def pair_final(t: pa.Table) -> pa.Table:
+        da = (
+            t.select(["clip_id_a", "clip_id_b", "ka"])
+            .group_by(["clip_id_a", "clip_id_b", "ka"]).aggregate([])
+            .group_by(["clip_id_a", "clip_id_b"]).aggregate([([], "count_all")])
+        )
+        db = (
+            t.select(["clip_id_a", "clip_id_b", "kb"])
+            .group_by(["clip_id_a", "clip_id_b", "kb"]).aggregate([])
+            .group_by(["clip_id_a", "clip_id_b"]).aggregate([([], "count_all")])
+        )
+        j = da.join(
+            db, keys=["clip_id_a", "clip_id_b"], join_type="inner",
+            right_suffix="_b",
+        )
+        return pa.table(
+            {
+                "clip_id_a": j.column("clip_id_a"),
+                "clip_id_b": j.column("clip_id_b"),
+                "n_matched_a": pc.cast(j.column("count_all"), pa.int64()),
+                "n_matched_b": pc.cast(j.column("count_all_b"), pa.int64()),
+            }
+        )
+
+    pair_stats = fold_by_str_key(
+        matches, "clip_id_a", pair_partial, pair_final, np_parts
+    )
+
+    with_na = strip_empty_blocks(pair_stats).join(
+        chunk_counts, join_type="inner", on=("clip_id_a",), right_on=("clip_id",),
+        num_partitions=np_parts,
+    )
+
+    def rename_na(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["n_chunks_a" if c == "n_chunks" else c for c in b.column_names]
+        )
+
+    with_nab = strip_empty_blocks(with_na.map_batches(rename_na, batch_format="pyarrow")).join(
+        chunk_counts, join_type="inner", on=("clip_id_b",), right_on=("clip_id",),
+        num_partitions=np_parts,
+    )
+
+    pct = int(containment_pct)
+
+    def gate(b: pa.Table) -> pa.Table:
+        ma = b.column("n_matched_a").to_numpy()
+        mb = b.column("n_matched_b").to_numpy()
+        na = b.column("n_chunks_a").to_numpy()
+        nb = b.column("n_chunks").to_numpy()
+        keep = (100 * ma >= pct * na) | (100 * mb >= pct * nb)
+        t = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "clip_id_a": t.column("clip_id_a"),
+                "clip_id_b": t.column("clip_id_b"),
+                "n_matched_a": t.column("n_matched_a"),
+                "n_chunks_a": t.column("n_chunks_a"),
+                "n_matched_b": t.column("n_matched_b"),
+                "n_chunks_b": t.column("n_chunks"),
+            }
+        )
+
+    return with_nab.map_batches(gate, batch_format="pyarrow")

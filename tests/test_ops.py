@@ -1715,3 +1715,55 @@ def test_audio_chunk_bytes_tiles_and_overlaps(ray_session, sf_dir):
         b = orig[cid]
         for _, r in grp.head(3).iterrows():
             assert r["bytes"] == b[2 * r["start_smp"]: 2 * r["end_smp"]]
+
+
+def test_audio_containment_finds_planted_partial_overlap(ray_session, tmp_path):
+    """A clip that is the exact second half of a longer clip: whole-clip
+    audio LSH structurally misses the pair (shared grams ~= the length
+    ratio, far below audio_tau) while chunk-level containment flags it
+    with the contained side 100% matched; an unrelated clip stays out."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.functions.audio import encode_pcm, synth_waveform
+    from minhash_ray.pipelines.audio import audio_containment_pairs, audio_dup_pairs
+    from minhash_ray.sources.clips import read_clips
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    wa = synth_waveform(rng, sr, 2000)
+    wc = synth_waveform(rng, sr, 2000)
+    payloads = {
+        "clipA": encode_pcm(wa),
+        "clipB": encode_pcm(wa[len(wa) // 2:]),
+        "clipC": encode_pcm(wc),
+    }
+    ids = sorted(payloads)
+    t = pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array([payloads[i] for i in ids], pa.binary()),
+            "sr_hz": pa.array([sr] * 3, pa.int32()),
+            "dur_ms": pa.array(
+                [len(payloads[i]) // 2 * 1000 // sr for i in ids], pa.int32()
+            ),
+            "codec": pa.array(["pcm_s16le"] * 3, pa.string()),
+            "transcript": pa.array(["x y z"] * 3, pa.string()),
+        }
+    )
+    p = tmp_path / "clips.parquet"
+    pq.write_table(t, str(p))
+
+    out = _pdf(audio_containment_pairs(read_clips(str(p)), num_partitions=4))
+    pairs = set(zip(out["clip_id_a"], out["clip_id_b"]))
+    assert ("clipA", "clipB") in pairs
+    row = out.set_index(["clip_id_a", "clip_id_b"]).loc[("clipA", "clipB")]
+    assert row["n_matched_b"] == row["n_chunks_b"] == 4
+    assert row["n_chunks_a"] == 8
+    assert not any("clipC" in a or "clipC" in b for a, b in pairs)
+
+    whole = _pdf(audio_dup_pairs(read_clips(str(p)), num_partitions=4))
+    # an empty result arrives column-less; either way the pair is absent
+    whole_pairs = (
+        set(zip(whole["clip_id_a"], whole["clip_id_b"])) if len(whole) else set()
+    )
+    assert ("clipA", "clipB") not in whole_pairs
