@@ -763,6 +763,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inverted-index sample: k smallest doc_ids per term — SQL-checked
         # against a row_number-over-distinct-postings oracle
         "posting_lists": text.posting_lists,
+        # language × source crosstab (fixed-schema pivot inside the
+        # source-hash fold) — SQL-checked against a CASE-sum oracle
+        "lang_source_pivot": text.lang_source_pivot,
+        # fixed-width integer-cents value histogram — SQL-checked against
+        # a floor-division bucket oracle
+        "value_histogram": events.value_histogram,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---
@@ -2822,6 +2828,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(delta) AS BIGINT) AS min_delta_us, "
             "CAST(max(delta) AS BIGINT) AS max_delta_us "
             "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "lang_source_pivot": (
+            "SELECT source, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_{l}"
+                for l in ("de", "en", "es", "fr", "zh")
+            )
+            + ", CAST(sum(CASE WHEN lang NOT IN "
+            "('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_other "
+            "FROM documents GROUP BY source"
+        ),
+        "value_histogram": (
+            "WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM events) "
+            "SELECT CAST(floor(cents / 500.0) AS BIGINT) * 500 AS bin_lo_cents, "
+            "count(*) AS n_events FROM c GROUP BY 1"
         ),
         "posting_lists": (
             "WITH tok AS (SELECT doc_id, "

@@ -257,6 +257,8 @@ def run_bench() -> dict:
         ("length_gate_docs", text.length_gate_docs),
         ("gopher_quality_gate", text.gopher_quality_gate),
         ("posting_lists", text.posting_lists),
+        ("lang_source_pivot", text.lang_source_pivot),
+        ("value_histogram", events.value_histogram),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_containment_pairs", lambda _sf: _acp(
             read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),

@@ -1351,3 +1351,40 @@ def props_field_stats(sf_dir: str, field: str = "k"):
             Max("max_v", alias_name="max_v"),
         )
     )
+
+
+def value_histogram(sf_dir: str, bin_cents: int = 500):
+    """(bin_lo_cents, n_events): fixed-width histogram of event values in
+    exact integer cents (floored bin start; negative values floor toward
+    -inf, matching SQL integer-division-with-floor semantics) — the
+    distribution profile behind threshold picking and skew detection.
+
+    Scale shape: bins are data-ranged, not corpus-width (range/width
+    buckets), but the fold still runs partial→final through the standard
+    per-batch Arrow group_by so a pathological range never becomes Ray
+    aggregate groups on raw rows; each batch ships ≤ |bins it saw|."""
+    from ray.data.aggregate import Sum
+
+    b = np.int64(bin_cents)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        value = batch.column("value").to_numpy()
+        cents = np.floor(value * 100.0 + 0.5).astype(np.int64)
+        lo = np.floor_divide(cents, b) * b
+        t = pa.table({"bin_lo_cents": pa.array(lo, pa.int64())})
+        agg = t.group_by("bin_lo_cents").aggregate([([], "count_all")])
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "bin_lo_cents": agg.column("bin_lo_cents"),
+                "n_events": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin_lo_cents")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )

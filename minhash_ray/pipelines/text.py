@@ -2240,3 +2240,57 @@ def posting_lists(sf_dir: str, k: int = 5, num_partitions: int = 8):
     return fold_by_str_key(
         _docs(sf_dir, ["doc_id", "text"]), "term", partial, final, num_partitions
     )
+
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def lang_source_pivot(sf_dir: str, langs: tuple = PIVOT_LANGS, num_partitions: int = 8):
+    """(source, n_de, n_en, n_es, n_fr, n_zh, n_other): the language ×
+    source crosstab — one row per source, one count column per language in
+    the FIXED ``langs`` list (pivot needs a static output schema; unseen
+    languages fold into ``n_other``), the corpus-composition matrix every
+    curation report opens with.
+
+    Scale shape: sources scale with the corpus, so the pivot happens
+    INSIDE the source-hash partition fold (never a driver crosstab): each
+    batch pivots its (source, lang) counts into the fixed wide row via
+    one dictionary-encode + bincount per batch, partials sum per source.
+    Fixed width ⇒ every stage's output is |sources seen| rows."""
+    W = len(langs) + 1  # + other
+    names = [f"n_{l}" for l in langs] + ["n_other"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        s_codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        hit = pc.index_in(batch.column("lang"), value_set=pa.array(list(langs)))
+        l_codes = np.asarray(
+            pc.fill_null(pc.cast(hit, pa.int64()), W - 1).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
+        )
+        n_src = len(enc.dictionary)
+        counts = np.bincount(s_codes * W + l_codes, minlength=n_src * W).reshape(
+            n_src, W
+        )
+        cols = {"source": enc.dictionary}
+        for j, nm in enumerate(names):
+            cols[nm] = pa.array(counts[:, j], pa.int64())
+        return pa.table(cols)
+
+    def final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("source").aggregate([(nm, "sum") for nm in names])
+        cols = {"source": agg.column("source")}
+        for nm in names:
+            cols[nm] = pc.cast(agg.column(f"{nm}_sum"), pa.int64())
+        return pa.table(cols)
+
+    from minhash_ray.util import fold_by_str_key
+
+    return fold_by_str_key(
+        _docs(sf_dir, ["source", "lang"]), "source", partial, final, num_partitions
+    )

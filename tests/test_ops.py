@@ -69,7 +69,7 @@ SQL_QUERIES = [
     "dup_graph_triangles", "value_outliers", "interarrival_stats",
     "segment_priority_cube", "length_gate_docs", "cumulative_user_value",
     "props_field_stats", "gopher_quality_gate", "audio_chunk_plan",
-    "posting_lists",
+    "posting_lists", "lang_source_pivot", "value_histogram",
 ]
 
 
