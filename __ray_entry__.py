@@ -769,6 +769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-width integer-cents value histogram — SQL-checked against
         # a floor-division bucket oracle
         "value_histogram": events.value_histogram,
+        # event-type co-occurrence (market-basket users-who-did-both)
+        # — SQL-checked against a distinct self-join oracle
+        "type_cooccurrence": events.type_cooccurrence,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---
@@ -2828,6 +2831,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(delta) AS BIGINT) AS min_delta_us, "
             "CAST(max(delta) AS BIGINT) AS max_delta_us "
             "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "type_cooccurrence": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(*) AS n_users FROM d a JOIN d b "
+            "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY 1, 2"
         ),
         "lang_source_pivot": (
             "SELECT source, "

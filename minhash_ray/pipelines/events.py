@@ -1388,3 +1388,97 @@ def value_histogram(sf_dir: str, bin_cents: int = 500):
         .groupby("bin_lo_cents")
         .aggregate(Sum("n_events", alias_name="n_events"))
     )
+
+
+def type_cooccurrence(sf_dir: str, num_partitions: int = 32):
+    """(type_a, type_b, n_users): for every unordered pair of event types,
+    how many users performed BOTH — the co-occurrence / market-basket
+    matrix behind "users who did X also did Y" and feature-cross audits.
+
+    Scale shape: users scale with the corpus, types don't.  The user-hash
+    partition co-locates each user's distinct types; inside a partition
+    one lexsort + run-length pass yields per-user type sets and a
+    vectorized upper-triangle expansion emits each user's pairs (types
+    per user is small and bounded by |event types|); per-pair partial
+    counts fold through the final ≤ |types|² exchange.  No stage ever
+    keys on users."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        etype = batch.column("event_type")
+        if isinstance(etype, pa.ChunkedArray):
+            etype = etype.combine_chunks()
+        enc = etype.dictionary_encode()
+        raw = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        # remap dictionary codes to LEXICOGRAPHIC rank so the canonical
+        # pair order (type_a < type_b) is string order, not first-seen
+        sort_idx = np.asarray(
+            pc.array_sort_indices(enc.dictionary).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        rank = np.empty(len(sort_idx), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(sort_idx))
+        vocab = enc.dictionary.take(pa.array(sort_idx, pa.int64()))
+        codes = rank[raw]
+        uid = batch.column("user_id").to_numpy()
+        o = np.lexsort((codes, uid))
+        uid_s, code_s = uid[o], codes[o]
+        n = len(o)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = (uid_s[1:] != uid_s[:-1]) | (code_s[1:] != code_s[:-1])
+        du, dc = uid_s[first], code_s[first]  # distinct (user, type), sorted
+        # per-user set sizes → vectorized upper-triangle pair expansion
+        m = len(du)
+        new_u = np.ones(m, dtype=bool)
+        if m > 1:
+            new_u[1:] = du[1:] != du[:-1]
+        set_start = np.maximum.accumulate(np.where(new_u, np.arange(m), 0))
+        pos = np.arange(m) - set_start                 # rank within user's set
+        sizes = np.bincount(set_start, minlength=m)[set_start]
+        n_after = sizes - pos - 1                      # pairs this element leads
+        total = int(n_after.sum())
+        if total == 0:
+            return empty
+        lead = np.repeat(np.arange(m), n_after)
+        step = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_after)[:-1]]), n_after
+        )
+        trail = lead + 1 + step
+        a_codes, b_codes = dc[lead], dc[trail]
+        t = pa.table(
+            {
+                "type_a": vocab.take(pa.array(a_codes, pa.int64())),
+                "type_b": vocab.take(pa.array(b_codes, pa.int64())),
+            }
+        )
+        agg = t.group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "type_a": agg.column("type_a"),
+                "type_b": agg.column("type_b"),
+                "n_users": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["user_id", "event_type"]), num_partitions
+    )
+    return (
+        ds.groupby("pkey")
+        .map_groups(per_partition, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

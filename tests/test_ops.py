@@ -70,6 +70,7 @@ SQL_QUERIES = [
     "segment_priority_cube", "length_gate_docs", "cumulative_user_value",
     "props_field_stats", "gopher_quality_gate", "audio_chunk_plan",
     "posting_lists", "lang_source_pivot", "value_histogram",
+    "type_cooccurrence",
 ]
 
 
@@ -447,7 +448,11 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
         top_orders_per_customer,
     )
 
-    from minhash_ray.pipelines.events import cumulative_user_value, interarrival_stats
+    from minhash_ray.pipelines.events import (
+        cumulative_user_value,
+        interarrival_stats,
+        type_cooccurrence,
+    )
 
     for fn, kw in [
         (customers_without_orders, {}),
@@ -455,6 +460,7 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
         (top_orders_per_customer, {}),
         (interarrival_stats, {}),
         (cumulative_user_value, {}),
+        (type_cooccurrence, {}),
     ]:
         a = _canon(_pdf(fn(sf_dir, num_partitions=3, **kw)))
         b = _canon(_pdf(fn(sf_dir, num_partitions=32, **kw)))
