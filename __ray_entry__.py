@@ -352,6 +352,16 @@ def audio_containment_pairs_q(sf_dir: str):
     return audio_containment_pairs(clips)
 
 
+def audio_dup_regions_q(sf_dir: str):
+    """(clip_id, other_clip_id, start_smp, end_smp) — merged duplicated
+    sample spans per counterpart clip (rows-only: LSH/OPH; exact planted
+    spans are pytest-asserted)."""
+    from minhash_ray.pipelines.audio import audio_dup_regions
+
+    clips, _ = _clips_ds(sf_dir)
+    return audio_dup_regions(clips)
+
+
 def audio_exact_dedup(sf_dir: str):
     """Exact byte-identical audio dedup: (clip_id, rep_clip_id,
     group_size) — the audio exact tier (pipelines/audio.py)."""
@@ -813,6 +823,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunk-level partial-overlap containment pairs (rows-only:
         # LSH/OPH; planted containment pytest-asserted)
         "audio_containment_pairs": audio_containment_pairs_q,
+        # duplicated sample spans, merged (rows-only: LSH/OPH; exact
+        # planted spans pytest-asserted)
+        "audio_dup_regions": audio_dup_regions_q,
     }
 
 

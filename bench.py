@@ -149,6 +149,7 @@ def run_bench() -> dict:
     # audio/tiered ops run over the headline clips corpus (already cached
     # and page-warm), column-pruned at the read
     from minhash_ray.pipelines.audio import audio_containment_pairs as _acp
+    from minhash_ray.pipelines.audio import audio_dup_regions as _adr
     from minhash_ray.pipelines.audio import audio_dup_pairs as _adp
     from minhash_ray.pipelines.audio import audio_exact_dedup as _aed
     from minhash_ray.pipelines.audio import audio_stats as _ast
@@ -262,6 +263,8 @@ def run_bench() -> dict:
         ("type_cooccurrence", events.type_cooccurrence),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_containment_pairs", lambda _sf: _acp(
+            read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),
+        ("audio_dup_regions", lambda _sf: _adr(
             read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
         ("audio_energy_stats", lambda _sf: _aes(

@@ -421,37 +421,28 @@ def pair_snr(clips, edges, min_snr_db: float = 30.0, num_partitions: int = 8):
     return ab.map_batches(score, batch_format="pyarrow")
 
 
-def audio_containment_pairs(
+def _chunk_matches(
     clips,
-    cfg=None,
-    window_ms: int = 250,
-    hop_ms: int = 250,
-    tau: float | None = None,
-    containment_pct: int = 60,
-    num_partitions: int = 8,
+    cfg,
+    window_ms: int,
+    hop_ms: int,
+    tau: float,
+    np_parts: int,
 ):
-    """Partial-overlap (containment) audio near-dup pairs: (clip_id_a,
-    clip_id_b, n_matched_a, n_chunks_a, n_matched_b, n_chunks_b) where at
-    least ``containment_pct`` percent of ONE side's chunks near-match a
-    chunk of the other — the trims / excerpts / concatenations that
-    whole-clip fingerprints structurally miss (a clip embedded in a 2×
-    longer one shares only ~half its grams, far below ``audio_tau``).
+    """Shared chunk-LSH front half of :func:`audio_containment_pairs` and
+    :func:`audio_dup_regions`: segment clips into (window, hop) pcm
+    chunks, byte-OPH sketch every chunk straight off a re-packed
+    contiguous buffer, run the chunks through the UNCHANGED production
+    LSH machinery under composite ``clip#chunk`` ids, and verify
+    candidates with the OPH estimator.
 
-    How: every clip is segmented into (window, hop) pcm chunks (the
-    :func:`minhash_ray.pipelines.multimodal.audio_chunk_plan` geometry —
-    one vectorized gather per batch), each CHUNK gets the byte-OPH sketch
-    (content-defined gram sampling keeps chunk sketches robust to modest
-    boundary misalignment), and the chunks ride the UNCHANGED production
-    LSH machinery — band map, salted bucket shuffle, join-attach verify —
-    under composite ``clip#chunk`` ids.  Matched chunk pairs then fold to
-    clip pairs: DISTINCT matched chunks per side over a pair-key hash
-    partition, two slim joins attach per-clip chunk totals, and the
-    directional gate is exact integer cross-multiplication.  Nothing is
-    driver-resident; every stage is the flagship's scale shape.
+    Returns ``(sigs, matches)``: ``sigs`` = (clip_id, chunk_id,
+    start_smp, end_smp, audio_sig) one row per chunk, ``matches`` =
+    (clip_id_a, ka, clip_id_b, kb) verified cross-clip chunk matches in
+    canonical (clip_id_a < clip_id_b) order.
 
     Contract: ``#`` must not appear in clip ids (composite id separator;
     the id is recovered with an anchored RE2 split on the LAST ``#``)."""
-    from minhash_ray.config import PipelineConfig
     from minhash_ray.functions.audio import (
         audio_similarity,
         byte_oph_signatures_flat,
@@ -460,11 +451,8 @@ def audio_containment_pairs(
     from minhash_ray.stages.banding import make_audio_band_fn
     from minhash_ray.stages.candidates import candidate_pairs
     from minhash_ray.stages.verify import _pack_u64_column, _unpack_u64_column
-    from minhash_ray.util import clamp_partitions, fold_by_str_key, strip_empty_blocks
+    from minhash_ray.util import strip_empty_blocks
 
-    cfg = cfg or PipelineConfig()
-    tau = cfg.audio_tau if tau is None else tau
-    np_parts = clamp_partitions(num_partitions)
     k = cfg.audio_num_perm
 
     def chunk_sigs(batch: pa.Table) -> pa.Table:
@@ -472,17 +460,18 @@ def audio_containment_pairs(
         ids = batch.column("clip_id")
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        empty = pa.table(
-            {
-                "clip_id": pa.array([], pa.string()),
-                "chunk_id": pa.array([], pa.string()),
-                "audio_sig": pa.array(
-                    [], pa.list_(pa.uint64(), cfg.audio_num_perm)
-                ),
-            }
-        )
         if len(row) == 0:
-            return empty
+            return pa.table(
+                {
+                    "clip_id": pa.array([], pa.string()),
+                    "chunk_id": pa.array([], pa.string()),
+                    "start_smp": pa.array([], pa.int64()),
+                    "end_smp": pa.array([], pa.int64()),
+                    "audio_sig": pa.array(
+                        [], pa.list_(pa.uint64(), cfg.audio_num_perm)
+                    ),
+                }
+            )
         buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
         off_buf = np.frombuffer(payload.buffers()[1], dtype=np.int32)
         val_off = off_buf[payload.offset: payload.offset + len(payload) + 1].astype(
@@ -507,6 +496,8 @@ def audio_containment_pairs(
             {
                 "clip_id": clip,
                 "chunk_id": chunk_id,
+                "start_smp": pa.array(start, pa.int64()),
+                "end_smp": pa.array(end, pa.int64()),
                 "audio_sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(sig.reshape(-1), pa.uint64()), cfg.audio_num_perm
                 ),
@@ -516,31 +507,6 @@ def audio_containment_pairs(
     sigs = clips.map_batches(
         chunk_sigs, batch_format="pyarrow", batch_size=cfg.batch_size or None
     ).materialize()
-
-    # per-clip chunk totals (slim fold: chunk counts, never payloads)
-    def cnt_partial(batch: pa.Table) -> pa.Table:
-        agg = (
-            batch.select(["clip_id"])
-            .group_by("clip_id")
-            .aggregate([([], "count_all")])
-        )
-        return pa.table(
-            {
-                "clip_id": agg.column("clip_id"),
-                "n_chunks": pc.cast(agg.column("count_all"), pa.int64()),
-            }
-        )
-
-    def cnt_final(t: pa.Table) -> pa.Table:
-        agg = t.group_by("clip_id").aggregate([("n_chunks", "sum")])
-        return pa.table(
-            {
-                "clip_id": agg.column("clip_id"),
-                "n_chunks": pc.cast(agg.column("n_chunks_sum"), pa.int64()),
-            }
-        )
-
-    chunk_counts = fold_by_str_key(sigs, "clip_id", cnt_partial, cnt_final, np_parts)
 
     band_rows = sigs.map_batches(
         lambda b: pa.table(
@@ -612,8 +578,68 @@ def audio_containment_pairs(
         )
 
     matches = with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+    return sigs, matches
 
-    # fold matched chunk pairs → per-pair DISTINCT matched chunks per side.
+
+def audio_containment_pairs(
+    clips,
+    cfg=None,
+    window_ms: int = 250,
+    hop_ms: int = 250,
+    tau: float | None = None,
+    containment_pct: int = 60,
+    num_partitions: int = 8,
+):
+    """Partial-overlap (containment) audio near-dup pairs: (clip_id_a,
+    clip_id_b, n_matched_a, n_chunks_a, n_matched_b, n_chunks_b) where at
+    least ``containment_pct`` percent of ONE side's chunks near-match a
+    chunk of the other — the trims / excerpts / concatenations that
+    whole-clip fingerprints structurally miss (a clip embedded in a 2x
+    longer one shares only ~half its grams, far below ``audio_tau``).
+
+    How: the shared chunk-LSH front half (:func:`_chunk_matches` — chunk
+    geometry, per-chunk byte-OPH sketches, the unchanged band / salted
+    bucket / join-attach verify machinery under composite clip#chunk
+    ids), then matched chunk pairs fold to clip pairs: DISTINCT matched
+    chunks per side over a pair-key hash partition, two slim joins attach
+    per-clip chunk totals, and the directional gate is exact integer
+    cross-multiplication.  Nothing is driver-resident; every stage is the
+    flagship's scale shape."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.util import clamp_partitions, fold_by_str_key, strip_empty_blocks
+
+    cfg = cfg or PipelineConfig()
+    tau = cfg.audio_tau if tau is None else tau
+    np_parts = clamp_partitions(num_partitions)
+
+    sigs, matches = _chunk_matches(clips, cfg, window_ms, hop_ms, tau, np_parts)
+
+    # per-clip chunk totals (slim fold: chunk counts, never payloads)
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select(["clip_id"])
+            .group_by("clip_id")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "clip_id": agg.column("clip_id"),
+                "n_chunks": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    def cnt_final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("clip_id").aggregate([("n_chunks", "sum")])
+        return pa.table(
+            {
+                "clip_id": agg.column("clip_id"),
+                "n_chunks": pc.cast(agg.column("n_chunks_sum"), pa.int64()),
+            }
+        )
+
+    chunk_counts = fold_by_str_key(sigs, "clip_id", cnt_partial, cnt_final, np_parts)
+
+    # fold matched chunk pairs -> per-pair DISTINCT matched chunks per side.
     # pair co-location only needs ONE side's key: hashing clip_id_a puts
     # every (a, *) pair in one partition, where the (a, b) group is whole.
     def pair_partial(batch: pa.Table) -> pa.Table:
@@ -685,3 +711,124 @@ def audio_containment_pairs(
         )
 
     return with_nab.map_batches(gate, batch_format="pyarrow")
+
+
+def audio_dup_regions(
+    clips,
+    cfg=None,
+    window_ms: int = 250,
+    hop_ms: int = 250,
+    tau: float | None = None,
+    num_partitions: int = 8,
+):
+    """(clip_id, other_clip_id, start_smp, end_smp): the duplicated SAMPLE
+    RANGES of every clip — matched chunks merged into maximal contiguous
+    spans, per counterpart clip.  Where :func:`audio_containment_pairs`
+    answers "are these clips partial dups", this answers "WHICH samples
+    are duplicated" — the surgical-excision form (cf. the text side's
+    ``repeated_ngram_scrub``: remove the repeated region, keep the rest).
+
+    Scale shape: the shared chunk-LSH front half, then matched chunk
+    pairs become directional (clip, chunk, other) rows, one slim join
+    attaches each chunk's exact (start_smp, end_smp) from the signature
+    table, and a clip-hash partition fold lexsorts each (clip, other)
+    group and merges overlapping/adjacent intervals with a vectorized
+    running-max pass.  Output rows = merged spans; nothing driver-
+    resident."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.util import clamp_partitions, fold_by_str_key, strip_empty_blocks
+
+    cfg = cfg or PipelineConfig()
+    tau = cfg.audio_tau if tau is None else tau
+    np_parts = clamp_partitions(num_partitions)
+
+    sigs, matches = _chunk_matches(clips, cfg, window_ms, hop_ms, tau, np_parts)
+
+    def directional(batch: pa.Table) -> pa.Table:
+        a = pa.table(
+            {
+                "clip_id": batch.column("clip_id_a"),
+                "k": batch.column("ka"),
+                "other_clip_id": batch.column("clip_id_b"),
+            }
+        )
+        b = pa.table(
+            {
+                "clip_id": batch.column("clip_id_b"),
+                "k": batch.column("kb"),
+                "other_clip_id": batch.column("clip_id_a"),
+            }
+        )
+        both = pa.concat_tables([a, b]).combine_chunks()
+        both = both.append_column(
+            "chunk_id",
+            pc.binary_join_element_wise(
+                both.column("clip_id"), pc.cast(both.column("k"), pa.string()), "#"
+            ),
+        )
+        return both.group_by(
+            ["clip_id", "other_clip_id", "chunk_id"]
+        ).aggregate([])
+
+    spans_in = strip_empty_blocks(
+        matches.map_batches(directional, batch_format="pyarrow")
+    ).join(
+        sigs.map_batches(
+            lambda b: b.select(["chunk_id", "start_smp", "end_smp"]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        on=("chunk_id",),
+        num_partitions=np_parts,
+    )
+
+    def span_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["clip_id", "other_clip_id", "start_smp", "end_smp"]
+        )
+
+    def span_final(t: pa.Table) -> pa.Table:
+        clip = t.column("clip_id")
+        if isinstance(clip, pa.ChunkedArray):
+            clip = clip.combine_chunks()
+        other = t.column("other_clip_id")
+        if isinstance(other, pa.ChunkedArray):
+            other = other.combine_chunks()
+        ge = clip.dictionary_encode()
+        oe = other.dictionary_encode()
+        gc = np.asarray(ge.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        oc = np.asarray(oe.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        s = t.column("start_smp").to_numpy()
+        e = t.column("end_smp").to_numpy()
+        o = np.lexsort((s, oc, gc))
+        gc_s, oc_s, s_s, e_s = gc[o], oc[o], s[o], e[o]
+        n = len(o)
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            new_grp[1:] = (gc_s[1:] != gc_s[:-1]) | (oc_s[1:] != oc_s[:-1])
+        # merge overlapping/adjacent intervals: a new span starts where
+        # the group changes or start > previous end.  All intervals in a
+        # group come from ONE clip's chunk grid (constant window, tail
+        # clamped to the payload end), so sorted by start their ends are
+        # non-decreasing and the previous end IS the running max.
+        new_span = new_grp.copy()
+        if n > 1:
+            new_span[1:] |= s_s[1:] > e_s[:-1]
+        span_id = np.cumsum(new_span) - 1
+        m = int(span_id[-1]) + 1
+        span_start = s_s[new_span]
+        span_end = np.zeros(m, dtype=np.int64)
+        np.maximum.at(span_end, span_id, e_s)
+        first_idx = np.flatnonzero(new_span)
+        return pa.table(
+            {
+                "clip_id": ge.dictionary.take(pa.array(gc_s[first_idx], pa.int64())),
+                "other_clip_id": oe.dictionary.take(
+                    pa.array(oc_s[first_idx], pa.int64())
+                ),
+                "start_smp": pa.array(span_start, pa.int64()),
+                "end_smp": pa.array(span_end, pa.int64()),
+            }
+        )
+
+    return fold_by_str_key(spans_in, "clip_id", span_partial, span_final, np_parts)

@@ -1773,3 +1773,49 @@ def test_audio_containment_finds_planted_partial_overlap(ray_session, tmp_path):
         set(zip(whole["clip_id_a"], whole["clip_id_b"])) if len(whole) else set()
     )
     assert ("clipA", "clipB") not in whole_pairs
+
+
+def test_audio_dup_regions_merge_exact_spans(ray_session, tmp_path):
+    """The planted half-contained clip yields exactly two merged spans:
+    the tail half of the long clip and the whole short clip, in samples,
+    with the unrelated clip absent."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.functions.audio import encode_pcm, synth_waveform
+    from minhash_ray.pipelines.audio import audio_dup_regions
+    from minhash_ray.sources.clips import read_clips
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    wa = synth_waveform(rng, sr, 2000)
+    wc = synth_waveform(rng, sr, 2000)
+    payloads = {
+        "clipA": encode_pcm(wa),
+        "clipB": encode_pcm(wa[len(wa) // 2:]),
+        "clipC": encode_pcm(wc),
+    }
+    ids = sorted(payloads)
+    t = pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array([payloads[i] for i in ids], pa.binary()),
+            "sr_hz": pa.array([sr] * 3, pa.int32()),
+            "dur_ms": pa.array(
+                [len(payloads[i]) // 2 * 1000 // sr for i in ids], pa.int32()
+            ),
+            "codec": pa.array(["pcm_s16le"] * 3, pa.string()),
+            "transcript": pa.array(["x y z"] * 3, pa.string()),
+        }
+    )
+    p = tmp_path / "clips.parquet"
+    pq.write_table(t, str(p))
+
+    out = _pdf(audio_dup_regions(read_clips(str(p)), num_partitions=4))
+    rows = set(
+        zip(out["clip_id"], out["other_clip_id"], out["start_smp"], out["end_smp"])
+    )
+    half = len(wa) // 2
+    assert rows == {
+        ("clipA", "clipB", half, 2 * half),
+        ("clipB", "clipA", 0, half),
+    }
