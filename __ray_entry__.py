@@ -764,6 +764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUBE(segment, priority) grouping sets: coarser sets derive from
         # the fine cells (SQL-checked against GROUP BY CUBE)
         "segment_priority_cube": relational.segment_priority_cube,
+        # TPC-H Q3 shape: 3-table join + corpus-width revenue fold +
+        # exact top-k — SQL-checked against the classic Q3 oracle
+        "shipping_priority": relational.shipping_priority,
         # percentile-gated length filter (exact global q-quantile cut)
         # — SQL-checked against a row_number quantile + filter oracle
         "length_gate_docs": text.length_gate_docs,
@@ -2917,6 +2920,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS cum_cents FROM events"
+        ),
+        "shipping_priority": (
+            "WITH li AS (SELECT l_orderkey AS o_orderkey, "
+            "CAST(sum(CAST(floor(((l_extendedprice * (1 - l_discount)) * 100) "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-15' "
+            "GROUP BY l_orderkey), "
+            "o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, "
+            "o_orderpriority FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-15') "
+            "SELECT li.o_orderkey, li.revenue_cents, o.o_orderdate_us, "
+            "o.o_orderpriority FROM li JOIN o USING (o_orderkey) "
+            "ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"
         ),
         "segment_priority_cube": (
             "SELECT COALESCE(c_mktsegment, '<all>') AS c_mktsegment, "

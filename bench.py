@@ -255,6 +255,7 @@ def run_bench() -> dict:
         ("cumulative_user_value", events.cumulative_user_value),
         ("props_field_stats", events.props_field_stats),
         ("segment_priority_cube", relational.segment_priority_cube),
+        ("shipping_priority", relational.shipping_priority),
         ("length_gate_docs", text.length_gate_docs),
         ("gopher_quality_gate", text.gopher_quality_gate),
         ("posting_lists", text.posting_lists),

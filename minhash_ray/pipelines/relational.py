@@ -807,3 +807,132 @@ def segment_priority_cube(sf_dir: str):
             "total_cents": pa.array(out_t, pa.int64()),
         }
     )
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+    num_partitions: int = 8,
+):
+    """TPC-H Q3 shape — (o_orderkey, revenue_cents, o_orderdate_us,
+    o_orderpriority): the k highest-revenue unshipped orders of one
+    market segment (orders placed before ``cutoff`` with lineitems
+    shipping after it), revenue in exact integer cents per item
+    (``floor(((extprice * (1 - disc)) * 100) + 0.5)`` — the same IEEE
+    double expression the oracle evaluates, so the sum is bit-stable).
+
+    Scale shape: the segment's custkeys are the small side (one sorted
+    int array via ``ray.put``, searchsorted probe per batch — never a
+    shuffle join); lineitem revenue folds per l_orderkey through the
+    key-hash partition (order keys scale with the corpus); ONE
+    partitioned join attaches order metadata to the folded revenue rows;
+    per-batch local top-k prunes to ≤ batches × k rows before the final
+    sort+limit.  Deterministic tie-break on o_orderkey."""
+    import ray
+
+    from minhash_ray.util import fold_by_int_keys, strip_empty_blocks
+
+    cutoff_us = np.int64(
+        int(np.datetime64(cutoff, "us").astype("datetime64[us]").astype(np.int64))
+    )
+
+    cust = pa.concat_tables(
+        list(
+            _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        )
+    )
+    keys = np.sort(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), segment))
+        .column("c_custkey")
+        .to_numpy()
+    )
+    ref = [ray.put(keys)]
+
+    def ts_us(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.cast(pa.int64()).to_numpy()
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        ks = cached_get(ref[0])
+        ck = batch.column("o_custkey").to_numpy()
+        if len(ks):
+            pos = np.searchsorted(ks, ck)
+            in_seg = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ck)
+        else:
+            in_seg = np.zeros(len(ck), dtype=bool)
+        od = ts_us(batch.column("o_orderdate"))
+        keep = in_seg & (od < cutoff_us)
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate_us": pa.array(od[keep], pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    orders = _t(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_filter, batch_format="pyarrow")
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sd = ts_us(batch.column("l_shipdate"))
+        keep = sd > cutoff_us
+        t = batch.filter(pa.array(keep))
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.floor(((ep * (1.0 - disc)) * 100.0) + 0.5).astype(np.int64)
+        g = pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "revenue_cents": pa.array(rev, pa.int64()),
+            }
+        ).group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "revenue_cents": pc.cast(g.column("revenue_cents_sum"), pa.int64()),
+            }
+        )
+
+    def rev_final(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "revenue_cents": pc.cast(g.column("revenue_cents_sum"), pa.int64()),
+            }
+        )
+
+    revenue = fold_by_int_keys(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
+                                "l_shipdate"]),
+        ["o_orderkey"], rev_partial, rev_final, num_partitions,
+    )
+
+    joined = strip_empty_blocks(revenue).join(
+        strip_empty_blocks(orders), join_type="inner", on=("o_orderkey",),
+        num_partitions=num_partitions,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        rev = batch.column("revenue_cents").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        o = np.lexsort((okey, -rev))[:k]
+        return batch.take(pa.array(np.sort(o)))
+
+    pruned = joined.map_batches(local_topk, batch_format="pyarrow")
+    return (
+        pruned.sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

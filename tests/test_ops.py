@@ -70,7 +70,7 @@ SQL_QUERIES = [
     "segment_priority_cube", "length_gate_docs", "cumulative_user_value",
     "props_field_stats", "gopher_quality_gate", "audio_chunk_plan",
     "posting_lists", "lang_source_pivot", "value_histogram",
-    "type_cooccurrence",
+    "type_cooccurrence", "shipping_priority",
 ]
 
 
