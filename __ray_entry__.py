@@ -785,6 +785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-type co-occurrence (market-basket users-who-did-both)
         # — SQL-checked against a distinct self-join oracle
         "type_cooccurrence": events.type_cooccurrence,
+        # deterministic weight-proportional sample (A-ES, splitmix keys;
+        # rows-only: float pow keys — determinism + size bias pytest-pinned)
+        "weighted_sample_docs": text.weighted_sample_docs,
         # --- multimodal resample plumbing (rows-only: binary payload op) ---
         "audio_resample": audio_resample,
         # --- language ID heuristic (SQL-checked: profile-gram presence) ---

@@ -259,6 +259,7 @@ def run_bench() -> dict:
         ("length_gate_docs", text.length_gate_docs),
         ("gopher_quality_gate", text.gopher_quality_gate),
         ("posting_lists", text.posting_lists),
+        ("weighted_sample_docs", text.weighted_sample_docs),
         ("lang_source_pivot", text.lang_source_pivot),
         ("value_histogram", events.value_histogram),
         ("type_cooccurrence", events.type_cooccurrence),

@@ -2294,3 +2294,49 @@ def lang_source_pivot(sf_dir: str, langs: tuple = PIVOT_LANGS, num_partitions: i
     return fold_by_str_key(
         _docs(sf_dir, ["source", "lang"]), "source", partial, final, num_partitions
     )
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 200, seed: int = 42):
+    """(doc_id, n_chars): a deterministic weight-proportional sample
+    WITHOUT replacement of ``k`` documents, weight = ``n_chars`` —
+    Efraimidis-Spirakis A-ES (keys ``u^(1/w)``, top-k by key) with the
+    uniform drawn from ``splitmix64(doc_id XOR seed)`` so the sample is a
+    pure function of (corpus, seed): replayable across runs, appends and
+    partitionings, unlike an RNG-stream sample.  The size-biased
+    spot-check sampler (long docs carry more of the token mass an audit
+    cares about).
+
+    Scale shape: keys are one vectorized splitmix + pow per batch; each
+    batch prunes to its local top-k, so the final exact sort+limit sees
+    ≤ batches × k rows.  No SQL oracle (float pow keys are not
+    bit-portable across engines); determinism and size bias are
+    pytest-pinned."""
+    from minhash_ray.stages.banding import splitmix64
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        w = batch.column("n_chars").to_numpy().astype(np.float64)
+        u = (
+            splitmix64(ids.astype(np.uint64) ^ np.uint64(seed)).astype(np.float64)
+            + 0.5
+        ) / float(2**64)
+        key = np.power(u, 1.0 / np.maximum(w, 1.0))
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "sample_key": pa.array(key, pa.float64()),
+            }
+        )
+        if t.num_rows <= k:
+            return t
+        o = np.lexsort((ids, -key))[:k]
+        return t.take(pa.array(np.sort(o)))
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["sample_key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["doc_id", "n_chars"])
+    )

@@ -1819,3 +1819,38 @@ def test_audio_dup_regions_merge_exact_spans(ray_session, tmp_path):
         ("clipA", "clipB", half, 2 * half),
         ("clipB", "clipA", 0, half),
     }
+
+
+def test_weighted_sample_deterministic_and_size_biased(ray_session, tmp_path):
+    """The A-ES sample is a pure function of (corpus, seed) — identical
+    across runs and partitionings — and weight-proportional: with 50 docs
+    at weight 10000 vs 450 at weight 100, the heavy docs dominate a k=50
+    sample (expected heavy share ~= 10000*50/(10000*50+100*450) ~ 92%)."""
+    import pyarrow.parquet as pq
+
+    n_heavy, n_light = 50, 450
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_heavy + n_light), pa.int64()),
+            "n_chars": pa.array(
+                [10000] * n_heavy + [100] * n_light, pa.int64()
+            ),
+            "text": pa.array(["x"] * (n_heavy + n_light), pa.string()),
+            "lang": pa.array(["en"] * (n_heavy + n_light), pa.string()),
+            "source": pa.array(["s"] * (n_heavy + n_light), pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    from minhash_ray.pipelines.text import weighted_sample_docs
+
+    a = _canon(_pdf(weighted_sample_docs(str(d), k=50)))
+    b = _canon(_pdf(weighted_sample_docs(str(d), k=50)))
+    assert a.equals(b)
+    assert len(a) == 50
+    heavy = (a["doc_id"] < n_heavy).sum()
+    assert heavy >= 40
+    c = _canon(_pdf(weighted_sample_docs(str(d), k=50, seed=7)))
+    assert not a.equals(c)  # a different seed draws a different sample
