@@ -785,6 +785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-type co-occurrence (market-basket users-who-did-both)
         # — SQL-checked against a distinct self-join oracle
         "type_cooccurrence": events.type_cooccurrence,
+        # PQ asymmetric-distance top-k over 8-byte codes (rows-only:
+        # two-level float argmin; cluster recall pytest-pinned)
+        "ann_topk_pq": ann.ann_topk_pq,
         # deterministic weight-proportional sample (A-ES, splitmix keys;
         # rows-only: float pow keys — determinism + size bias pytest-pinned)
         "weighted_sample_docs": text.weighted_sample_docs,

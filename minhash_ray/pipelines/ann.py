@@ -684,3 +684,153 @@ def semantic_dedup(
         )
 
     return index.groupby("cell").map_groups(cell_components, batch_format="pyarrow")
+
+
+def build_pq_index(
+    sf_dir: str,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    kmeans_iters: int = 8,
+    sample: int = 8192,
+    emb=None,
+):
+    """Product-quantization index (Jégou, Douze & Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): the dim is split into
+    ``m_sub`` subspaces, each with its own ``n_codes``-entry k-means
+    codebook trained on a driver-side sample (the same seeded-Lloyd
+    sampling contract as :func:`build_ivf_index`), and one ``map_batches``
+    pass encodes every vector to ``m_sub`` uint8 codes — 8 bytes/vector
+    at the defaults vs 512 for raw float64×64: the memory form that lets
+    a 10^12-vector index live in RAM across a cluster.
+
+    Returns (index_ds {vec_id, codes binary}, codebooks
+    (m_sub, n_codes, d_sub) float64, dim)."""
+    import ray
+
+    ds = (emb if emb is not None else _emb(sf_dir)).materialize()
+    st = pa.concat_tables(
+        list(ds.limit(sample).iter_batches(batch_size=8192, batch_format="pyarrow"))
+    )
+    m = _matrix(st)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    dim = m.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    books = np.stack(
+        [
+            ivf_centroids(
+                np.ascontiguousarray(m[:, s * d_sub: (s + 1) * d_sub]),
+                n_codes,
+                seed + s,
+                kmeans_iters,
+            )
+            for s in range(m_sub)
+        ]
+    )  # (m_sub, n_codes, d_sub)
+    book_ref = [ray.put(books)]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        bks = cached_get(book_ref[0])
+        v = _matrix(batch)
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0] = 1.0
+        v = v / norms[:, None]
+        n = v.shape[0]
+        codes = np.empty((n, m_sub), dtype=np.uint8)
+        for s in range(m_sub):
+            sub = v[:, s * d_sub: (s + 1) * d_sub]
+            # argmin ||x - c||^2 = argmax (x·c - ||c||²/2), one matmul
+            scores = sub @ bks[s].T - 0.5 * (bks[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmax(scores, axis=1).astype(np.uint8)
+        flat = codes.reshape(-1)
+        offs = (np.arange(n + 1, dtype=np.int64) * m_sub)
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(flat))],
+        )
+        return pa.table({"vec_id": batch.column("vec_id"), "codes": arr})
+
+    index = ds.map_batches(encode, batch_format="pyarrow").materialize()
+    return index, books, dim
+
+
+def ann_topk_pq(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    index=None,
+):
+    """Approximate top-k by asymmetric distance over the PQ codes: the
+    query builds ONE (m_sub × n_codes) inner-product table against the
+    codebooks, and every vector's score is a pure table-gather sum over
+    its uint8 codes — the scan never touches a float vector, only
+    m_sub bytes per row (the 64×-compressed form of :func:`ann_topk`).
+    Per-batch local top-k, driver folds batches × k rows.  Returns
+    (vec_id, rank).
+
+    Rows-only in CORRECTNESS (two levels of float argmin are not
+    SQL-portable); recall vs the exact brute-force top-k is pytest-pinned
+    on clustered embeddings."""
+    import duckdb
+
+    if index is None:
+        index = build_pq_index(sf_dir, m_sub=m_sub, n_codes=n_codes, seed=seed)
+    index_ds, books, dim = index
+    m_sub = books.shape[0]
+
+    q = duckdb.connect().execute(
+        f"select embedding from '{os.path.join(sf_dir, 'embeddings.parquet')}' "
+        f"where vec_id = {int(query_vec_id)}"
+    ).fetchone()[0]
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    d_sub = dim // m_sub
+    # table[s, c] = q_s · codebook[s][c]  (cosine via sum of sub inner
+    # products against the normalized stored form)
+    table = np.stack(
+        [books[s] @ qn[s * d_sub: (s + 1) * d_sub] for s in range(m_sub)]
+    )  # (m_sub, n_codes)
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch.column("codes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        flat = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        off = np.frombuffer(col.buffers()[1], dtype=np.int64)
+        start = off[col.offset]
+        codes = flat[start: start + n * m_sub].reshape(n, m_sub)
+        adc = table[np.arange(m_sub)[None, :], codes].sum(axis=1)
+        ids = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
+        mask = ids != query_vec_id
+        adc, ids = adc[mask], ids[mask]
+        order = np.lexsort((ids, -adc))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "adc": pa.array(adc[order], pa.float64()),
+            }
+        )
+
+    partials = index_ds.map_batches(score, batch_format="pyarrow")
+    t = pa.concat_tables(
+        list(partials.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    ids = t.column("vec_id").to_numpy()
+    adc = t.column("adc").to_numpy()
+    order = np.lexsort((ids, -adc))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+        }
+    )

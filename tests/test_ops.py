@@ -1854,3 +1854,49 @@ def test_weighted_sample_deterministic_and_size_biased(ray_session, tmp_path):
     assert heavy >= 40
     c = _canon(_pdf(weighted_sample_docs(str(d), k=50, seed=7)))
     assert not a.equals(c)  # a different seed draws a different sample
+
+
+def test_pq_topk_recall_on_clustered_embeddings(ray_session, tmp_path):
+    """PQ asymmetric-distance top-k: on clustered data the 8-byte codes
+    must recover most of the exact brute-force top-k, deterministically
+    across two index builds, and the stored codes must be exactly
+    m_sub bytes per vector (the 64x compression the index exists for)."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.ann import ann_topk, ann_topk_pq, build_pq_index
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((30, 24)) * 4
+    pts = np.concatenate(
+        [c + rng.standard_normal((25, 24)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(len(pts), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(r) for r in pts], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(pts), dtype=np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "pq"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    exact = _pdf(ann_topk(str(d), query_vec_id=3, k=10))
+    idx = build_pq_index(str(d), m_sub=8, n_codes=16, seed=1)
+    index_ds, books, dim = idx
+    assert books.shape == (8, 16, 3) and dim == 24
+    codes = _pdf(index_ds)
+    assert all(len(c) == 8 for c in codes["codes"])
+    approx = _pdf(ann_topk_pq(str(d), query_vec_id=3, k=10, index=idx))
+    # 8-byte codes collapse WITHIN-cluster distances (that's the point of
+    # the compression), so the pinned property is cluster-level: every
+    # result comes from the query's planted cluster (ids 0..24), exactly
+    # like the exact top-k does
+    assert set(exact.vec_id) <= set(range(25))
+    assert set(approx.vec_id) <= set(range(25)), sorted(approx.vec_id)
+    recall = len(set(approx.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.4, recall
+    idx2 = build_pq_index(str(d), m_sub=8, n_codes=16, seed=1)
+    approx2 = _pdf(ann_topk_pq(str(d), query_vec_id=3, k=10, index=idx2))
+    assert approx.vec_id.tolist() == approx2.vec_id.tolist()
