@@ -788,6 +788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PQ asymmetric-distance top-k over 8-byte codes (rows-only:
         # two-level float argmin; cluster recall pytest-pinned)
         "ann_topk_pq": ann.ann_topk_pq,
+        # IVF+PQ: probe coarse cells, score survivors by ADC (rows-only;
+        # full-probe == PQ-only proven in pytest)
+        "ann_topk_ivfpq": ann.ann_topk_ivfpq,
         # deterministic weight-proportional sample (A-ES, splitmix keys;
         # rows-only: float pow keys — determinism + size bias pytest-pinned)
         "weighted_sample_docs": text.weighted_sample_docs,

@@ -261,6 +261,7 @@ def run_bench() -> dict:
         ("posting_lists", text.posting_lists),
         ("weighted_sample_docs", text.weighted_sample_docs),
         ("ann_topk_pq", ann.ann_topk_pq),
+        ("ann_topk_ivfpq", ann.ann_topk_ivfpq),
         ("lang_source_pivot", text.lang_source_pivot),
         ("value_histogram", events.value_histogram),
         ("type_cooccurrence", events.type_cooccurrence),

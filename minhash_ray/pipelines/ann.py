@@ -834,3 +834,163 @@ def ann_topk_pq(
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
         }
     )
+
+
+def build_ivfpq_index(
+    sf_dir: str,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    kmeans_iters: int = 8,
+    sample: int = 8192,
+    emb=None,
+):
+    """IVF+PQ index (the FAISS IVFPQ composition — Jégou et al. 2011 §V):
+    ONE map_batches pass assigns every vector its coarse cell AND its
+    m_sub uint8 PQ codes (both codebooks trained on the same driver-side
+    normalized sample).  9 bytes/vector at the defaults; at scale write
+    it cell-partitioned so a query reads only its probed cells' files.
+
+    Returns (index_ds {vec_id, cell, codes}, cents, books, dim)."""
+    import ray
+
+    ds = (emb if emb is not None else _emb(sf_dir)).materialize()
+    st = pa.concat_tables(
+        list(ds.limit(sample).iter_batches(batch_size=8192, batch_format="pyarrow"))
+    )
+    m = _matrix(st)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    dim = m.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    cents = ivf_centroids(m, n_centroids, seed, kmeans_iters)
+    books = np.stack(
+        [
+            ivf_centroids(
+                np.ascontiguousarray(m[:, s * d_sub: (s + 1) * d_sub]),
+                n_codes,
+                seed + s,
+                kmeans_iters,
+            )
+            for s in range(m_sub)
+        ]
+    )
+    ref = [ray.put((cents, books))]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        c, bks = cached_get(ref[0])
+        v = _matrix(batch)
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0] = 1.0
+        v = v / norms[:, None]
+        n = v.shape[0]
+        cell = np.argmax(v @ c.T, axis=1).astype(np.int64)
+        codes = np.empty((n, m_sub), dtype=np.uint8)
+        for s in range(m_sub):
+            sub = v[:, s * d_sub: (s + 1) * d_sub]
+            scores = sub @ bks[s].T - 0.5 * (bks[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmax(scores, axis=1).astype(np.uint8)
+        offs = np.arange(n + 1, dtype=np.int64) * m_sub
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs),
+             pa.py_buffer(np.ascontiguousarray(codes.reshape(-1)))],
+        )
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cell": pa.array(cell, pa.int64()),
+                "codes": arr,
+            }
+        )
+
+    index = ds.map_batches(encode, batch_format="pyarrow").materialize()
+    return index, cents, books, dim
+
+
+def ann_topk_ivfpq(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    index=None,
+):
+    """Approximate top-k through BOTH reductions: probe only the
+    ``n_probe`` nearest coarse cells (touch ~n_probe/n_centroids of the
+    corpus) and score the survivors by PQ asymmetric distance (touch only
+    their code bytes) — the memory- and compute-bounded architecture a
+    10^12-vector search actually ships.  Returns (vec_id, rank);
+    rows-only in CORRECTNESS, recall pytest-pinned."""
+    import duckdb
+
+    if index is None:
+        index = build_ivfpq_index(
+            sf_dir, n_centroids=n_centroids, m_sub=m_sub, n_codes=n_codes, seed=seed
+        )
+    index_ds, cents, books, dim = index
+    m_sub = books.shape[0]
+    d_sub = dim // m_sub
+
+    q = duckdb.connect().execute(
+        f"select embedding from '{os.path.join(sf_dir, 'embeddings.parquet')}' "
+        f"where vec_id = {int(query_vec_id)}"
+    ).fetchone()[0]
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe_set = np.sort(
+        np.argsort(-(cents @ qn))[: min(n_probe, len(cents))].astype(np.int64)
+    )
+    table = np.stack(
+        [books[s] @ qn[s * d_sub: (s + 1) * d_sub] for s in range(m_sub)]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        pos = np.minimum(np.searchsorted(probe_set, cell), len(probe_set) - 1)
+        mask = probe_set[pos] == cell
+        ids = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
+        mask &= ids != query_vec_id
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "adc": pa.array([], pa.float64())}
+            )
+        col = batch.column("codes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        off = np.frombuffer(col.buffers()[1], dtype=np.int64)
+        start = off[col.offset]
+        codes = flat[start: start + len(col) * m_sub].reshape(len(col), m_sub)[mask]
+        adc = table[np.arange(m_sub)[None, :], codes].sum(axis=1)
+        ids = ids[mask]
+        order = np.lexsort((ids, -adc))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "adc": pa.array(adc[order], pa.float64()),
+            }
+        )
+
+    partials = index_ds.map_batches(score, batch_format="pyarrow")
+    t = pa.concat_tables(
+        list(partials.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    ids = t.column("vec_id").to_numpy()
+    adc = t.column("adc").to_numpy()
+    order = np.lexsort((ids, -adc))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+        }
+    )

@@ -1900,3 +1900,51 @@ def test_pq_topk_recall_on_clustered_embeddings(ray_session, tmp_path):
     idx2 = build_pq_index(str(d), m_sub=8, n_codes=16, seed=1)
     approx2 = _pdf(ann_topk_pq(str(d), query_vec_id=3, k=10, index=idx2))
     assert approx.vec_id.tolist() == approx2.vec_id.tolist()
+
+
+def test_ivfpq_topk_probes_and_scores(ray_session, tmp_path):
+    """IVF+PQ: full-probe equals the PQ-only ranking exactly (the coarse
+    stage only prunes), few-probe results still come from the query's
+    planted cluster, and the index stores 9 bytes of search state per
+    vector (cell int + 8 code bytes)."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.ann import (
+        ann_topk_ivfpq,
+        ann_topk_pq,
+        build_ivfpq_index,
+        build_pq_index,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((30, 24)) * 4
+    pts = np.concatenate(
+        [c + rng.standard_normal((25, 24)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(len(pts), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(r) for r in pts], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(pts), dtype=np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "ivfpq"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    idx = build_ivfpq_index(str(d), n_centroids=16, m_sub=8, n_codes=16, seed=1)
+    index_ds, cents, books, dim = idx
+    assert books.shape == (8, 16, 3) and cents.shape == (16, 24)
+    rows = _pdf(index_ds)
+    assert all(len(c) == 8 for c in rows["codes"])
+
+    pq_only = _pdf(
+        ann_topk_pq(str(d), query_vec_id=3, k=10,
+                    index=build_pq_index(str(d), m_sub=8, n_codes=16, seed=1))
+    )
+    full = _pdf(ann_topk_ivfpq(str(d), query_vec_id=3, k=10, n_probe=16, index=idx))
+    assert full.vec_id.tolist() == pq_only.vec_id.tolist()
+
+    few = _pdf(ann_topk_ivfpq(str(d), query_vec_id=3, k=10, n_probe=4, index=idx))
+    assert set(few.vec_id) <= set(range(25)), sorted(few.vec_id)
