@@ -183,6 +183,40 @@ class CheckpointManager:
             shutil.rmtree(tmp, ignore_errors=True)
         return self.load(stage)
 
+    def compact(self, stage: str, target_rows_per_part: int = 1_000_000):
+        """Rewrite a published stage's part files into
+        ``ceil(rows / target_rows_per_part)`` parts — the maintenance pass
+        an append-heavy checkpoint needs (every ``append_parts``
+        micro-batch lands its own files; a long-lived corpus accumulates
+        thousands of small parts whose per-file open/footer cost
+        dominates resume reads).
+
+        Same commit discipline as :meth:`save`: the compacted version is
+        written to a tmp dir and published by ONE atomic rename, with the
+        source checkpoint untouched until then — a crash mid-compaction
+        leaves the original fully readable.  Lineage survives: the new
+        manifest keeps ``input_stage`` and records ``compacted_from`` (the
+        old part count).  Returns the reloaded Dataset."""
+        import math
+
+        m = self.manifest(stage)
+        if not self.is_complete(stage):
+            raise ValueError(f"cannot compact incomplete checkpoint stage {stage!r}")
+        import pyarrow.parquet as pq
+
+        d = self.stage_dir(stage)
+        first = os.path.join(d, m["partitions"][0]["file"])
+        arrow_schema = pq.read_schema(first)
+        n_parts = max(1, math.ceil(max(m["rows"], 1) / max(target_rows_per_part, 1)))
+        ds = self.load(stage).repartition(n_parts)
+        return self.save(
+            stage,
+            ds,
+            input_stage=m.get("input_stage"),
+            extra={"compacted_from": len(m["partitions"])},
+            schema=arrow_schema,
+        )
+
     def clear_stale_temps(self) -> None:
         """Drop temp dirs of crashed writers and reconcile each published
         stage dir against its manifest: part files not listed (orphans of

@@ -420,3 +420,42 @@ def test_doc_tiered_append_twice(ray_session, tmp_path):
         ).to_pandas()
     )
     assert out.equals(full)
+
+
+def test_compact_merges_parts_and_preserves_rows(ray_session, tmp_path):
+    """compact() rewrites an append-fragmented checkpoint into the target
+    part count with identical content, surviving manifest lineage
+    (input_stage, compacted_from), and stays loadable/complete."""
+    import ray.data as rd
+
+    cfg = PipelineConfig()
+    mgr = CheckpointManager(str(tmp_path / "ck"), cfg)
+
+    def tbl(lo, hi):
+        return pa.table(
+            {
+                "k": pa.array(range(lo, hi), pa.int64()),
+                "v": pa.array([f"v{i}" for i in range(lo, hi)], pa.string()),
+            }
+        )
+
+    mgr.save("stage", rd.from_arrow(tbl(0, 100)), input_stage="input")
+    for j in range(3):
+        mgr.append_parts("stage", rd.from_arrow(tbl(100 + j * 50, 150 + j * 50)))
+    m = mgr.manifest("stage")
+    assert len(m["partitions"]) >= 4 and m["rows"] == 250
+    before = _collect(mgr.load("stage")).sort_by("k")
+
+    mgr.compact("stage", target_rows_per_part=1_000_000)
+    m2 = mgr.manifest("stage")
+    assert len(m2["partitions"]) == 1
+    assert m2["rows"] == 250
+    assert m2["input_stage"] == "input"
+    assert m2["compacted_from"] >= 4
+    assert mgr.is_complete("stage")
+    after = _collect(mgr.load("stage")).sort_by("k")
+    assert before.equals(after)
+
+    # re-appending after compaction still works
+    mgr.append_parts("stage", rd.from_arrow(tbl(250, 260)))
+    assert mgr.manifest("stage")["rows"] == 260
