@@ -785,6 +785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-type co-occurrence (market-basket users-who-did-both)
         # — SQL-checked against a distinct self-join oracle
         "type_cooccurrence": events.type_cooccurrence,
+        # DISTINCT ON (user) ORDER BY ts DESC: current-state snapshot
+        # — SQL-checked against a row_number oracle
+        "latest_event_per_user": events.latest_event_per_user,
         # PQ asymmetric-distance top-k over 8-byte codes (rows-only:
         # two-level float argmin; cluster recall pytest-pinned)
         "ann_topk_pq": ann.ann_topk_pq,
@@ -2856,6 +2859,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(delta) AS BIGINT) AS min_delta_us, "
             "CAST(max(delta) AS BIGINT) AS max_delta_us "
             "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "latest_event_per_user": (
+            "WITH r AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) AS ts_us, row_number() OVER ("
+            "  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT user_id, event_id, event_type, ts_us FROM r WHERE rn = 1"
         ),
         "type_cooccurrence": (
             "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "

@@ -1482,3 +1482,48 @@ def type_cooccurrence(sf_dir: str, num_partitions: int = 32):
         .groupby(["type_a", "type_b"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def latest_event_per_user(sf_dir: str, num_partitions: int = 32):
+    """(user_id, event_id, event_type, ts_us): each user's most recent
+    event — the ``DISTINCT ON (user) ORDER BY ts DESC`` / argmax-per-group
+    shape (current-state snapshot from an event log; Ray Data has no
+    native DISTINCT ON).  Tie-break: latest ts, then largest event_id.
+
+    Scale shape: the user-hash partition contract; per partition one
+    lexsort by (user, ts, id) and a take of each user's LAST row — a pure
+    per-partition map emitting one row per user."""
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "ts_us": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch.column("event_id").to_numpy()
+        uid = batch.column("user_id").to_numpy()
+        ts = _ts_us(batch.column("ts"))
+        o = np.lexsort((ids, ts, uid))
+        uid_s = uid[o]
+        n = len(o)
+        last = np.ones(n, dtype=bool)
+        if n > 1:
+            last[:-1] = uid_s[1:] != uid_s[:-1]
+        sel = pa.array(o[last], pa.int64())
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[last], pa.int64()),
+                "event_id": batch.column("event_id").take(sel),
+                "event_type": batch.column("event_type").take(sel),
+                "ts_us": pa.array(ts[o][last], pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), num_partitions
+    )
+    return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")

@@ -70,7 +70,7 @@ SQL_QUERIES = [
     "segment_priority_cube", "length_gate_docs", "cumulative_user_value",
     "props_field_stats", "gopher_quality_gate", "audio_chunk_plan",
     "posting_lists", "lang_source_pivot", "value_histogram",
-    "type_cooccurrence", "shipping_priority",
+    "type_cooccurrence", "shipping_priority", "latest_event_per_user",
 ]
 
 
@@ -451,6 +451,7 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
     from minhash_ray.pipelines.events import (
         cumulative_user_value,
         interarrival_stats,
+        latest_event_per_user,
         type_cooccurrence,
     )
 
@@ -461,6 +462,7 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
         (interarrival_stats, {}),
         (cumulative_user_value, {}),
         (type_cooccurrence, {}),
+        (latest_event_per_user, {}),
     ]:
         a = _canon(_pdf(fn(sf_dir, num_partitions=3, **kw)))
         b = _canon(_pdf(fn(sf_dir, num_partitions=32, **kw)))
