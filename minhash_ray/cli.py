@@ -26,8 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="clips table (parquet dir/file or lance)")
-    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--input", default=None,
+                    help="clips table (parquet dir/file or lance); required "
+                         "except in --compact maintenance mode")
+    ap.add_argument("--output", default=None,
+                    help="output directory; required except in --compact mode")
     ap.add_argument("--checkpoint", default=None, help="checkpoint root (enables resume)")
     ap.add_argument("--truth", default=None, help="truth_pairs.parquet for metrics")
     ap.add_argument("--num-perm", type=int, default=128)
@@ -52,7 +55,19 @@ def main(argv=None) -> int:
                          "(doc_dedup_tiered_append)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (omit under ray job submit)")
+    ap.add_argument("--compact", action="store_true",
+                    help="maintenance mode: compact every complete stage of "
+                         "the --checkpoint corpus (merge append-fragmented "
+                         "part files; no pipeline run)")
+    ap.add_argument("--target-rows-per-part", type=int, default=1_000_000,
+                    help="compaction target part size (rows)")
     args = ap.parse_args(argv)
+    if not args.compact and not args.input:
+        ap.error("--input is required (except with --compact)")
+    if not args.compact and not args.output:
+        ap.error("--output is required (except with --compact)")
+    if args.compact and not args.checkpoint:
+        ap.error("--compact requires --checkpoint")
 
     import ray
 
@@ -80,6 +95,33 @@ def main(argv=None) -> int:
     )
 
     t0 = time.time()
+    if args.compact:
+        from minhash_ray.state.checkpoint import CheckpointManager
+
+        if args.docs:
+            from minhash_ray.pipelines.dedup_text import DOC_CFG as _cfg
+        else:
+            _cfg = cfg
+        mgr = CheckpointManager(args.checkpoint, _cfg)
+        base = mgr._base()
+        report = {}
+        for s in sorted(os.listdir(base)) if os.path.isdir(base) else []:
+            if not mgr.is_complete(s):
+                continue
+            before = len(mgr.manifest(s)["partitions"])
+            mgr.compact(s, target_rows_per_part=args.target_rows_per_part)
+            report[s] = {
+                "parts_before": before,
+                "parts_after": len(mgr.manifest(s)["partitions"]),
+                "rows": mgr.manifest(s)["rows"],
+            }
+        print(json.dumps({
+            "compacted": report,
+            "sec": round(time.time() - t0, 2),
+            "config_hash": _cfg.config_hash(),
+        }))
+        ray.shutdown()
+        return 0
     if args.docs:
         from minhash_ray.pipelines.dedup_text import (
             DOC_CFG,
