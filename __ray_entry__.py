@@ -758,6 +758,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cumulative per-user running value total (SUM OVER window shape)
         # — SQL-checked against a DuckDB sum()-over-window oracle
         "cumulative_user_value": events.cumulative_user_value,
+        # trailing ROWS-frame window sum (moving window of last N rows)
+        # — SQL-checked against a ROWS BETWEEN oracle
+        "trailing_value_sum": events.trailing_value_sum,
         # schema-on-read JSON property extraction + per-type stats
         # — SQL-checked against a DuckDB json_extract_string oracle
         "props_field_stats": events.props_field_stats,
@@ -2933,6 +2936,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(v) AS BIGINT) AS min_v, "
             "CAST(max(v) AS BIGINT) AS max_v "
             "FROM x WHERE v IS NOT NULL GROUP BY event_type"
+        ),
+        "trailing_value_sum": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS trail_cents FROM events"
         ),
         "cumulative_user_value": (
             "SELECT event_id, user_id, "

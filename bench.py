@@ -266,6 +266,7 @@ def run_bench() -> dict:
         ("value_histogram", events.value_histogram),
         ("type_cooccurrence", events.type_cooccurrence),
         ("latest_event_per_user", events.latest_event_per_user),
+        ("trailing_value_sum", events.trailing_value_sum),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_containment_pairs", lambda _sf: _acp(
             read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),

@@ -1527,3 +1527,45 @@ def latest_event_per_user(sf_dir: str, num_partitions: int = 32):
         _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]), num_partitions
     )
     return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
+
+
+def trailing_value_sum(sf_dir: str, frame: int = 3, num_partitions: int = 32):
+    """(event_id, user_id, trail_cents): per event, the sum of the
+    user's last ``frame`` event values up to and including it, ordered by
+    (ts, event_id) — the ROWS-frame window aggregate (``SUM(...) OVER
+    (... ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``), the moving
+    window every rate/velocity feature is built from.  Complements
+    :func:`cumulative_user_value` (UNBOUNDED PRECEDING frame).
+
+    Scale shape: identical to the running total — user-hash partition,
+    one lexsort, one global cumsum; the frame subtraction is one gather
+    at ``max(i - frame, group_start - 1)``.  Pure per-partition map."""
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "trail_cents": pa.array([], pa.int64()),
+                }
+            )
+        o, uid_s, _ts_s, ids_s, new_user, user_start = _user_sorted(batch)
+        value = batch.column("value").to_numpy()
+        vc = np.floor(value * 100.0 + 0.5).astype(np.int64)[o]
+        gcs = np.cumsum(vc)
+        i = np.arange(len(o), dtype=np.int64)
+        j = np.maximum(i - frame, user_start - 1)
+        trail = gcs - np.where(j >= 0, gcs[np.maximum(j, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(ids_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "trail_cents": pa.array(trail, pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]), num_partitions
+    )
+    return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")

@@ -71,6 +71,7 @@ SQL_QUERIES = [
     "props_field_stats", "gopher_quality_gate", "audio_chunk_plan",
     "posting_lists", "lang_source_pivot", "value_histogram",
     "type_cooccurrence", "shipping_priority", "latest_event_per_user",
+    "trailing_value_sum",
 ]
 
 
@@ -452,6 +453,7 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
         cumulative_user_value,
         interarrival_stats,
         latest_event_per_user,
+        trailing_value_sum,
         type_cooccurrence,
     )
 
@@ -463,6 +465,7 @@ def test_new_partitioned_ops_are_partition_invariant(ray_session, sf_dir):
         (cumulative_user_value, {}),
         (type_cooccurrence, {}),
         (latest_event_per_user, {}),
+        (trailing_value_sum, {}),
     ]:
         a = _canon(_pdf(fn(sf_dir, num_partitions=3, **kw)))
         b = _canon(_pdf(fn(sf_dir, num_partitions=32, **kw)))
