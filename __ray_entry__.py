@@ -791,6 +791,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DISTINCT ON (user) ORDER BY ts DESC: current-state snapshot
         # — SQL-checked against a row_number oracle
         "latest_event_per_user": events.latest_event_per_user,
+        # collect-list + string_agg journey paths — SQL-checked against
+        # an ordered string_agg oracle
+        "user_event_paths": events.user_event_paths,
         # PQ asymmetric-distance top-k over 8-byte codes (rows-only:
         # two-level float argmin; cluster recall pytest-pinned)
         "ann_topk_pq": ann.ann_topk_pq,
@@ -2862,6 +2865,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(delta) AS BIGINT) AS min_delta_us, "
             "CAST(max(delta) AS BIGINT) AS max_delta_us "
             "FROM d WHERE delta IS NOT NULL GROUP BY event_type"
+        ),
+        "user_event_paths": (
+            "WITH p AS (SELECT user_id, "
+            "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+            "FROM events GROUP BY user_id) "
+            "SELECT path, count(*) AS n_users FROM p GROUP BY path"
         ),
         "latest_event_per_user": (
             "WITH r AS (SELECT user_id, event_id, event_type, "

@@ -267,6 +267,7 @@ def run_bench() -> dict:
         ("type_cooccurrence", events.type_cooccurrence),
         ("latest_event_per_user", events.latest_event_per_user),
         ("trailing_value_sum", events.trailing_value_sum),
+        ("user_event_paths", events.user_event_paths),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_containment_pairs", lambda _sf: _acp(
             read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),

@@ -1569,3 +1569,75 @@ def trailing_value_sum(sf_dir: str, frame: int = 3, num_partitions: int = 32):
         _events(sf_dir, ["event_id", "user_id", "ts", "value"]), num_partitions
     )
     return ds.groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
+
+
+def user_event_paths(sf_dir: str, num_partitions: int = 32):
+    """(path, n_users): users grouped by their full ordered event-type
+    journey (events concatenated with ``>`` in (ts, event_id) order) —
+    the collect-list + string_agg shape (Ray Data has neither) behind
+    funnel exploration and behavioral cohorting.
+
+    Scale shape: the user-hash partition assembles each user's path
+    WITHOUT a Python loop — one lexsort, then the sorted event types
+    become a ListArray sliced at user boundaries and ONE vectorized
+    ``pc.binary_join`` emits every path; per-path counts fold through a
+    path-hash partition (paths scale with users, never Ray aggregate
+    groups)."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import fold_by_str_key
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "path": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        etype = batch.column("event_type")
+        if isinstance(etype, pa.ChunkedArray):
+            etype = etype.combine_chunks()
+        ids = batch.column("event_id").to_numpy()
+        uid = batch.column("user_id").to_numpy()
+        ts = _ts_us(batch.column("ts"))
+        o = np.lexsort((ids, ts, uid))
+        uid_s = uid[o]
+        n = len(o)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(first)
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        sorted_types = etype.take(pa.array(o, pa.int64()))
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), sorted_types)
+        paths = pc.binary_join(lists, ">")
+        t = pa.table({"path": paths}).group_by("path").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "path": t.column("path"),
+                "n_users": pc.cast(t.column("count_all"), pa.int64()),
+            }
+        )
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        return b
+
+    def cnt_final(t: pa.Table) -> pa.Table:
+        g = t.group_by("path").aggregate([("n_users", "sum")])
+        return pa.table(
+            {
+                "path": g.column("path"),
+                "n_users": pc.cast(g.column("n_users_sum"), pa.int64()),
+            }
+        )
+
+    per_user = (
+        _with_user_partition(
+            _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]),
+            num_partitions,
+        )
+        .groupby("pkey")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    return fold_by_str_key(per_user, "path", cnt_partial, cnt_final, num_partitions)
