@@ -341,6 +341,18 @@ def audio_dup_pairs_q(sf_dir: str):
     return audio_dup_pairs(clips)
 
 
+def audio_phash_pairs_q(sf_dir: str):
+    """(clip_id_a, clip_id_b, hamming) — perceptual-hash near-dup audio
+    pairs: 64-bit energy-delta fingerprints (Haitsma-Kalker sign coding)
+    within Hamming ≤ 6, exact-recall pigeonhole banding + Hamming verify
+    (rows-only: binary payload; gain-invariance, planted-dup recovery and
+    radius exactness are pytest-asserted)."""
+    from minhash_ray.pipelines.audio import audio_phash_pairs
+
+    clips, _ = _clips_ds(sf_dir)
+    return audio_phash_pairs(clips)
+
+
 def audio_containment_pairs_q(sf_dir: str):
     """(clip_id_a, clip_id_b, n_matched_a, n_chunks_a, n_matched_b,
     n_chunks_b) — chunk-level partial-overlap (containment) audio pairs
@@ -707,6 +719,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_lineitem": relational.filtered_lineitem,
         "part_brand_stats": relational.part_brand_stats,
         "nation_revenue": relational.nation_revenue,
+        # TPC-H Q5 shape: join-equality predicate across two dimension
+        # paths (c_nationkey = s_nationkey) — both lookups must be
+        # attached before the filter can run (SQL-checked)
+        "local_supplier_volume": relational.local_supplier_volume,
         # ROLLUP(region, nation) multi-level aggregate: coarser levels
         # derive from the fine partials, never a re-scan (SQL-checked
         # against GROUP BY ROLLUP)
@@ -844,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunk-level partial-overlap containment pairs (rows-only:
         # LSH/OPH; planted containment pytest-asserted)
         "audio_containment_pairs": audio_containment_pairs_q,
+        "audio_phash_pairs": audio_phash_pairs_q,
         # duplicated sample spans, merged (rows-only: LSH/OPH; exact
         # planted spans pytest-asserted)
         "audio_dup_regions": audio_dup_regions_q,
@@ -3036,6 +3053,20 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(n_name, '<all>') AS n_name, "
             "count(*) AS n_items, CAST(sum(rc) AS BIGINT) AS revenue_cents "
             "FROM base GROUP BY ROLLUP(r_name, n_name)"
+        ),
+        "local_supplier_volume": (
+            "SELECT n_name, count(*) AS n_items, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "nation_revenue": (
             "SELECT n_name, count(*) AS n_items, "

@@ -151,6 +151,7 @@ def run_bench() -> dict:
     from minhash_ray.pipelines.audio import audio_containment_pairs as _acp
     from minhash_ray.pipelines.audio import audio_dup_regions as _adr
     from minhash_ray.pipelines.audio import audio_dup_pairs as _adp
+    from minhash_ray.pipelines.audio import audio_phash_pairs as _aphp
     from minhash_ray.pipelines.audio import audio_exact_dedup as _aed
     from minhash_ray.pipelines.audio import audio_stats as _ast
     from minhash_ray.pipelines.audio import audio_energy_stats as _aes
@@ -268,7 +269,10 @@ def run_bench() -> dict:
         ("latest_event_per_user", events.latest_event_per_user),
         ("trailing_value_sum", events.trailing_value_sum),
         ("user_event_paths", events.user_event_paths),
+        ("local_supplier_volume", relational.local_supplier_volume),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
+        ("audio_phash_pairs", lambda _sf: _aphp(
+            read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),
         ("audio_containment_pairs", lambda _sf: _acp(
             read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),
         ("audio_dup_regions", lambda _sf: _adr(

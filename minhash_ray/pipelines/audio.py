@@ -832,3 +832,123 @@ def audio_dup_regions(
         )
 
     return fold_by_str_key(spans_in, "clip_id", span_partial, span_final, np_parts)
+
+
+def audio_phash_pairs(
+    clips,
+    max_hamming: int = 6,
+    n_frames: int = 64,
+    num_partitions: int = 8,
+):
+    """Perceptual-hash near-duplicate audio pairs: (clip_id_a, clip_id_b,
+    hamming) for clip pairs whose 64-bit energy-delta fingerprints
+    (Haitsma & Kalker 2002 sign-of-energy-delta coding,
+    functions/audio.energy_delta_fingerprint_i16) differ in at most
+    ``max_hamming`` bits.  Complements :func:`audio_dup_pairs` (byte-OPH
+    MinHash): the byte sketch finds re-uploads sharing raw byte runs,
+    the perceptual hash finds re-encoded / re-gained copies whose bytes
+    all changed but whose coarse energy envelope survived — it is exactly
+    gain-invariant, so a volume-normalized copy matches at Hamming 0.
+
+    EXACT recall within the radius: pigeonhole chunk banding (any pair
+    with ≤ d of 64 bits differing agrees on ≥ 1 of d+1 bit-chunks —
+    stages/banding.make_simhash_band_fn, the SimHash machinery reused
+    verbatim on the audio channel), then an exact Hamming verification.
+
+    Scale shape: the fingerprint stage is a task-pool pass over the
+    payload (one int16 view + cache-chunked energy accumulation per clip,
+    payload dropped at the stage boundary — 8 B/clip leaves the stage);
+    candidates ride the production band-shuffle with its global distinct;
+    verification attaches each side's fingerprint by two slim partitioned
+    ``Dataset.join``\\ s (the join-attach pattern, never a corpus
+    broadcast).  Undecodable codecs (stub boundary) and clips shorter
+    than ``n_frames + 1`` samples never band: their fingerprints are not
+    meaningful and an all-zero default would cross-link unrelated clips.
+    Identical digital silence *does* pair (all-delta-zero fingerprints
+    match) — that is the perceptual semantics, and the exact-byte tier
+    upstream already collapses those in the production pipelines."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.functions.audio import energy_delta_fingerprint_i16
+    from minhash_ray.functions.simhash import hamming_distance
+    from minhash_ray.stages.banding import make_simhash_band_fn
+    from minhash_ray.stages.candidates import candidate_pairs
+    from minhash_ray.util import binary_flat_offsets, clamp_partitions, strip_empty_blocks
+
+    np_parts = clamp_partitions(num_partitions)
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bcol = batch.column("bytes")
+        if isinstance(bcol, pa.ChunkedArray):
+            bcol = bcol.combine_chunks()
+        p_flat, p_offs = binary_flat_offsets(bcol)
+        codecs = batch.column("codec").to_pylist()
+        fp = np.zeros(n, dtype=np.uint64)
+        valid = np.zeros(n, dtype=np.int64)
+        i2 = np.dtype("<i2")
+        for i in range(n):
+            if codecs[i] != "pcm_s16le":       # honest stub boundary
+                continue
+            o0, o1 = int(p_offs[i]), int(p_offs[i + 1])
+            usable = (o1 - o0) - ((o1 - o0) % 2)
+            seg = p_flat[o0 : o0 + usable]
+            if o0 % 2:                          # int16 view needs alignment
+                seg = seg.copy()
+            w16 = seg.view(i2)
+            if len(w16) < n_frames + 1:
+                continue
+            fp[i] = energy_delta_fingerprint_i16(w16, n_frames)
+            valid[i] = 1
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "simhash": pa.array(fp, pa.uint64()),
+                "n_shingles": pa.array(valid, pa.int64()),  # band gate
+            }
+        )
+
+    fps = clips.select_columns(["clip_id", "bytes", "codec"]).map_batches(
+        fingerprint, batch_format="pyarrow"
+    ).materialize()                              # 8 B/clip, reused 3×
+
+    band_rows = fps.map_batches(
+        make_simhash_band_fn(max_hamming + 1), batch_format="pyarrow"
+    )
+    exact_cfg = PipelineConfig().with_(salt_hot_bands=False, band_group_cap=1_000_000_000)
+    pairs = candidate_pairs(band_rows, exact_cfg, num_partitions=np_parts)
+
+    def side(suffix: str):
+        def pack(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "clip_id": batch.column("clip_id"),
+                    f"fp_{suffix}": batch.column("simhash"),
+                }
+            )
+
+        return fps.map_batches(pack, batch_format="pyarrow")
+
+    with_a = strip_empty_blocks(pairs).join(
+        side("a"), join_type="inner", on=("clip_id_a",), right_on=("clip_id",),
+        num_partitions=np_parts,
+    )
+    with_ab = strip_empty_blocks(with_a).join(
+        side("b"), join_type="inner", on=("clip_id_b",), right_on=("clip_id",),
+        num_partitions=np_parts,
+    )
+
+    def ham_gate(batch: pa.Table) -> pa.Table:
+        fa = np.ascontiguousarray(batch.column("fp_a").to_numpy(), dtype=np.uint64)
+        fb = np.ascontiguousarray(batch.column("fp_b").to_numpy(), dtype=np.uint64)
+        d = hamming_distance(fa, fb).astype(np.int64)
+        keep = d <= max_hamming
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "clip_id_a": pc.take(batch.column("clip_id_a"), sel),
+                "clip_id_b": pc.take(batch.column("clip_id_b"), sel),
+                "hamming": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    return with_ab.map_batches(ham_gate, batch_format="pyarrow")

@@ -936,3 +936,151 @@ def shipping_priority(
         pruned.sort(["revenue_cents", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    num_partitions: int = 8,
+):
+    """TPC-H Q5 shape — revenue per nation from lineitems whose customer
+    and supplier sit in the SAME nation of one region, orders within a
+    date year.  The defining feature vs the other join queries is the
+    join-equality predicate across two independent dimension paths
+    (``c_nationkey = s_nationkey``): neither side alone determines the
+    group, so the filter runs after both lookups are attached.
+
+    Scale shape: orders is date-filtered at the read (one vectorized
+    timestamp compare per batch, then (o_orderkey, o_custkey) only);
+    lineitem carries (l_orderkey, l_suppkey, revenue_cents); the only
+    shuffle is ONE partitioned lineitem ⋈ orders join on the shared
+    orderkey.  supplier and customer nationkeys ride as sorted
+    int64→int64 broadcast packs (``ray.put`` once, searchsorted probe per
+    batch — supplier/customer are the canonical small dimensions), and
+    the region's nation ids are a frozen numpy set of ≤25 entries.
+    Revenue per item is exact integer cents (same IEEE expression as the
+    oracle), folded per n_name by Ray aggregate (≤25 groups).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from minhash_ray.util import clamp_partitions
+
+    num_partitions = clamp_partitions(num_partitions)
+
+    nation = pa.concat_tables(
+        list(_t(sf_dir, "nation").iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    reg = pa.concat_tables(
+        list(_t(sf_dir, "region").iter_batches(batch_size=4096, batch_format="pyarrow"))
+    )
+    reg_keys = set(
+        reg.filter(pc.equal(reg.column("r_name"), region)).column("r_regionkey").to_pylist()
+    )
+    in_region = nation.filter(
+        pa.array([rk in reg_keys for rk in nation.column("n_regionkey").to_pylist()])
+    )
+    # ≤25 nations: dense nationkey→name map, numpy membership mask
+    nat_keys = in_region.column("n_nationkey").to_numpy()
+    nat_names = in_region.column("n_name").to_pylist()
+    max_nk = int(nation.column("n_nationkey").to_numpy().max()) if nation.num_rows else 0
+    name_by_nk = np.full(max_nk + 1, -1, dtype=np.int32)
+    for i, nk in enumerate(nat_keys):
+        name_by_nk[int(nk)] = i
+
+    def _int_pack(tbl: pa.Table, kcol: str, vcol: str):
+        k = tbl.column(kcol).to_numpy()
+        v = tbl.column(vcol).to_numpy().astype(np.int64)
+        order = np.argsort(k)
+        return {"keys": k[order].astype(np.int64), "vals": v[order]}
+
+    supp = pa.concat_tables(
+        list(_t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
+    )
+    cust = pa.concat_tables(
+        list(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
+    )
+    ref = [ray.put({
+        "supp": _int_pack(supp, "s_suppkey", "s_nationkey"),
+        "cust": _int_pack(cust, "c_custkey", "c_nationkey"),
+        "name_by_nk": name_by_nk,
+        "vocab": nat_names,
+    })]
+
+    lo_us = np.int64(np.datetime64(date_lo, "us").astype(np.int64))
+    hi_us = np.int64(np.datetime64(date_hi, "us").astype(np.int64))
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        od_us = od.cast(pa.int64()).to_numpy()
+        keep = (od_us >= lo_us) & (od_us < hi_us)
+        t = batch.filter(pa.array(keep))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_filter, batch_format="pyarrow"
+    )
+
+    def li_widen(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                                 "l_discount"]).map_batches(li_widen, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=num_partitions,
+    )
+
+    def _probe(pack, q: np.ndarray) -> np.ndarray:
+        """sorted int64 keys → int64 vals; -1 where absent."""
+        keys, vals = pack["keys"], pack["vals"]
+        if len(keys) == 0:
+            return np.full(len(q), -1, dtype=np.int64)
+        pos = np.searchsorted(keys, q)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        out = vals[pos_c].copy()
+        out[keys[pos_c] != q] = -1
+        return out
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        from minhash_ray.util import cached_get
+
+        pack = cached_get(ref[0])
+        s_nat = _probe(pack["supp"], batch.column("l_suppkey").to_numpy().astype(np.int64))
+        c_nat = _probe(pack["cust"], batch.column("o_custkey").to_numpy().astype(np.int64))
+        nb = pack["name_by_nk"]
+        in_reg = (s_nat >= 0) & (s_nat < len(nb))
+        code = np.where(in_reg, nb[np.minimum(np.maximum(s_nat, 0), len(nb) - 1)], -1)
+        keep = (s_nat == c_nat) & (code >= 0)
+        idx = np.flatnonzero(keep)
+        vocab = pa.array(pack["vocab"], pa.string())
+        return pa.table(
+            {
+                "n_name": vocab.take(pa.array(code[idx], pa.int32())),
+                "revenue_cents": batch.column("revenue_cents").take(pa.array(idx)),
+            }
+        )
+
+    return (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_items"), Sum("revenue_cents", alias_name="revenue_cents"))
+    )

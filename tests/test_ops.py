@@ -71,7 +71,7 @@ SQL_QUERIES = [
     "props_field_stats", "gopher_quality_gate", "audio_chunk_plan",
     "posting_lists", "lang_source_pivot", "value_histogram",
     "type_cooccurrence", "shipping_priority", "latest_event_per_user",
-    "trailing_value_sum", "user_event_paths",
+    "trailing_value_sum", "user_event_paths", "local_supplier_volume",
 ]
 
 

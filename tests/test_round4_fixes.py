@@ -772,3 +772,92 @@ def test_pair_snr_gates_match_planted_truth(ray_session, small_fixture):
             assert r.snr_ok == 0, (r.clip_id_a, r.clip_id_b, r.snr_db)
     # both regimes actually exercised
     assert n_audio > 0 and n_boiler > 0
+
+
+def test_audio_phash_pairs_exact_vs_bruteforce(ray_session, tmp_path):
+    """audio_phash_pairs == brute-force: over a mixed fixture (tones,
+    gain-scaled copies, noise-perturbed copies, short clips, external
+    codecs) the operator's pair set must EQUAL the all-pairs Hamming ≤ d
+    set over per-clip fingerprints — exact recall (pigeonhole banding
+    never misses within the radius) AND exact precision (Hamming verify
+    never keeps a pair outside it).  Gain invariance is asserted
+    explicitly: a 0.5x-volume copy pairs with its original at Hamming 0."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.functions.audio import (
+        encode_pcm,
+        energy_delta_fingerprint_i16,
+        synth_waveform,
+    )
+    from minhash_ray.functions.simhash import hamming_distance
+    from minhash_ray.pipelines.audio import audio_phash_pairs
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    ids, payloads, codecs = [], [], []
+
+    def add(cid, wave, codec="pcm_s16le"):
+        ids.append(cid)
+        payloads.append(encode_pcm(wave))
+        codecs.append(codec)
+
+    base = [synth_waveform(rng, sr, int(d)) for d in rng.integers(400, 1200, size=12)]
+    for i, w in enumerate(base):
+        add(f"base_{i:02d}", w)
+    # gain-scaled copies (the perceptual-dup case: all bytes differ)
+    add("gain_half_of_00", base[0] * 0.5)
+    add("gain_tenth_of_01", base[1] * 0.1)
+    # noise-perturbed copy: small envelope wobble, expect small Hamming
+    add("noisy_of_02", np.clip(base[2] + rng.normal(0, 0.01, len(base[2])), -1, 1))
+    # short clip (< n_frames+1 samples) and external codec: never band
+    add("too_short", base[3][:40])
+    add("ext_codec", base[4], codec="opus")
+    add("ext_codec_copy", base[4], codec="opus")
+
+    t = pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sr_hz": pa.array([sr] * len(ids), pa.int32()),
+            "dur_ms": pa.array([len(p) // 2 * 1000 // sr for p in payloads], pa.int32()),
+            "codec": pa.array(codecs, pa.string()),
+            "transcript": pa.array(["x"] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "clips.parquet"))
+
+    from tests.test_ops import _pdf
+
+    got = _pdf(audio_phash_pairs(rd.read_parquet(str(tmp_path / "clips.parquet"))))
+    found = {tuple(sorted(p)) for p in zip(got.clip_id_a, got.clip_id_b)}
+
+    # brute force with the same kernel
+    fps = {}
+    for cid, payload, codec in zip(ids, payloads, codecs):
+        if codec != "pcm_s16le":
+            continue
+        w16 = np.frombuffer(payload, dtype="<i2")
+        if len(w16) < 65:
+            continue
+        fps[cid] = np.uint64(energy_delta_fingerprint_i16(w16, 64))
+    want = set()
+    for a, b in itertools.combinations(sorted(fps), 2):
+        d = int(hamming_distance(np.array([fps[a]]), np.array([fps[b]]))[0])
+        if d <= 6:
+            want.add(tuple(sorted((a, b))))
+    assert found == want, (sorted(found - want)[:5], sorted(want - found)[:5])
+
+    # gain invariance at Hamming 0, and the reported distance is exact
+    by_pair = {
+        tuple(sorted(p)): h
+        for p, h in zip(zip(got.clip_id_a, got.clip_id_b), got.hamming)
+    }
+    assert by_pair[tuple(sorted(("base_00", "gain_half_of_00")))] == 0
+    assert by_pair[tuple(sorted(("base_01", "gain_tenth_of_01")))] == 0
+    # stub boundary: external-codec twins and short clips never pair
+    flat = {c for p in found for c in p}
+    assert not {"too_short", "ext_codec", "ext_codec_copy"} & flat
