@@ -561,6 +561,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # estimator's equal-slot histogram (threshold tuning) — both are
         # hash aggregates over the metadata-scale verified pair table
         "dup_graph_degrees": dedup_text.dup_graph_degrees,
+        # iterative distributed PageRank over the dup graph in exact
+        # fixed-point int64 (per-round partitioned join + per-dst fold);
+        # SQL-checked — the oracle replays the identical floor arithmetic
+        # through chained CTEs
+        "dup_graph_pagerank": dedup_text.dup_graph_pagerank,
         # near-dup contamination matrix per unordered source pair —
         # SQL-checked (sims chain + two label joins)
         "cross_source_dups": dedup_text.cross_source_dups,
@@ -748,6 +753,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # buckets) — SQL-checked against a row_number oracle
         "window_top_events": events.window_top_events,
         "sliding_window_counts": events.sliding_window_counts,
+        # sliding windows × exact distinct: per-(window,user) pair fold
+        # through the key-hash partition, per-partition partial counts,
+        # metadata-scale final sum (SQL-checked)
+        "sliding_window_distinct_users": events.sliding_window_distinct_users,
         "sessionize": events.sessionize,
         # per-session length/dwell summary computed inside the same
         # user-hash partition scan as sessionize (no second shuffle)
@@ -1673,6 +1682,37 @@ def _dup_degrees_sql(seed: int = 42) -> str:
     )
 
 
+def _dup_pagerank_sql(seed: int = 42, iterations: int = 3) -> str:
+    """Fixed-point PageRank over the gated LSH pair graph: the SAME
+    int64 floor arithmetic as ``dedup_text.dup_graph_pagerank`` replayed
+    through ``iterations`` chained CTEs (DuckDB ``//`` is exact integer
+    division; all values are positive so floor == truncate, and BIGINT
+    sums widen to HUGEINT without changing the quotients)."""
+    from minhash_ray.pipelines.dedup_text import DOC_CFG
+
+    threshold = DOC_CFG.tau - DOC_CFG.verify_margin
+    scale = 1_000_000_000
+    tele = (15 * scale) // 100
+    sql = (
+        f"WITH {_lsh_sims_ctes(seed)}, "
+        f"prpairs AS (SELECT da, db FROM sims WHERE sim >= {threshold}), "
+        "edges AS (SELECT da AS src, db AS dst FROM prpairs "
+        "UNION ALL SELECT db, da FROM prpairs), "
+        "deg AS (SELECT src AS doc_id, count(*) AS d FROM edges GROUP BY src), "
+        f"pr0 AS (SELECT doc_id, CAST({scale} AS BIGINT) AS pr FROM deg)"
+    )
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        sql += (
+            f", pr{i} AS (SELECT e.dst AS doc_id, "
+            f"CAST({tele} + (85 * sum(p.pr // g.d)) // 100 AS BIGINT) AS pr "
+            f"FROM edges e JOIN {prev} p ON e.src = p.doc_id "
+            "JOIN deg g ON e.src = g.doc_id GROUP BY e.dst)"
+        )
+        prev = f"pr{i}"
+    return sql + f" SELECT doc_id, pr AS pr_fx FROM {prev}"
+
+
 def _dup_components_sql(seed: int = 42) -> str:
     """Connected components over the gated LSH pair graph as a recursive
     label-reachability CTE (the ``_tiered_dedup_sql`` cluster-tier shape,
@@ -2584,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_tiered": _tiered_dedup_sql(),
         "doc_dedup_keep_best": _keep_best_sql(),
         "dup_graph_degrees": _dup_degrees_sql(),
+        "dup_graph_pagerank": _dup_pagerank_sql(),
         "cross_source_dups": _cross_source_dups_sql(),
         "dup_graph_components": _dup_components_sql(),
         "dup_knn_graph": _dup_knn_sql(),
@@ -2827,6 +2868,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         # sliding windows: each event joins every hop-aligned window start
         # in (ts - window, ts] via generate_series over hop indices
+        "sliding_window_distinct_users": (
+            "WITH ev AS (SELECT epoch_us(ts) AS tsu, user_id FROM events) "
+            f"SELECT s.k * {900_000_000} AS window_us, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM ev, UNNEST(generate_series("
+            f"  (tsu - {3_600_000_000}) // {900_000_000} + 1, tsu // {900_000_000}"
+            ")) AS s(k) GROUP BY 1"
+        ),
         "sliding_window_counts": (
             "WITH ev AS (SELECT epoch_us(ts) AS tsu, event_type, "
             "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc FROM events) "

@@ -270,6 +270,8 @@ def run_bench() -> dict:
         ("trailing_value_sum", events.trailing_value_sum),
         ("user_event_paths", events.user_event_paths),
         ("local_supplier_volume", relational.local_supplier_volume),
+        ("dup_graph_pagerank", dedup_text.dup_graph_pagerank),
+        ("sliding_window_distinct_users", events.sliding_window_distinct_users),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_phash_pairs", lambda _sf: _aphp(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),

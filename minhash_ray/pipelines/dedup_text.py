@@ -5063,3 +5063,131 @@ def dup_graph_triangles(
         )
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def dup_graph_pagerank(
+    sf_dir: str,
+    cfg: PipelineConfig = DOC_CFG,
+    iterations: int = 3,
+    num_partitions: int = 8,
+    docs=None,
+):
+    """(doc_id, pr_fx): PageRank over the verified near-dup graph — the
+    canonical-representative ranking signal (a high-rank node is the hub
+    of a template/boilerplate family; pair it with keep-best to pick the
+    most-connected copy).  ``iterations`` synchronous power-iteration
+    rounds with damping 0.85, computed entirely in FIXED-POINT int64
+    (scale 10^9): pr0(v) = S, pr_{t+1}(v) = (15·S)//100 +
+    (85 · Σ_{u~v} pr_t(u)//deg(u)) // 100.  Every operation is integer
+    floor arithmetic, so the result is bit-exact and the DuckDB oracle
+    replays the identical chain through ``iterations`` chained CTEs —
+    the repo's oracle-checked ITERATIVE algorithm (k-means is rows-only
+    float).  Isolated docs never enter (every graph node has deg ≥ 1,
+    so there are no dangling nodes and the inner joins are total).
+
+    Scale shape: one symmetric edge table (2·|pairs| rows, metadata-scale
+    by LSH construction but ∝ corpus); per iteration ONE partitioned
+    ``Dataset.join`` attaches (pr, deg) to edge sources, contributions
+    fold per destination through the key-hash partition
+    (``fold_by_int_keys`` — node count is corpus-width, Ray never sees
+    nodes as groups), and ONE slim join re-attaches degrees for the next
+    round.  State between rounds is (doc_id, d, pr) — 24 B/node.
+    int64 headroom: 85·Σpr < 2^63 holds to ~10^8 graph nodes at scale
+    10^9; drop SCALE one decade per decade of nodes beyond that."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from minhash_ray.util import clamp_partitions, fold_by_int_keys, strip_empty_blocks
+
+    SCALE = 1_000_000_000
+    TELEPORT = (15 * SCALE) // 100
+    np_parts = clamp_partitions(num_partitions)
+
+    pairs = minhash_dup_pairs(sf_dir, cfg, num_partitions, docs=docs)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pr_fx": pa.array([], pa.int64())}
+        )
+    a = pairs.column("doc_id_a").combine_chunks()
+    b = pairs.column("doc_id_b").combine_chunks()
+    edges = rd.from_arrow(
+        pa.table({"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])})
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("src").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": g.column("src"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    def deg_final(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("c", "sum")])
+        d = pc.cast(g.column("c_sum"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "d": d,
+                "pr": pa.array(np.full(g.num_rows, SCALE, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    state = fold_by_int_keys(
+        edges, ["doc_id"], deg_partial, deg_final, np_parts
+    ).materialize()
+    deg = state.select_columns(["doc_id", "d"]).materialize()   # reused per round
+
+    for _ in range(iterations):
+        with_pr = strip_empty_blocks(edges).join(
+            state,
+            join_type="inner",
+            on=("src",),
+            right_on=("doc_id",),
+            num_partitions=np_parts,
+        )
+
+        def sum_partial(batch: pa.Table) -> pa.Table:
+            pr = batch.column("pr").to_numpy()
+            d = batch.column("d").to_numpy()
+            t = pa.table(
+                {
+                    "doc_id": batch.column("dst"),
+                    "c": pa.array(pr // d, pa.int64()),
+                }
+            )
+            g = t.group_by("doc_id").aggregate([("c", "sum")])
+            return pa.table(
+                {
+                    "doc_id": g.column("doc_id"),
+                    "c": pc.cast(g.column("c_sum"), pa.int64()),
+                }
+            )
+
+        def sum_final(t: pa.Table) -> pa.Table:
+            g = t.group_by("doc_id").aggregate([("c", "sum")])
+            s = pc.cast(g.column("c_sum"), pa.int64()).to_numpy()
+            return pa.table(
+                {
+                    "doc_id": g.column("doc_id"),
+                    "pr": pa.array(TELEPORT + (85 * s) // 100, pa.int64()),
+                }
+            )
+
+        sums = fold_by_int_keys(
+            strip_empty_blocks(with_pr), ["doc_id"], sum_partial, sum_final, np_parts
+        )
+        state = (
+            strip_empty_blocks(sums)
+            .join(deg, join_type="inner", on=("doc_id",), num_partitions=np_parts)
+            .materialize()
+        )
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "pr_fx": batch.column("pr")}
+        )
+
+    return state.map_batches(out, batch_format="pyarrow")

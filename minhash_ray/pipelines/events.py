@@ -1641,3 +1641,97 @@ def user_event_paths(sf_dir: str, num_partitions: int = 32):
         .map_groups(per_partition, batch_format="pyarrow")
     )
     return fold_by_str_key(per_user, "path", cnt_partial, cnt_final, num_partitions)
+
+
+def sliding_window_distinct_users(
+    sf_dir: str,
+    window_minutes: int = 60,
+    hop_minutes: int = 15,
+    num_partitions: int = 8,
+):
+    """(window_us, n_users): EXACT distinct active users per sliding
+    window — the streaming-dashboard "active users in the last hour,
+    every 15 minutes" query, composing the sliding replication of
+    :func:`sliding_window_counts` with the exact-distinct fold of
+    ``distinct_users_per_type`` (no HLL approximation; the approximate
+    twin is ``approx_distinct_users_per_type``).
+
+    Scale shape: the ⌈window/hop⌉× replication happens vectorized on the
+    SLIM (window_us, user_id) projection with in-batch pair dedup before
+    anything shuffles; global distinct folds per (window, user) through
+    the key-hash partition (user dimension is corpus-width — Ray never
+    sees users as groups), each partition emits per-window partial
+    counts (each pair exists in exactly one partition), and the final
+    per-window sum is a metadata-scale Ray aggregate (windows ∝ time
+    span / hop, not corpus)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from minhash_ray.util import fold_by_int_keys
+
+    if hop_minutes > window_minutes:
+        raise ValueError("hop must not exceed window")
+    win_us = np.int64(window_minutes) * 60_000_000
+    hop_us = np.int64(hop_minutes) * 60_000_000
+    n_hops = int(-(-win_us // hop_us))          # ceil(window/hop)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch.column("ts"))
+        users = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (ts // hop_us) * hop_us
+        offset = ts - base
+        starts_parts, user_parts = [], []
+        for j in range(n_hops):
+            keep = offset + np.int64(j) * hop_us < win_us
+            starts_parts.append((base - np.int64(j) * hop_us)[keep])
+            user_parts.append(users[keep])
+        w = np.concatenate(starts_parts) if starts_parts else np.empty(0, np.int64)
+        u = np.concatenate(user_parts) if user_parts else np.empty(0, np.int64)
+        # in-batch pair dedup before the shuffle
+        o = np.lexsort((u, w))
+        w, u = w[o], u[o]
+        first = np.ones(len(w), dtype=bool)
+        if len(w) > 1:
+            first[1:] = (w[1:] != w[:-1]) | (u[1:] != u[:-1])
+        return pa.table(
+            {
+                "window_us": pa.array(w[first], pa.int64()),
+                "user_id": pa.array(u[first], pa.int64()),
+            }
+        )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return batch                          # widen already deduped in-batch
+
+    def pair_final(t: pa.Table) -> pa.Table:
+        # one partition holds EVERY partial for each of its (w, u) keys:
+        # dedupe pairs, then count per window — a per-partition partial
+        # count that sums exactly once globally
+        g = t.group_by(["window_us", "user_id"]).aggregate([([], "count_all")])
+        c = g.group_by("window_us").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "window_us": c.column("window_us"),
+                "c": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    deduped = fold_by_int_keys(
+        _events(sf_dir, ["ts", "user_id"]).map_batches(widen, batch_format="pyarrow"),
+        ["window_us", "user_id"],
+        pair_partial,
+        pair_final,
+        num_partitions,
+    )
+    agg = deduped.groupby("window_us").aggregate(Sum("c", alias_name="n_users"))
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": batch.column("window_us"),
+                "n_users": pc.cast(batch.column("n_users"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(order_cols, batch_format="pyarrow")
