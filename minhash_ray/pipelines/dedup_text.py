@@ -837,7 +837,18 @@ def _set_jaccard_pairs(
         return _dedupe_sorted_pairs(verified)
 
     # verification against the true sets: broadcast flat+offsets pack
+    verified = _ngram_verify_broadcast(pairs, sets_ds, threshold)
+    return _dedupe_sorted_pairs(verified)
+
+
+def _ngram_verify_broadcast(pairs, sets_ds, threshold: float):
+    """Small-corpus twin of :func:`_ngram_verify_join`: one flat+offsets
+    shingle pack via ``ray.put`` (read per worker, never per task), PPJoin
+    length filter, exact-Jaccard gate — bit-identical to the join path
+    (proven in test_ngram_join_verify_path_is_bit_identical)."""
     import ray
+
+    from minhash_ray.stages.verify import _list_flat_offsets
 
     t = pa.concat_tables(
         list(sets_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
@@ -895,8 +906,7 @@ def _set_jaccard_pairs(
     # 8k-pair batches: candidate blocks are few and large (one per reducer
     # partition), and the exact-set lexsort is superlinear in batch mass —
     # without re-batching the verify runs on ~8 giant tasks
-    verified = pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
-    return _dedupe_sorted_pairs(verified)
+    return pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
 
 
 def _dedupe_sorted_pairs(verified, val_col: str = "jaccard", val_type=None) -> pa.Table:
@@ -3050,6 +3060,7 @@ def snm_dup_pairs(
     cfg: PipelineConfig = DOC_CFG,
     num_partitions: int = 32,
     docs=None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> pa.Table:
     """Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
     merge/purge): documents are globally ordered by a normalized sort key
@@ -3110,15 +3121,31 @@ def snm_dup_pairs(
 
     slim = docs.map_batches(keyed_rows, batch_format="pyarrow").materialize()
 
-    # metadata-scale offset fold: P (part, count) rows -> rank offsets
-    counts = slim.groupby("part").count()
+    # metadata-scale offset fold: per-batch bincount partials (≤ P rows
+    # each) summed on the driver — no groupby shuffle for P counters
+    n_parts_total = 1 << k_bits
+
+    def part_counts(batch: pa.Table) -> pa.Table:
+        c = np.bincount(
+            batch.column("part").to_numpy(), minlength=n_parts_total
+        ).astype(np.int64)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {"part": pa.array(nz, pa.int64()), "c": pa.array(c[nz], pa.int64())}
+        )
+
     ct = pa.concat_tables(
-        list(counts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        list(
+            slim.map_batches(part_counts, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
     )
-    ccol = [c for c in ct.column_names if c != "part"][0]
-    offsets = np.zeros(1 << k_bits, dtype=np.int64)
-    offsets[ct.column("part").to_numpy().astype(np.int64)] = (
-        ct.column(ccol).to_numpy().astype(np.int64)
+    offsets = np.zeros(n_parts_total, dtype=np.int64)
+    np.add.at(
+        offsets,
+        ct.column("part").to_numpy().astype(np.int64),
+        ct.column("c").to_numpy().astype(np.int64),
     )
     offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
 
@@ -3204,7 +3231,13 @@ def snm_dup_pairs(
     )
 
     sets_ds = _doc_shingle_sets(sf_dir, cfg, docs=docs).materialize()
-    verified = _ngram_verify_join(cand, sets_ds, threshold, num_partitions)
+    # same size switch as _set_jaccard_pairs: broadcast pack under the
+    # limit (saves two partitioned joins of list<u64> payloads — at 5k
+    # docs/sf0.1 that is ~5 s of pure join latency), join-attach above
+    if sets_ds.count() > broadcast_max_rows:
+        verified = _ngram_verify_join(cand, sets_ds, threshold, num_partitions)
+    else:
+        verified = _ngram_verify_broadcast(cand, sets_ds, threshold)
 
     def normalize(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_id_a").to_numpy()

@@ -861,3 +861,16 @@ def test_audio_phash_pairs_exact_vs_bruteforce(ray_session, tmp_path):
     # stub boundary: external-codec twins and short clips never pair
     flat = {c for p in found for c in p}
     assert not {"too_short", "ext_codec", "ext_codec_copy"} & flat
+
+
+def test_snm_join_verify_path_matches_broadcast(ray_session, sf_dir):
+    """snm_dup_pairs' verify-size switch: the forced join-attach path
+    (broadcast_max_rows=0) is bit-identical to the default broadcast
+    path — the same proof pattern as the ngram/substring/simhash
+    switches."""
+    from minhash_ray.pipelines.dedup_text import snm_dup_pairs
+
+    a = snm_dup_pairs(sf_dir)
+    b = snm_dup_pairs(sf_dir, broadcast_max_rows=0)
+    assert a.equals(b)
+    assert a.num_rows > 0          # the fixture corpus must exercise it
