@@ -832,7 +832,11 @@ def test_audio_phash_pairs_exact_vs_bruteforce(ray_session, tmp_path):
 
     from tests.test_ops import _pdf
 
-    got = _pdf(audio_phash_pairs(rd.read_parquet(str(tmp_path / "clips.parquet"))))
+    got = _pdf(
+        audio_phash_pairs(
+            rd.read_parquet(str(tmp_path / "clips.parquet")), max_hamming=6
+        )
+    )
     found = {tuple(sorted(p)) for p in zip(got.clip_id_a, got.clip_id_b)}
 
     # brute force with the same kernel
