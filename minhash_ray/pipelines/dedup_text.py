@@ -5119,12 +5119,12 @@ def dup_graph_pagerank(
     so there are no dangling nodes and the inner joins are total).
 
     Scale shape: one symmetric edge table (2·|pairs| rows, metadata-scale
-    by LSH construction but ∝ corpus); per iteration ONE partitioned
-    ``Dataset.join`` attaches (pr, deg) to edge sources, contributions
-    fold per destination through the key-hash partition
-    (``fold_by_int_keys`` — node count is corpus-width, Ray never sees
-    nodes as groups), and ONE slim join re-attaches degrees for the next
-    round.  State between rounds is (doc_id, d, pr) — 24 B/node.
+    by LSH construction but ∝ corpus) with deg(src) attached ONCE
+    upfront (static across rounds); per iteration ONE partitioned
+    ``Dataset.join`` attaches pr to edge sources and contributions fold
+    per destination through the key-hash partition (``fold_by_int_keys``
+    — node count is corpus-width, Ray never sees nodes as groups).
+    State between rounds is (doc_id, pr) — 16 B/node.
     int64 headroom: 85·Σpr < 2^63 holds to ~10^8 graph nodes at scale
     10^9; drop SCALE one decade per decade of nodes beyond that."""
     import pyarrow.compute as pc
@@ -5171,56 +5171,76 @@ def dup_graph_pagerank(
     state = fold_by_int_keys(
         edges, ["doc_id"], deg_partial, deg_final, np_parts
     ).materialize()
-    deg = state.select_columns(["doc_id", "d"]).materialize()   # reused per round
 
-    for _ in range(iterations):
-        with_pr = strip_empty_blocks(edges).join(
-            state,
+    # deg(src) is STATIC across rounds: attach it to the edge table ONCE
+    # (one upfront join) so each iteration is a single join + one fold —
+    # not a second degree re-attach per round
+    edges_d = (
+        strip_empty_blocks(edges)
+        .join(
+            state.select_columns(["doc_id", "d"]),
             join_type="inner",
             on=("src",),
             right_on=("doc_id",),
             num_partitions=np_parts,
         )
+        .materialize()
+    )
 
-        def sum_partial(batch: pa.Table) -> pa.Table:
-            pr = batch.column("pr").to_numpy()
-            d = batch.column("d").to_numpy()
-            t = pa.table(
-                {
-                    "doc_id": batch.column("dst"),
-                    "c": pa.array(pr // d, pa.int64()),
-                }
-            )
-            g = t.group_by("doc_id").aggregate([("c", "sum")])
-            return pa.table(
-                {
-                    "doc_id": g.column("doc_id"),
-                    "c": pc.cast(g.column("c_sum"), pa.int64()),
-                }
-            )
+    def slim_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "d": pc.cast(batch.column("d"), pa.int64()),
+            }
+        )
 
-        def sum_final(t: pa.Table) -> pa.Table:
-            g = t.group_by("doc_id").aggregate([("c", "sum")])
-            s = pc.cast(g.column("c_sum"), pa.int64()).to_numpy()
-            return pa.table(
-                {
-                    "doc_id": g.column("doc_id"),
-                    "pr": pa.array(TELEPORT + (85 * s) // 100, pa.int64()),
-                }
-            )
+    edges_d = edges_d.map_batches(slim_edges, batch_format="pyarrow").materialize()
+    pr = state.select_columns(["doc_id", "pr"]).materialize()
 
-        sums = fold_by_int_keys(
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("pr").to_numpy()
+        d = batch.column("d").to_numpy()
+        t = pa.table(
+            {
+                "doc_id": batch.column("dst"),
+                "c": pa.array(p // d, pa.int64()),
+            }
+        )
+        g = t.group_by("doc_id").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "c": pc.cast(g.column("c_sum"), pa.int64()),
+            }
+        )
+
+    def sum_final(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("c", "sum")])
+        s = pc.cast(g.column("c_sum"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "pr": pa.array(TELEPORT + (85 * s) // 100, pa.int64()),
+            }
+        )
+
+    for _ in range(iterations):
+        with_pr = strip_empty_blocks(edges_d).join(
+            pr,
+            join_type="inner",
+            on=("src",),
+            right_on=("doc_id",),
+            num_partitions=np_parts,
+        )
+        pr = fold_by_int_keys(
             strip_empty_blocks(with_pr), ["doc_id"], sum_partial, sum_final, np_parts
-        )
-        state = (
-            strip_empty_blocks(sums)
-            .join(deg, join_type="inner", on=("doc_id",), num_partitions=np_parts)
-            .materialize()
-        )
+        ).materialize()
 
     def out(batch: pa.Table) -> pa.Table:
         return pa.table(
             {"doc_id": batch.column("doc_id"), "pr_fx": batch.column("pr")}
         )
 
-    return state.map_batches(out, batch_format="pyarrow")
+    return pr.map_batches(out, batch_format="pyarrow")
