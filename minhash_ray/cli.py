@@ -59,15 +59,22 @@ def main(argv=None) -> int:
                     help="maintenance mode: compact every complete stage of "
                          "the --checkpoint corpus (merge append-fragmented "
                          "part files; no pipeline run)")
+    ap.add_argument("--diff-against", default=None, metavar="OLD_ROOT",
+                    help="maintenance mode: diff the --checkpoint corpus's "
+                         "cluster assignments against an OLDER checkpoint "
+                         "root (same config); writes changed rows (added / "
+                         "removed / moved) to --output as partitioned "
+                         "parquet and prints per-status counts")
     ap.add_argument("--target-rows-per-part", type=int, default=1_000_000,
                     help="compaction target part size (rows)")
     args = ap.parse_args(argv)
-    if not args.compact and not args.input:
-        ap.error("--input is required (except with --compact)")
+    maintenance = args.compact or args.diff_against
+    if not maintenance and not args.input:
+        ap.error("--input is required (except in maintenance modes)")
     if not args.compact and not args.output:
         ap.error("--output is required (except with --compact)")
-    if args.compact and not args.checkpoint:
-        ap.error("--compact requires --checkpoint")
+    if maintenance and not args.checkpoint:
+        ap.error("maintenance modes require --checkpoint")
 
     import ray
 
@@ -119,6 +126,41 @@ def main(argv=None) -> int:
             "compacted": report,
             "sec": round(time.time() - t0, 2),
             "config_hash": _cfg.config_hash(),
+        }))
+        ray.shutdown()
+        return 0
+    if args.diff_against:
+        from minhash_ray.pipelines.dedup import assignments_diff
+
+        diff = assignments_diff(args.diff_against, args.checkpoint, cfg)
+        counts: dict = {}
+        n_rows = 0
+        import pyarrow as pa
+
+        batches = []
+        for b in diff.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            n_rows += b.num_rows
+            g = b.group_by("status").aggregate([([], "count_all")])
+            for s, c in zip(g.column("status").to_pylist(),
+                            g.column("count_all").to_pylist()):
+                counts[s] = counts.get(s, 0) + int(c)
+            batches.append(b)
+        if args.output:
+            import pyarrow.parquet as pq
+
+            os.makedirs(args.output, exist_ok=True)
+            pq.write_table(
+                pa.concat_tables(batches) if batches else pa.table(
+                    {"clip_id": pa.array([], pa.string())}
+                ),
+                os.path.join(args.output, "assignments_diff.parquet"),
+            )
+        print(json.dumps({
+            "diff_rows": n_rows,
+            "by_status": counts,
+            "sec": round(time.time() - t0, 2),
+            "config_hash": cfg.config_hash(),
+            "output": args.output,
         }))
         ray.shutdown()
         return 0

@@ -1065,3 +1065,86 @@ def dedup_metrics(
         tp = sum(1 for p in sampled if p in truth_set)
         out["precision"] = (tp / len(sampled)) if sampled else 1.0
     return out
+
+
+def assignments_diff(
+    ckpt_root_a: str,
+    ckpt_root_b: str,
+    cfg: PipelineConfig,
+    num_partitions: int = 8,
+    include_same: bool = False,
+):
+    """(clip_id, cluster_id_a, cluster_id_b, status): per-clip cluster
+    movement between two published ``assignments`` checkpoints — the
+    audit a production dedup run ships after an append/recluster ("which
+    clips changed family, which are new, which disappeared").  ``status``
+    is ``moved`` / ``added`` (only in B) / ``removed`` (only in A) /
+    ``same``; cluster ids are canonical min-member clip_ids
+    (stages/cluster.ASSIGN_SCHEMA), so equality across runs is
+    meaningful by construction.  By default ``same`` rows are filtered
+    batch-side before anything shuffles downstream — the diff of a 10^12
+    corpus is metadata-scale unless the config changed.
+
+    Scale shape: ONE full-outer partitioned hash join on clip_id (both
+    sides are slim 2-string-column checkpoint reads, ~40 B/row); the
+    status is a vectorized null-mask case.  Raises if either checkpoint
+    is not complete for this config."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.state.checkpoint import CheckpointManager
+    from minhash_ray.util import clamp_partitions, strip_empty_blocks
+
+    np_parts = clamp_partitions(num_partitions)
+    sides = []
+    for root, suffix in ((ckpt_root_a, "a"), (ckpt_root_b, "b")):
+        ckpt = CheckpointManager(root, cfg)
+        if not ckpt.is_complete("assignments"):
+            raise ValueError(
+                f"no complete 'assignments' checkpoint for this config under {root}"
+            )
+
+        def rename(batch: pa.Table, s=suffix) -> pa.Table:
+            return pa.table(
+                {
+                    "clip_id": batch.column("clip_id"),
+                    f"cluster_id_{s}": batch.column("cluster_id"),
+                }
+            )
+
+        sides.append(ckpt.load("assignments").map_batches(rename, batch_format="pyarrow"))
+
+    joined = sides[0].join(
+        sides[1],
+        join_type="full_outer",
+        on=("clip_id",),
+        num_partitions=np_parts,
+    )
+
+    def status(batch: pa.Table) -> pa.Table:
+        ca = batch.column("cluster_id_a")
+        cb = batch.column("cluster_id_b")
+        if isinstance(ca, pa.ChunkedArray):
+            ca = ca.combine_chunks()
+        if isinstance(cb, pa.ChunkedArray):
+            cb = cb.combine_chunks()
+        in_a = pc.is_valid(ca).to_numpy(zero_copy_only=False)
+        in_b = pc.is_valid(cb).to_numpy(zero_copy_only=False)
+        same = pc.equal(ca, cb).to_numpy(zero_copy_only=False)
+        same = np.where(in_a & in_b, same, False)
+        st = np.where(
+            same, "same",
+            np.where(in_a & in_b, "moved", np.where(in_b, "added", "removed")),
+        )
+        t = pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "cluster_id_a": ca,
+                "cluster_id_b": cb,
+                "status": pa.array(st, pa.string()),
+            }
+        )
+        if include_same:
+            return t
+        return t.filter(pa.array(st != "same"))
+
+    return strip_empty_blocks(joined.map_batches(status, batch_format="pyarrow"))

@@ -878,3 +878,58 @@ def test_snm_join_verify_path_matches_broadcast(ray_session, sf_dir):
     b = snm_dup_pairs(sf_dir, broadcast_max_rows=0)
     assert a.equals(b)
     assert a.num_rows > 0          # the fixture corpus must exercise it
+
+
+def test_assignments_diff_between_checkpoints(ray_session, small_fixture, tmp_path):
+    """assignments_diff between a half-corpus checkpoint and the
+    half+append checkpoint: every second-half clip reports `added`,
+    nothing reports `removed` (append never drops clips), `moved` rows
+    have differing non-null cluster ids on both sides, and
+    include_same=True accounts for every clip of the merged corpus."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import append_clips, assignments_diff, run_dedup
+
+    cfg = PipelineConfig(signature_concurrency=2)
+    full = pq.read_table(str(small_fixture / "clips.parquet"))
+    idx = np.arange(full.num_rows)
+    first = full.take(pa.array(idx[idx % 2 == 0]))
+    second = full.take(pa.array(idx[idx % 2 == 1]))
+    d = tmp_path / "parts"
+    d.mkdir()
+    pq.write_table(first, str(d / "first.parquet"))
+    pq.write_table(second, str(d / "second.parquet"))
+
+    root_a = str(tmp_path / "ckpt_a")
+    run_dedup(rd.read_parquet(str(d / "first.parquet")), cfg, ckpt_root=root_a,
+              num_partitions=4)
+    # B = copy of A extended by the append (A must stay frozen for the diff)
+    import shutil
+
+    root_b = str(tmp_path / "ckpt_b")
+    shutil.copytree(root_a, root_b)
+    append_clips(rd.read_parquet(str(d / "second.parquet")), cfg, ckpt_root=root_b,
+                 num_partitions=4)
+
+    diff = assignments_diff(root_a, root_b, cfg).to_pandas()
+    second_ids = set(second.column("clip_id").to_pylist())
+    added = diff[diff.status == "added"]
+    assert set(added.clip_id) == second_ids
+    assert added.cluster_id_a.isna().all()
+    assert (diff.status != "removed").all()
+    moved = diff[diff.status == "moved"]
+    if len(moved):
+        assert (moved.cluster_id_a != moved.cluster_id_b).all()
+        assert moved.cluster_id_a.notna().all() and moved.cluster_id_b.notna().all()
+
+    everything = assignments_diff(root_a, root_b, cfg, include_same=True).to_pandas()
+    assert len(everything) == full.num_rows
+    assert set(everything.clip_id) == set(full.column("clip_id").to_pylist())
+
+    # wrong config -> refuses (checkpoints are config-hashed)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assignments_diff(root_a, root_b, PipelineConfig(num_perm=32))
