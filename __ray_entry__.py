@@ -674,6 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": text.mixture_sample,
         # Gopher-style repetition quality signals (SQL-checked)
         "doc_repetition": text.doc_repetition,
+        # C4-style intra-document line dedup (keep first occurrence,
+        # order preserved) — purely per-row, SQL-checked
+        "dedup_lines": text.dedup_lines,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,                            # SQL-checked
         "embedding_pairs_exact": ann.embedding_pairs_exact,  # SQL-checked
@@ -2471,6 +2474,22 @@ def oracle_sql() -> dict[str, str]:
         # Gopher-style repetition signals: exact (doc, gram) counts for
         # tokens / adjacent 2-grams / 3-grams plus integer-cross-product
         # gates — engine groups with Arrow group_by, oracle with UNNEST
+        "dedup_lines": (
+            "WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l "
+            "FROM documents), "
+            "mx AS (SELECT max(len(l)) AS m FROM ls), "
+            "ex AS (SELECT doc_id, l[i.k] AS line, i.k AS p "
+            "FROM ls, (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS k) i "
+            "WHERE i.k <= len(l)), "
+            "f AS (SELECT doc_id, line, min(p) AS fp FROM ex GROUP BY doc_id, line), "
+            "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY fp) "
+            "AS text_dedup, count(*) AS n_kept FROM f GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, len(l) AS n_lines FROM ls) "
+            "SELECT t.doc_id, COALESCE(a.text_dedup, '') AS text_dedup, "
+            "CAST(t.n_lines AS BIGINT) AS n_lines, "
+            "CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM tot t LEFT JOIN agg a USING (doc_id)"
+        ),
         "doc_repetition": (
             "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)),"
             " '\\s+') AS t FROM documents WHERE trim(text) <> ''), "

@@ -272,6 +272,7 @@ def run_bench() -> dict:
         ("local_supplier_volume", relational.local_supplier_volume),
         ("dup_graph_pagerank", dedup_text.dup_graph_pagerank),
         ("sliding_window_distinct_users", events.sliding_window_distinct_users),
+        ("dedup_lines", text.dedup_lines),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_phash_pairs", lambda _sf: _aphp(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),

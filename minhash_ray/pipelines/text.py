@@ -2340,3 +2340,68 @@ def weighted_sample_docs(sf_dir: str, k: int = 200, seed: int = 42):
         .limit(k)
         .select_columns(["doc_id", "n_chars"])
     )
+
+
+def dedup_lines(sf_dir: str, delimiter: str = "\n", docs=None):
+    """(doc_id, text_dedup, n_lines, n_removed): C4-style INTRA-document
+    line dedup — each document keeps only the FIRST occurrence of every
+    exact line, order preserved (the "three occurrences of the same
+    sentence" cleaner of Raffel et al. 2020 §2.2, applied per doc; the
+    corpus-level twins are ``repeated_ngram_scrub``/``repeated_ngram_dedup``).
+
+    Scale shape: purely per-row — one ``split_pattern``, a
+    dictionary-encode of the batch's flat line values, two lexsorts over
+    (row, code, position) to mark per-row first occurrences, and one
+    ``binary_join`` to reassemble; no shuffle, no state, embarrassingly
+    parallel.  SQL-checked: the DuckDB oracle replays
+    split → first-position per (doc, line) → ordered string_agg (the
+    testdata corpus is single-line so the hash-match pins the no-op
+    path; the planted multi-line pytest pins the dedup semantics, the
+    ``normalize_text`` precedent)."""
+    if docs is None:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lines = pc.split_pattern(texts, delimiter)
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        n = batch.num_rows
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # first occurrence per (row, line): sort by (row, code, pos),
+        # mark group heads
+        o = np.lexsort((pos, codes, rows))
+        r_s, c_s, p_s = rows[o], codes[o], pos[o]
+        first = np.ones(len(r_s), dtype=bool)
+        if len(r_s) > 1:
+            first[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        kr, kp = r_s[first], p_s[first]
+        src = o[first]                      # original flat index of keepers
+        # back to document order
+        o2 = np.lexsort((kp, kr))
+        kr, src = kr[o2], src[o2]
+        kept_counts = np.bincount(kr, minlength=n).astype(np.int64)
+        kept_flat = flat.take(pa.array(src, pa.int64()))
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(kept_counts)]), pa.int32()),
+            kept_flat,
+        )
+        joined = pc.binary_join(kept_lists, delimiter)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "text_dedup": joined,
+                "n_lines": pa.array(counts, pa.int64()),
+                "n_removed": pa.array(counts - kept_counts, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")

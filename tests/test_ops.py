@@ -72,7 +72,7 @@ SQL_QUERIES = [
     "posting_lists", "lang_source_pivot", "value_histogram",
     "type_cooccurrence", "shipping_priority", "latest_event_per_user",
     "trailing_value_sum", "user_event_paths", "local_supplier_volume",
-    "dup_graph_pagerank", "sliding_window_distinct_users",
+    "dup_graph_pagerank", "sliding_window_distinct_users", "dedup_lines",
 ]
 
 

@@ -933,3 +933,60 @@ def test_assignments_diff_between_checkpoints(ray_session, small_fixture, tmp_pa
 
     with _pytest.raises(ValueError):
         assignments_diff(root_a, root_b, PipelineConfig(num_perm=32))
+
+
+def test_dedup_lines_planted_semantics(ray_session, tmp_path):
+    """Planted multi-line docs (the testdata corpus is single-line, so
+    the oracle hash-match alone pins only the no-op path): first
+    occurrence kept in order, later exact repeats dropped, distinct
+    lines untouched, empty docs and all-duplicate docs behave, and the
+    planted cases also agree with the DuckDB oracle byte-for-byte."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.text import dedup_lines
+    from tests.test_ops import _pdf
+
+    texts = [
+        "alpha\nbeta\nalpha\ngamma\nbeta\nalpha",   # repeats interleaved
+        "one\ntwo\nthree",                          # nothing to drop
+        "same\nsame\nsame",                         # collapses to one line
+        "",                                         # empty doc
+        "tail\n",                                   # trailing delimiter => empty last line
+        "x\n\nx\n\ny",                              # repeated EMPTY lines dedupe too
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = _pdf(dedup_lines(str(d))).set_index("doc_id").sort_index()
+    assert out.loc[0, "text_dedup"] == "alpha\nbeta\ngamma"
+    assert out.loc[0, "n_lines"] == 6 and out.loc[0, "n_removed"] == 3
+    assert out.loc[1, "text_dedup"] == "one\ntwo\nthree"
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "text_dedup"] == "same"
+    assert out.loc[2, "n_removed"] == 2
+    assert out.loc[3, "text_dedup"] == "" and out.loc[3, "n_lines"] == 1
+    assert out.loc[4, "text_dedup"] == "tail\n"     # '' kept once after 'tail'
+    assert out.loc[4, "n_removed"] == 0
+    assert out.loc[5, "text_dedup"] == "x\n\ny"
+    assert out.loc[5, "n_removed"] == 2
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    odf = (
+        con.execute(E.oracle_sql()["dedup_lines"]).fetchdf()
+        .set_index("doc_id").sort_index()
+    )
+    got = out.reset_index()[["doc_id", "text_dedup", "n_lines", "n_removed"]]
+    want = odf.reset_index()[["doc_id", "text_dedup", "n_lines", "n_removed"]]
+    for c in ("n_lines", "n_removed"):
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    assert got.equals(want)
