@@ -421,6 +421,45 @@ def pair_snr(clips, edges, min_snr_db: float = 30.0, num_partitions: int = 8):
     return ab.map_batches(score, batch_format="pyarrow")
 
 
+def _repack_chunk_bytes(
+    buf: np.ndarray,
+    row: np.ndarray,
+    byte_start: np.ndarray,
+    byte_len: np.ndarray,
+    contiguous: bool,
+):
+    """Pack per-chunk byte ranges of ``buf`` into one flat uint8 buffer
+    (chunks arrive row-major: ascending ``row``, ascending position
+    within a row).  Returns ``(values, out_off)``.
+
+    ``contiguous=True`` (hop == window geometry: within a clip, chunk k
+    ends exactly where chunk k+1 starts) collapses the repack to ONE
+    slice-copy per CLIP; the general gather below materializes an int64
+    index per payload byte — 8 B of index writes + a random read per
+    byte, ~9x the DRAM traffic (measured ~8 s of the 10 s chunk front
+    half at sf0.1 / 122k chunks).  Both paths are proven byte-identical
+    in test_repack_chunk_bytes_contiguous_equals_gather."""
+    out_off = np.zeros(len(row) + 1, dtype=np.int64)
+    np.cumsum(byte_len, out=out_off[1:])
+    if contiguous:
+        values = np.empty(int(out_off[-1]), dtype=np.uint8)
+        new_clip = np.ones(len(row), dtype=bool)
+        if len(row):
+            new_clip[1:] = row[1:] != row[:-1]
+            c_first = np.flatnonzero(new_clip)
+            c_last = np.concatenate([c_first[1:] - 1, [len(row) - 1]])
+            src_s = byte_start[c_first]
+            src_e = byte_start[c_last] + byte_len[c_last]
+            dst_s = out_off[:-1][c_first]
+            for s, e, d in zip(src_s, src_e, dst_s):   # one slice per CLIP
+                values[d : d + (e - s)] = buf[s:e]
+        return values, out_off
+    idx = np.repeat(byte_start - out_off[:-1], byte_len) + np.arange(
+        int(out_off[-1]), dtype=np.int64
+    )
+    return np.ascontiguousarray(buf[idx]), out_off
+
+
 def _chunk_matches(
     clips,
     cfg,
@@ -479,12 +518,9 @@ def _chunk_matches(
         )
         byte_start = val_off[:-1][row] + 2 * start
         byte_len = 2 * (end - start)
-        out_off = np.zeros(len(row) + 1, dtype=np.int64)
-        np.cumsum(byte_len, out=out_off[1:])
-        idx = np.repeat(byte_start - out_off[:-1], byte_len) + np.arange(
-            int(out_off[-1]), dtype=np.int64
+        values, out_off = _repack_chunk_bytes(
+            buf, row, byte_start, byte_len, contiguous=(hop_ms == window_ms)
         )
-        values = np.ascontiguousarray(buf[idx])
         sig = byte_oph_signatures_flat(
             values, out_off, cfg.audio_num_perm, cfg.audio_ngram, cfg.seed
         )

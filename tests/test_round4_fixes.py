@@ -990,3 +990,37 @@ def test_dedup_lines_planted_semantics(ray_session, tmp_path):
         got[c] = got[c].astype("int64")
         want[c] = want[c].astype("int64")
     assert got.equals(want)
+
+
+def test_repack_chunk_bytes_contiguous_equals_gather():
+    """The one-memcpy-per-clip chunk repack is byte-identical to the
+    general index gather on contiguous (hop == window) geometry —
+    including truncated final chunks and interleaved clip sizes."""
+    from minhash_ray.pipelines.audio import _repack_chunk_bytes
+
+    rng = np.random.default_rng(11)
+    buf = rng.integers(0, 256, size=10_000, dtype=np.uint8)
+    # three clips with payload spans and window 64 bytes (tiled, last
+    # chunk truncated)
+    clip_spans = [(0, 1000), (1000, 1130), (5000, 5001)]
+    row_l, bs_l, bl_l = [], [], []
+    w = 64
+    for i, (s, e) in enumerate(clip_spans):
+        n = e - s
+        k = 0
+        while k * w < n:
+            row_l.append(i)
+            bs_l.append(s + k * w)
+            bl_l.append(min(w, n - k * w))
+            k += 1
+    row = np.array(row_l, dtype=np.int64)
+    bs = np.array(bs_l, dtype=np.int64)
+    bl = np.array(bl_l, dtype=np.int64)
+    fast, off_f = _repack_chunk_bytes(buf, row, bs, bl, contiguous=True)
+    slow, off_s = _repack_chunk_bytes(buf, row, bs, bl, contiguous=False)
+    assert np.array_equal(off_f, off_s)
+    assert np.array_equal(fast, slow)
+    # empty input
+    z = np.zeros(0, dtype=np.int64)
+    fe, oe = _repack_chunk_bytes(buf, z, z, z, contiguous=True)
+    assert len(fe) == 0 and list(oe) == [0]
