@@ -760,6 +760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # through the key-hash partition, per-partition partial counts,
         # metadata-scale final sum (SQL-checked)
         "sliding_window_distinct_users": events.sliding_window_distinct_users,
+        # interval → window expansion: sessions overlapping each tumbling
+        # window (SQL-checked)
+        "active_sessions_per_window": events.active_sessions_per_window,
         "sessionize": events.sessionize,
         # per-session length/dwell summary computed inside the same
         # user-hash partition scan as sessionize (no second shuffle)
@@ -2914,6 +2917,22 @@ def oracle_sql() -> dict[str, str]:
             "AS session_seq FROM g"
         ),
         # per-session stats: the sessionize window chain + one GROUP BY
+        "active_sessions_per_window": (
+            "WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+            f"CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {1_800_000_000} "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, tsu, "
+            "CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS BIGINT) "
+            "AS session_seq FROM g), "
+            "ses AS (SELECT user_id, session_seq, min(tsu) AS st, max(tsu) AS en "
+            "FROM s GROUP BY user_id, session_seq) "
+            f"SELECT t.k * {3_600_000_000} AS window_us, "
+            "CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM ses, UNNEST(generate_series("
+            f"st // {3_600_000_000}, en // {3_600_000_000}"
+            ")) AS t(k) GROUP BY 1"
+        ),
         "session_stats": (
             "WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
             f"CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {1_800_000_000} "

@@ -273,6 +273,7 @@ def run_bench() -> dict:
         ("dup_graph_pagerank", dedup_text.dup_graph_pagerank),
         ("sliding_window_distinct_users", events.sliding_window_distinct_users),
         ("dedup_lines", text.dedup_lines),
+        ("active_sessions_per_window", events.active_sessions_per_window),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_phash_pairs", lambda _sf: _aphp(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),

@@ -1735,3 +1735,83 @@ def sliding_window_distinct_users(
         )
 
     return agg.map_batches(order_cols, batch_format="pyarrow")
+
+
+def active_sessions_per_window(
+    sf_dir: str,
+    gap_minutes: int = 30,
+    window_minutes: int = 60,
+    num_partitions: int = 32,
+):
+    """(window_us, n_sessions): how many gap-sessions OVERLAP each
+    tumbling window — the "concurrent activity" load curve a streaming
+    dashboard draws.  The new shape vs the other window ops is
+    INTERVAL → window expansion: a session [start, end] lands in every
+    window from ``start // W`` through ``end // W`` (both inclusive),
+    not just the one containing a point.
+
+    Scale shape: session intervals come out of the same single-pass
+    per-user-partition scan as ``session_stats`` (one row per session —
+    already a large reduction); each interval then fans out to
+    ``span // W + 1`` (window, 1) rows — data-dependent, bounded by the
+    longest session over the window width (gap sessions are bounded in
+    practice by the gap itself ending idle users; a pathological
+    always-on user costs rows ∝ its lifetime / W, which is the answer's
+    own size).  Windows are metadata-scale (time span / W): per-batch
+    partial counts, one tiny Ray aggregate."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"window_us": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        _, uid_s, ts_s, _ids_s, new_user, user_start = _user_sorted(batch)
+        n = len(uid_s)
+        brk = np.zeros(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (~new_user[1:]) & ((ts_s[1:] - ts_s[:-1]) > gap_us)
+        starts = np.flatnonzero(new_user | brk)
+        ends = np.concatenate([starts[1:], [n]])
+        w_lo = ts_s[starts] // win_us
+        w_hi = ts_s[ends - 1] // win_us
+        counts = (w_hi - w_lo + 1).astype(np.int64)
+        wins = (
+            np.repeat(w_lo, counts)
+            + (np.arange(int(counts.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(counts) - counts, counts))
+        ) * win_us
+        # in-partition partial: windows are few, sessions are many
+        t = pa.table({"window_us": pa.array(wins, pa.int64())})
+        g = t.group_by("window_us").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "window_us": g.column("window_us"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    ds = _with_user_partition(
+        _events(sf_dir, ["event_id", "user_id", "ts"]), num_partitions
+    )
+    agg = (
+        ds.groupby("pkey")
+        .map_groups(per_partition, batch_format="pyarrow")
+        .groupby("window_us")
+        .aggregate(Sum("c", alias_name="n_sessions"))
+    )
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": batch.column("window_us"),
+                "n_sessions": pc.cast(batch.column("n_sessions"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(order_cols, batch_format="pyarrow")
