@@ -341,6 +341,16 @@ def audio_dup_pairs_q(sf_dir: str):
     return audio_dup_pairs(clips)
 
 
+def audio_trim_plan_q(sf_dir: str):
+    """(clip_id, n_samples, trim_start_smp, trim_end_smp, decode_ok) —
+    leading/trailing-silence trim points per clip (rows-only: binary
+    payload; planted silence shapes are pytest-asserted)."""
+    from minhash_ray.pipelines.audio import audio_trim_plan
+
+    clips, _ = _clips_ds(sf_dir)
+    return audio_trim_plan(clips)
+
+
 def audio_phash_pairs_q(sf_dir: str):
     """(clip_id_a, clip_id_b, hamming) — perceptual-hash near-dup audio
     pairs: 64-bit energy-delta fingerprints (Haitsma-Kalker sign coding)
@@ -876,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH/OPH; planted containment pytest-asserted)
         "audio_containment_pairs": audio_containment_pairs_q,
         "audio_phash_pairs": audio_phash_pairs_q,
+        "audio_trim_plan": audio_trim_plan_q,
         # duplicated sample spans, merged (rows-only: LSH/OPH; exact
         # planted spans pytest-asserted)
         "audio_dup_regions": audio_dup_regions_q,

@@ -152,6 +152,7 @@ def run_bench() -> dict:
     from minhash_ray.pipelines.audio import audio_dup_regions as _adr
     from minhash_ray.pipelines.audio import audio_dup_pairs as _adp
     from minhash_ray.pipelines.audio import audio_phash_pairs as _aphp
+    from minhash_ray.pipelines.audio import audio_trim_plan as _atp
     from minhash_ray.pipelines.audio import audio_exact_dedup as _aed
     from minhash_ray.pipelines.audio import audio_stats as _ast
     from minhash_ray.pipelines.audio import audio_energy_stats as _aes
@@ -276,6 +277,8 @@ def run_bench() -> dict:
         ("active_sessions_per_window", events.active_sessions_per_window),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_phash_pairs", lambda _sf: _aphp(
+            read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),
+        ("audio_trim_plan", lambda _sf: _atp(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),
         ("audio_containment_pairs", lambda _sf: _acp(
             read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),

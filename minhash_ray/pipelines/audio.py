@@ -995,3 +995,87 @@ def audio_phash_pairs(
         )
 
     return with_ab.map_batches(ham_gate, batch_format="pyarrow")
+
+
+def audio_trim_plan(clips, silence_abs: int = 512):
+    """(clip_id, n_samples, trim_start_smp, trim_end_smp, decode_ok):
+    leading/trailing-silence trim points per clip — the standard audio
+    preprocessing step before chunking/packing.  A sample is silent when
+    ``|s| <= silence_abs`` (int16 domain); ``[trim_start_smp,
+    trim_end_smp)`` is the span from the first to the last loud sample
+    (empty span, ``trim_start_smp == trim_end_smp == 0``, for all-silent
+    or undecodable clips — ``decode_ok`` distinguishes the two).  A plan,
+    not a rewrite: at 100 TB the cut is applied by the downstream
+    chunk/pack stage reading these offsets, never by rewriting payloads
+    twice.
+
+    Scale shape: one batch pass — the payload rides as a zero-copy int16
+    view; loud positions come from ONE ``flatnonzero`` over the batch's
+    flat sample buffer and per-clip first/last via two ``searchsorted``
+    probes against the clip offsets (no per-sample Python, no per-clip
+    scan).  Odd-length payloads ignore the dangling byte (the
+    ``audio_energy_stats`` convention); non-pcm codecs are the honest
+    stub boundary."""
+    from minhash_ray.util import binary_flat_offsets
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bcol = batch.column("bytes")
+        if isinstance(bcol, pa.ChunkedArray):
+            bcol = bcol.combine_chunks()
+        p_flat, p_offs = binary_flat_offsets(bcol)
+        codecs = batch.column("codec").to_pylist()
+        ok = np.array([c == "pcm_s16le" for c in codecs], dtype=bool)
+
+        # even-aligned int16 view of the whole batch buffer; per-clip
+        # sample offsets derived from the byte offsets
+        smp_count = np.maximum((p_offs[1:] - p_offs[:-1]) // 2, 0)
+        usable = len(p_flat) - (len(p_flat) % 2)
+        w16 = p_flat[:usable].view(np.dtype("<i2"))
+        # clip starts at byte p_offs[i]; if odd, its samples are NOT
+        # aligned in the shared view — fall back per clip (rare: parquet
+        # binary values are packed back-to-back, odd payloads shift
+        # successors).  Detect once per batch.
+        aligned = (p_offs[:-1] % 2 == 0).all()
+
+        t_start = np.zeros(n, dtype=np.int64)
+        t_end = np.zeros(n, dtype=np.int64)
+        if aligned and usable:
+            loud = np.flatnonzero(np.abs(w16) > silence_abs)
+            if len(loud):
+                seg_lo = p_offs[:-1] // 2
+                seg_hi = seg_lo + smp_count
+                first = np.searchsorted(loud, seg_lo, side="left")
+                last = np.searchsorted(loud, seg_hi, side="left") - 1
+                has = (first < len(loud)) & (last >= 0) & (last >= first)
+                has &= ok & (smp_count > 0)
+                fi = np.where(has, loud[np.minimum(first, len(loud) - 1)] - seg_lo, 0)
+                la = np.where(has, loud[np.maximum(last, 0)] - seg_lo + 1, 0)
+                t_start = np.where(has, fi, 0).astype(np.int64)
+                t_end = np.where(has, la, 0).astype(np.int64)
+        else:
+            for i in range(n):
+                if not ok[i]:
+                    continue
+                o0, o1 = int(p_offs[i]), int(p_offs[i + 1])
+                seg = p_flat[o0 : o1 - ((o1 - o0) % 2)]
+                if o0 % 2:
+                    seg = seg.copy()
+                s16 = seg.view(np.dtype("<i2"))
+                loud_i = np.flatnonzero(np.abs(s16) > silence_abs)
+                if len(loud_i):
+                    t_start[i] = int(loud_i[0])
+                    t_end[i] = int(loud_i[-1]) + 1
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "n_samples": pa.array(smp_count.astype(np.int64), pa.int64()),
+                "trim_start_smp": pa.array(t_start, pa.int64()),
+                "trim_end_smp": pa.array(t_end, pa.int64()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return clips.select_columns(["clip_id", "bytes", "codec"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

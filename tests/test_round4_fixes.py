@@ -1024,3 +1024,52 @@ def test_repack_chunk_bytes_contiguous_equals_gather():
     z = np.zeros(0, dtype=np.int64)
     fe, oe = _repack_chunk_bytes(buf, z, z, z, contiguous=True)
     assert len(fe) == 0 and list(oe) == [0]
+
+
+def test_audio_trim_plan_planted(ray_session, tmp_path):
+    """Planted silence shapes: leading+trailing pads trim to the loud
+    core, all-silent and empty clips yield the empty span, non-pcm
+    codecs report decode_ok=False, a clip with NO silence keeps its full
+    span, and a single loud sample trims to a width-1 span."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.pipelines.audio import audio_trim_plan
+    from tests.test_ops import _pdf
+
+    def pcm(samples):
+        return np.asarray(samples, dtype="<i2").tobytes()
+
+    sil, loud = 100, 5000          # vs silence_abs=512
+    rows = [
+        ("padded", pcm([sil] * 7 + [loud, -loud, loud] + [0] * 5), "pcm_s16le"),
+        ("all_silent", pcm([sil, -sil, 0, sil]), "pcm_s16le"),
+        ("empty", b"", "pcm_s16le"),
+        ("no_silence", pcm([loud, -loud, loud, loud]), "pcm_s16le"),
+        ("one_sample", pcm([0, 0, loud, 0]), "pcm_s16le"),
+        ("ext", pcm([loud] * 8), "opus"),
+    ]
+    t = pa.table(
+        {
+            "clip_id": pa.array([r[0] for r in rows], pa.string()),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "sr_hz": pa.array([16000] * len(rows), pa.int32()),
+            "dur_ms": pa.array([1] * len(rows), pa.int32()),
+            "codec": pa.array([r[2] for r in rows], pa.string()),
+            "transcript": pa.array(["x"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "clips.parquet"))
+    out = _pdf(
+        audio_trim_plan(rd.read_parquet(str(tmp_path / "clips.parquet")))
+    ).set_index("clip_id")
+
+    assert (out.loc["padded", ["trim_start_smp", "trim_end_smp"]] == [7, 10]).all()
+    assert out.loc["padded", "n_samples"] == 15
+    assert (out.loc["all_silent", ["trim_start_smp", "trim_end_smp"]] == [0, 0]).all()
+    assert (out.loc["empty", ["trim_start_smp", "trim_end_smp", "n_samples"]] == 0).all()
+    assert (out.loc["no_silence", ["trim_start_smp", "trim_end_smp"]] == [0, 4]).all()
+    assert (out.loc["one_sample", ["trim_start_smp", "trim_end_smp"]] == [2, 3]).all()
+    assert not out.loc["ext", "decode_ok"]
+    assert (out.loc["ext", ["trim_start_smp", "trim_end_smp"]] == [0, 0]).all()
+    assert out.loc["padded", "decode_ok"] and out.loc["all_silent", "decode_ok"]
