@@ -491,7 +491,15 @@ def substring_pairs(sf_dir: str, broadcast_max_rows: int = 2_000_000):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from minhash_ray.pipelines import ann, curation, dedup_text, events, relational, text
+    from minhash_ray.pipelines import (
+        ann,
+        curation,
+        dedup_text,
+        events,
+        relational,
+        spans,
+        text,
+    )
 
     return {
         # --- text analysis (SQL-checked) ---
@@ -609,6 +617,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_fingerprints": dedup_text.winnowing_fingerprints,
         # MOSS match detection over the winnowing sets (SQL-checked)
         "winnowing_dup_pairs": dedup_text.winnowing_dup_pairs,
+        # ExactSubstr dup spans (Lee et al. 2021): maximal cross-doc
+        # duplicated character spans + the all-occurrence scrub
+        # (SQL-checked: substr-window + gaps-and-islands oracle)
+        "dup_spans": spans.dup_span_extract,
+        "dup_span_scrub": spans.dup_span_scrub,
         # composite training-data pipeline: dedup keep flag + lang ID +
         # quality gates → curated corpus manifest (SQL-checked via a
         # WITH-composition of the three sub-oracles)
@@ -2386,6 +2399,64 @@ def _assign_splits_sql(pct_train: int = 90, pct_val: int = 5) -> str:
     )
 
 
+def _dup_spans_cte(L: int = 24) -> str:
+    """Shared CTE body for the ExactSubstr dup-span oracles: every L-char
+    window whose literal substring occurs >= 2 times corpus-wide, merged
+    into maximal per-doc gaps-and-islands spans (windows chain while the
+    start-to-start gap is <= L).  Character-based (engine is byte-based;
+    identical on the ASCII corpus — same contract as ``_rolling_fp_sql``)."""
+    return (
+        f"w AS (SELECT doc_id, unnest(generate_series(0, length(text) - {L})) AS p, "
+        f"text FROM documents WHERE length(text) >= {L}), "
+        f"wg AS (SELECT doc_id, p, substr(text, CAST(p + 1 AS BIGINT), {L}) AS g FROM w), "
+        "dg AS (SELECT g FROM wg GROUP BY g HAVING count(*) >= 2), "
+        "dw AS (SELECT doc_id, p FROM wg JOIN dg USING (g)), "
+        "isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER "
+        f"(PARTITION BY doc_id ORDER BY p) <= {L} THEN 0 ELSE 1 END AS brk FROM dw), "
+        "grp AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p "
+        "ROWS UNBOUNDED PRECEDING) AS gid FROM isl), "
+        "spans AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, "
+        f"CAST(max(p) + {L} AS BIGINT) AS span_end, "
+        f"CAST(max(p) + {L} - min(p) AS BIGINT) AS span_len "
+        "FROM grp GROUP BY doc_id, gid)"
+    )
+
+
+def _dup_spans_sql(L: int = 24) -> str:
+    return (
+        f"WITH {_dup_spans_cte(L)} "
+        "SELECT doc_id, span_start, span_end, span_len FROM spans"
+    )
+
+
+def _dup_span_scrub_sql(L: int = 24) -> str:
+    """Scrub oracle: complement intervals per doc (lag(span_end) chains
+    the kept segments; one trailing segment past the last span), rebuilt
+    with an ordered string_agg."""
+    return (
+        f"WITH {_dup_spans_cte(L)}, "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(span_len) AS BIGINT) AS n_dup_chars, "
+        "max(span_end) AS last_end FROM spans GROUP BY doc_id), "
+        "seg AS (SELECT doc_id, coalesce(lag(span_end) OVER "
+        "(PARTITION BY doc_id ORDER BY span_start), 0) AS s, span_start AS e "
+        "FROM spans "
+        "UNION ALL SELECT doc_id, last_end AS s, NULL AS e FROM agg), "
+        "clean AS (SELECT seg.doc_id, string_agg("
+        "substr(d.text, CAST(seg.s + 1 AS BIGINT), "
+        "CAST(coalesce(seg.e, length(d.text)) - seg.s AS BIGINT)), '' "
+        "ORDER BY seg.s) AS clean_text "
+        "FROM seg JOIN documents d USING (doc_id) "
+        "WHERE coalesce(seg.e, length(d.text)) > seg.s GROUP BY seg.doc_id) "
+        "SELECT d.doc_id, "
+        "coalesce(c.clean_text, CASE WHEN a.doc_id IS NULL THEN d.text ELSE '' END) "
+        "AS clean_text, coalesce(a.n_spans, 0) AS n_spans, "
+        "coalesce(a.n_dup_chars, 0) AS n_dup_chars "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) "
+        "LEFT JOIN clean c USING (doc_id)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     n_tokens = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -2537,6 +2608,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": _decontaminate_sql(),
         "repeated_ngram_scrub": _repeated_scrub_sql(),
+        "dup_spans": _dup_spans_sql(),
+        "dup_span_scrub": _dup_span_scrub_sql(),
         "bigram_familiarity": _familiarity_sql(),
         "tf_cosine_pairs": _tf_cosine_sql(),
         "cms_term_counts": _cms_counts_sql(),

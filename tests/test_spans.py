@@ -1,0 +1,146 @@
+"""ExactSubstr dup-span operators (pipelines/spans.py): planted-truth
+extraction + scrub, rolling-hash kernel parity, partition invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _pdf(res):
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_rolling_hashes_match_direct_poly():
+    """O(n) prefix-product hashes == the direct O(L*n) polynomial, and
+    equal windows hash equal across row boundaries."""
+    from minhash_ray.functions.shingles import _segmented_arange
+    from minhash_ray.pipelines.spans import _B1, _B2, rolling_window_hashes
+    from minhash_ray.stages.banding import splitmix64
+
+    rng = np.random.default_rng(7)
+    rows = [rng.integers(0, 256, size=n, dtype=np.uint8) for n in (0, 3, 40, 17, 64)]
+    flat = np.concatenate([r for r in rows if len(r)]).astype(np.uint8)
+    offs = np.concatenate([[0], np.cumsum([len(r) for r in rows])]).astype(np.int64)
+    L = 8
+    h1, h2, starts, wc = rolling_window_hashes(flat, offs, L)
+    assert wc.tolist() == [0, 0, 33, 10, 57]
+    s = flat.astype(np.uint64) + np.uint64(1)
+    for B, h in ((_B1, h1), (_B2, h2)):
+        direct = np.zeros(len(starts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(L):
+                direct = direct * B + s[starts + j]
+        assert np.array_equal(splitmix64(direct), h)
+    # same window content -> same hash, regardless of position
+    flat2 = np.concatenate([flat[:16], flat[:16]])
+    offs2 = np.array([0, 16, 32], dtype=np.int64)
+    a1, a2, _, _ = rolling_window_hashes(flat2, offs2, L)
+    assert np.array_equal(a1[:9], a1[9:]) and np.array_equal(a2[:9], a2[9:])
+
+
+def test_dup_spans_planted(ray_session, tmp_path):
+    """Known shared strings at known offsets: spans come out exactly,
+    including an intra-doc repeat and window-merge into maximal spans."""
+    shared = "the quick brown fox jumps over the lazy dog!"  # 44 chars
+    texts = [
+        "aaaa" + shared + "bbbbbbbbbbbb",                    # span at [4, 48)
+        "cccccccccc" + shared + "dd",                        # span at [10, 54)
+        "unique text with nothing repeated anywhere here 0",  # no span
+        "xx" + shared + "yy" + shared,                       # two spans, one doc
+    ]
+    d = _write_docs(tmp_path, texts)
+    from minhash_ray.pipelines.spans import dup_span_extract
+
+    L = 24
+    df = (
+        _pdf(dup_span_extract(d, L=L))
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    got = list(map(tuple, df[["doc_id", "span_start", "span_end"]].values))
+    assert (0, 4, 4 + 44) in got
+    assert (1, 10, 10 + 44) in got
+    assert all(r[0] != 2 for r in got)
+    # doc 3: shared at [2, 46) and [48, 92) — dup window starts 2..22
+    # then 48..68; the 26-start gap > L, so two separate maximal spans
+    d3 = [r for r in got if r[0] == 3]
+    assert d3 == [(3, 2, 46), (3, 48, 92)]
+
+
+def test_dup_span_scrub_planted(ray_session, tmp_path):
+    shared = "the quick brown fox jumps over the lazy dog!"
+    texts = [
+        "aaaa" + shared + "bbbbbbbbbbbb",
+        "cccccccccc" + shared + "dd",
+        "unique text with nothing repeated anywhere here 0",
+    ]
+    d = _write_docs(tmp_path, texts)
+    from minhash_ray.pipelines.spans import dup_span_scrub
+
+    df = _pdf(dup_span_scrub(d, L=24)).set_index("doc_id").sort_index()
+    assert df.loc[0, "clean_text"] == "aaaa" + "bbbbbbbbbbbb"
+    assert df.loc[1, "clean_text"] == "cccccccccc" + "dd"
+    assert df.loc[2, "clean_text"] == texts[2]
+    assert df.loc[2, "n_spans"] == 0 and df.loc[2, "n_dup_chars"] == 0
+    assert df.loc[0, "n_spans"] == 1 and df.loc[0, "n_dup_chars"] == 44
+    # invariant: no L-gram survives twice after the scrub
+    L = 24
+    grams = {}
+    for doc, txt in df["clean_text"].items():
+        for p in range(len(txt) - L + 1):
+            g = txt[p : p + L]
+            assert g not in grams, (doc, grams[g], g)
+            grams[g] = doc
+
+
+def test_dup_spans_partition_invariance(ray_session, sf_dir):
+    from minhash_ray.pipelines.spans import dup_span_extract
+
+    a = (
+        _pdf(dup_span_extract(sf_dir, num_partitions=2))
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        _pdf(dup_span_extract(sf_dir, num_partitions=8))
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_dup_spans_short_and_empty_docs(ray_session, tmp_path):
+    """Docs shorter than L (including empty) produce no windows and pass
+    through the scrub untouched."""
+    texts = ["", "tiny", "x" * 23, "y" * 60, "z" + "y" * 60]
+    d = _write_docs(tmp_path, texts)
+    from minhash_ray.pipelines.spans import dup_span_extract, dup_span_scrub
+
+    spans = _pdf(dup_span_extract(d, L=24))
+    assert set(spans.doc_id) == {3, 4}          # the shared y-run only
+    df = _pdf(dup_span_scrub(d, L=24)).set_index("doc_id").sort_index()
+    for i in (0, 1, 2):
+        assert df.loc[i, "clean_text"] == texts[i]
+        assert df.loc[i, "n_spans"] == 0
