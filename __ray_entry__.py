@@ -745,6 +745,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_segment_balance": relational.nation_segment_balance,
         # PII/denylist scrubbing (vectorized RE2 replace + count)
         "scrub_terms": text.scrub_terms,
+        # typed structured-PII redaction (email/phone/IP, sequenced
+        # count+replace — SQL-checked, both engines RE2)
+        "pii_scrub": text.pii_scrub,
         "supplier_regions": relational.supplier_regions,
         "events_by_type": relational.events_by_type,
         "filtered_lineitem": relational.filtered_lineitem,
@@ -2399,6 +2402,31 @@ def _assign_splits_sql(pct_train: int = 90, pct_val: int = 5) -> str:
     )
 
 
+def _pii_scrub_sql() -> str:
+    """Replays pii_scrub's sequenced count+replace chain: each category is
+    counted on the previous category's redacted text (both engines RE2)."""
+    from minhash_ray.pipelines.text import PII_EMAIL, PII_IP, PII_PHONE
+
+    def esc(p: str) -> str:
+        # DuckDB standard string literals are escape-free: only quotes
+        # need doubling; backslashes pass through to RE2 verbatim
+        return p.replace("'", "''")
+
+    e, ph, ip = esc(PII_EMAIL), esc(PII_PHONE), esc(PII_IP)
+    return (
+        "WITH s1 AS (SELECT doc_id, text AS t0, "
+        f"CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails, "
+        f"regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t1 FROM documents), "
+        "s2 AS (SELECT doc_id, n_emails, "
+        f"CAST(len(regexp_extract_all(t1, '{ph}')) AS BIGINT) AS n_phones, "
+        f"regexp_replace(t1, '{ph}', '<PHONE>', 'g') AS t2 FROM s1) "
+        "SELECT doc_id, "
+        f"regexp_replace(t2, '{ip}', '<IP>', 'g') AS text_redacted, "
+        "n_emails, n_phones, "
+        f"CAST(len(regexp_extract_all(t2, '{ip}')) AS BIGINT) AS n_ips FROM s2"
+    )
+
+
 def _dup_spans_cte(L: int = 24) -> str:
     """Shared CTE body for the ExactSubstr dup-span oracles: every L-char
     window whose literal substring occurs >= 2 times corpus-wide, merged
@@ -2610,6 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_ngram_scrub": _repeated_scrub_sql(),
         "dup_spans": _dup_spans_sql(),
         "dup_span_scrub": _dup_span_scrub_sql(),
+        "pii_scrub": _pii_scrub_sql(),
         "bigram_familiarity": _familiarity_sql(),
         "tf_cosine_pairs": _tf_cosine_sql(),
         "cms_term_counts": _cms_counts_sql(),

@@ -55,7 +55,15 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from minhash_ray.config import PipelineConfig
-    from minhash_ray.pipelines import ann, curation, dedup_text, events, relational, text
+    from minhash_ray.pipelines import (
+        ann,
+        curation,
+        dedup_text,
+        events,
+        relational,
+        spans,
+        text,
+    )
     from minhash_ray.pipelines.dedup import dedup_metrics, run_dedup
     from minhash_ray.sources.synth import clips_dir_for
 
@@ -275,6 +283,9 @@ def run_bench() -> dict:
         ("sliding_window_distinct_users", events.sliding_window_distinct_users),
         ("dedup_lines", text.dedup_lines),
         ("active_sessions_per_window", events.active_sessions_per_window),
+        ("dup_spans", spans.dup_span_extract),
+        ("dup_span_scrub", spans.dup_span_scrub),
+        ("pii_scrub", text.pii_scrub),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_phash_pairs", lambda _sf: _aphp(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),

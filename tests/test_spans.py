@@ -144,3 +144,40 @@ def test_dup_spans_short_and_empty_docs(ray_session, tmp_path):
     for i in (0, 1, 2):
         assert df.loc[i, "clean_text"] == texts[i]
         assert df.loc[i, "n_spans"] == 0
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    """Planted emails/phones/IPs: typed tokens, sequenced counts, and
+    untouched clean docs."""
+    texts = [
+        "reach john.doe+x@example.co.uk or +1 415-555-2671 today",
+        "host 10.0.0.1 backup 8.8.8.8 admin a@b.io",
+        "nothing sensitive here",
+        "double e1@x.com e2@y.org and run 12345678901",
+    ]
+    d = _write_docs(tmp_path, texts)
+    from minhash_ray.pipelines.text import pii_scrub
+
+    df = _pdf(pii_scrub(d)).set_index("doc_id").sort_index()
+    assert df.loc[0, "text_redacted"] == "reach <EMAIL> or <PHONE> today"
+    assert df.loc[0, "n_emails"] == 1 and df.loc[0, "n_phones"] == 1
+    assert df.loc[1, "text_redacted"] == "host <IP> backup <IP> admin <EMAIL>"
+    assert df.loc[1, "n_ips"] == 2 and df.loc[1, "n_emails"] == 1
+    assert df.loc[2, "text_redacted"] == texts[2]
+    assert int(df.loc[2, ["n_emails", "n_phones", "n_ips"]].sum()) == 0
+    assert df.loc[3, "n_emails"] == 2 and df.loc[3, "n_phones"] == 1
+    # oracle agreement on the planted fixture (testdata has no PII, so the
+    # parametrized sf0.001 check alone never exercises a redaction)
+    import duckdb
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    odf = con.execute(E.oracle_sql()["pii_scrub"]).fetchdf()
+    eng = df.reset_index()
+    odf = odf.sort_values("doc_id").reset_index(drop=True)
+    eng = eng[list(odf.columns)]
+    assert eng.equals(odf)
