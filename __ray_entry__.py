@@ -331,6 +331,26 @@ def _rate_outliers_sql(min_tps: int = 10, max_tps: int = 100) -> str:
     )
 
 
+def audio_semantic_dedup_q(sf_dir: str):
+    """(clip_id, cluster_id_clip, keep) — SemDeDup-for-audio: pooled
+    spectral embeddings through the IVF-cell components machinery
+    (rows-only: FFT features; planted recall is pytest-asserted)."""
+    from minhash_ray.pipelines.audio import audio_semantic_dedup
+
+    clips, _ = _clips_ds(sf_dir)
+    return audio_semantic_dedup(clips)
+
+
+def audio_embedding_dup_pairs_q(sf_dir: str):
+    """(clip_id_a, clip_id_b, cos) — SemDeDup-for-audio: pooled spectral
+    embeddings through the generic hyperplane-LSH dedup (rows-only: FFT
+    features; planted recall is pytest-asserted)."""
+    from minhash_ray.pipelines.audio import audio_embedding_dup_pairs
+
+    clips, _ = _clips_ds(sf_dir)
+    return audio_embedding_dup_pairs(clips)
+
+
 def audio_dup_pairs_q(sf_dir: str):
     """(clip_id_a, clip_id_b, audio_sim) — audio-channel-only near-dup
     pairs over the synthesized clips corpus (rows-only: OPH sketch
@@ -898,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate; rows-only — float sketch semantics, pytest-covered
         # against the fixture's planted near_audio truth pairs)
         "audio_dup_pairs": audio_dup_pairs_q,
+        "audio_embedding_dup_pairs": audio_embedding_dup_pairs_q,
+        "audio_semantic_dedup": audio_semantic_dedup_q,
         # chunk-level partial-overlap containment pairs (rows-only:
         # LSH/OPH; planted containment pytest-asserted)
         "audio_containment_pairs": audio_containment_pairs_q,

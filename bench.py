@@ -165,6 +165,7 @@ def run_bench() -> dict:
     from minhash_ray.pipelines.audio import audio_stats as _ast
     from minhash_ray.pipelines.audio import audio_energy_stats as _aes
     from minhash_ray.pipelines.audio import transcript_rate_flags as _rate_flags
+    from minhash_ray.pipelines.audio import audio_semantic_dedup as _asd
     from minhash_ray.pipelines.multimodal import audio_chunk_plan as _chunk_plan
     from minhash_ray.pipelines.dedup import run_dedup_tiered as _rdt
 
@@ -296,6 +297,11 @@ def run_bench() -> dict:
         ("audio_dup_regions", lambda _sf: _adr(
             read_clips(clips_path, columns=["clip_id", "sr_hz", "bytes"]))),
         ("clips_rate_outliers", lambda _sf: _rate_flags(read_clips(clips_path))),
+        # SemDeDup-for-audio (assignments shape — pair emission is
+        # quadratic on this tone-family-dense corpus, see audio.py)
+        ("audio_semantic_dedup", lambda _sf: _asd(
+            read_clips(clips_path,
+                       columns=["clip_id", "bytes", "codec", "sr_hz"]))),
         ("audio_energy_stats", lambda _sf: _aes(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),
         ("audio_stats", _audio_stats),

@@ -155,6 +155,7 @@ def build_ivf_index(
     seed: int = 42,
     kmeans_iters: int = 8,
     sample: int = 8192,
+    embs=None,
 ):
     """IVF coarse index (Sivic & Zisserman 2003 "Video Google"; the FAISS
     IVF design): seeded Lloyd k-means on a driver-side sample gives
@@ -167,7 +168,7 @@ def build_ivf_index(
     """
     import ray
 
-    emb = _emb(sf_dir).materialize()
+    emb = (embs if embs is not None else _emb(sf_dir)).materialize()
 
     # sample for k-means (driver-side: centroids are metadata-scale)
     st = pa.concat_tables(
@@ -472,9 +473,13 @@ def embedding_dup_pairs(
     seed: int = 42,
     num_partitions: int = 8,
     broadcast_max_rows: int = 2_000_000,
+    embs=None,
 ):
     """Near-duplicate embedding pairs (cosine >= threshold, vec_id_a <
     vec_id_b) via hyperplane-LSH candidates + exact cosine verification.
+    ``embs`` overrides the embeddings table with any Dataset carrying
+    (vec_id int64, embedding list<float>) — e.g. pooled audio features
+    (``audio.audio_embedding_dup_pairs``).
 
     Two vectors at angle θ disagree on a random hyperplane with prob θ/π;
     with 8-bit chunks a cos≥0.9 pair (θ≤26°) shares a chunk with prob
@@ -489,7 +494,7 @@ def embedding_dup_pairs(
 
     from minhash_ray.util import clamp_partitions
 
-    emb = _emb(sf_dir).materialize()
+    emb = (embs if embs is not None else _emb(sf_dir)).materialize()
     n_vecs = emb.count()
     first = emb.take(1)[0]
     dim = len(first["embedding"])
@@ -620,6 +625,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     threshold: float = 0.3,
     seed: int = 42,
+    embs=None,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest k-means
@@ -642,8 +648,10 @@ def semantic_dedup(
     Reference semantics anchor: components-over-verified-pairs with a
     canonical min-id representative is the same cluster/keep contract as
     ``dedup_text.doc_dedup_tiered`` (and the flagship), applied to the
-    embedding modality."""
-    index, cents, dim = build_ivf_index(sf_dir, n_centroids, seed)
+    embedding modality.  ``embs`` overrides the embeddings table (any
+    Dataset with vec_id int64 + embedding list<float> — e.g. pooled audio
+    features, ``audio.audio_semantic_dedup``)."""
+    index, cents, dim = build_ivf_index(sf_dir, n_centroids, seed, embs=embs)
 
     def cell_components(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column("vec_id").to_numpy(), dtype=np.int64)

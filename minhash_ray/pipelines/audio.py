@@ -1079,3 +1079,304 @@ def audio_trim_plan(clips, silence_abs: int = 512):
     return clips.select_columns(["clip_id", "bytes", "codec"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+class AudioClipEmbedding:
+    """Actor-pool stage: decode → per-frame log-band energies (the same
+    math as the ``AudioFrameFeatures`` kernel, vectorized across the
+    whole batch) → temporal mean+std pool → unit-norm 2*n_bands-dim (default 64) clip
+    embedding.
+
+    Vectorization shape: decode stays per-row (the codec stub is
+    inherently per-payload, one cheap ``frombuffer`` each), but every
+    frame in the batch is stacked into ONE (n_frames, frame_len) matrix
+    per sample-rate group — a single batched ``rfft`` replaces 16 small
+    Python-loop FFTs per clip (the loop form measured minutes at 30k
+    clips; this form seconds) — band energies are two ``add.reduceat``
+    passes (bands within frames, frames within clips) and the mean/std
+    pool is the sum/sumsq reduceat pair.  Waves are RMS-normalized BEFORE
+    the log1p band kernel so gain-shifted copies embed identically
+    (log1p energies are not scale-invariant).
+
+    Emits (vec_id, clip_id, embedding): ``vec_id`` is the splitmix64 FNV
+    hash of the clip id viewed as int64 — the integer key the generic
+    embedding-LSH machinery shuffles on (collision odds n^2/2^64; a
+    collision can only merge two clips into one vec and is detected by
+    the planted-recall pytest).  Non-decodable codecs are DROPPED here:
+    this feeds a dedup candidate stage, not an audit pass —
+    ``audio_frame_features`` / ``resample_stub`` are the poison-row
+    surfaces."""
+
+    def __init__(self, frame_ms: int = 250, max_frames: int = 8, n_bands: int = 32):
+        self.frame_ms = frame_ms
+        self.max_frames = max_frames
+        # 32 geomspace bands (vs AudioFrameFeatures' coarse 8): ~18%-wide
+        # log bins, enough frequency resolution that two UNRELATED tone
+        # mixes rarely share a band pattern — with 8 bands the synthetic
+        # corpus collapsed to 47 LSH buckets / 1.45e9 join rows at 30k
+        # clips; at 32 bands random-pair cosine drops below the LSH knee
+        self.n_bands = n_bands
+        self._edges_cache: dict = {}
+
+    def _edges(self, frame_len: int) -> np.ndarray:
+        e = self._edges_cache.get(frame_len)
+        if e is None:
+            n_spec = frame_len // 2 + 1
+            e = np.unique(
+                np.geomspace(
+                    max(2, n_spec // 256), max(3, n_spec - 1), self.n_bands + 1
+                ).astype(np.int64)
+            )
+            self._edges_cache[frame_len] = e
+        return e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from minhash_ray.functions.audio import UnsupportedCodecError, decode_pcm
+        from minhash_ray.functions.hashing import hash_str_array
+        from minhash_ray.stages.banding import splitmix64
+
+        ids: list = []
+        waves: list = []
+        rates: list = []
+        for cid, payload, codec, sr in zip(
+            batch.column("clip_id").to_pylist(),
+            batch.column("bytes").to_pylist(),
+            batch.column("codec").to_pylist(),
+            batch.column("sr_hz").to_pylist(),
+        ):
+            try:
+                wave = decode_pcm(payload or b"", codec)
+            except UnsupportedCodecError:
+                continue
+            if len(wave) == 0:
+                continue
+            rms = float(np.sqrt((wave * wave).mean()))
+            if rms == 0.0:
+                continue
+            ids.append(cid)
+            waves.append(wave / rms)
+            rates.append(int(sr) if sr else 16000)
+
+        out_ids: list = []
+        out_vecs: list = []
+        rates_np = np.asarray(rates, dtype=np.int64)
+        for sr in np.unique(rates_np):
+            frame_len = max(1, int(sr) * self.frame_ms // 1000)
+            sel = np.flatnonzero(rates_np == sr)
+            nf = np.array(
+                [
+                    min(self.max_frames, max(1, len(waves[i]) // frame_len))
+                    for i in sel
+                ],
+                dtype=np.int64,
+            )
+            # stack every frame of every clip: one memcpy per clip, one
+            # batched rfft for the whole group
+            mats = []
+            for i, k in zip(sel, nf):
+                w = waves[i]
+                used = int(k) * frame_len
+                if len(w) < used:                 # single short frame
+                    pad = np.zeros(frame_len, dtype=np.float64)
+                    pad[: len(w)] = w
+                    mats.append(pad[None, :])
+                else:
+                    mats.append(w[:used].reshape(int(k), frame_len))
+            frames = np.vstack(mats)
+            spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+            edges = self._edges(frame_len)
+            nb = min(self.n_bands, len(edges) - 1)
+            bands = np.zeros((len(frames), self.n_bands), dtype=np.float64)
+            bands[:, :nb] = np.log1p(
+                np.add.reduceat(spec, edges[: nb + 1], axis=1)[:, :nb]
+            )
+            # pool frames per clip: sum + sumsq reduceat at clip starts
+            starts = np.concatenate(([0], np.cumsum(nf)[:-1]))
+            ssum = np.add.reduceat(bands, starts, axis=0)
+            ssq = np.add.reduceat(bands * bands, starts, axis=0)
+            mean = ssum / nf[:, None]
+            var = np.maximum(ssq / nf[:, None] - mean * mean, 0.0)
+            v = np.concatenate([mean, np.sqrt(var)], axis=1)
+            norms = np.linalg.norm(v, axis=1)
+            keep = norms > 0
+            v = v[keep] / norms[keep, None]
+            for j, i in enumerate(sel[keep]):
+                out_ids.append(ids[i])
+                out_vecs.append(v[j])
+
+        vid = (
+            splitmix64(hash_str_array(out_ids, 0)).view(np.int64)
+            if out_ids
+            else np.empty(0, dtype=np.int64)
+        )
+        flat = (
+            np.concatenate(out_vecs) if out_vecs else np.empty(0, dtype=np.float64)
+        )
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float64()), 2 * self.n_bands
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "clip_id": pa.array(out_ids, pa.string()),
+                "embedding": emb,
+            }
+        )
+
+
+def audio_embedding_dup_pairs(
+    clips,
+    threshold: float = 0.99,
+    frame_ms: int = 250,
+    max_frames: int = 8,
+    n_planes: int = 64,
+    n_chunks: int = 4,
+    seed: int = 42,
+    num_partitions: int = 8,
+    concurrency: int = 4,
+):
+    """(clip_id_a, clip_id_b, cos): SemDeDup-for-audio — near-duplicate
+    clips by cosine of pooled spectral embeddings, found with the SAME
+    hyperplane-LSH + exact-verify machinery as the embeddings table
+    (``ann.embedding_dup_pairs`` with ``embs=`` override), then clip ids
+    re-attached by two slim partitioned joins on the int64 vec key.
+
+    This is the multimodal composition a production curation stack runs
+    next to byte/sketch dedup: embeddings catch re-encoded / gain-shifted
+    copies the byte channels miss, and the LSH path is the 10^12-clip
+    scale answer (never all-pairs).  Rows-only op (FFT is not
+    SQL-expressible); recall on planted duplicate audio is
+    pytest-asserted."""
+    from minhash_ray.pipelines.ann import embedding_dup_pairs
+    from minhash_ray.util import (
+        clamp_concurrency,
+        clamp_partitions,
+        strip_empty_blocks,
+    )
+
+    np_parts = clamp_partitions(num_partitions)
+    emb = clips.map_batches(
+        AudioClipEmbedding,
+        fn_constructor_kwargs={"frame_ms": frame_ms, "max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=64,
+        # never let the actor pool hold every CPU: the downstream join
+        # aggregators need slots to schedule (4-CPU test session deadlock)
+        concurrency=clamp_concurrency(concurrency),
+    ).materialize()
+
+    pairs = embedding_dup_pairs(
+        "",                                   # unused with embs=
+        threshold=threshold,
+        n_planes=n_planes,
+        n_chunks=n_chunks,
+        seed=seed,
+        num_partitions=num_partitions,
+        embs=emb.select_columns(["vec_id", "embedding"]),
+    )
+
+    names = emb.select_columns(["vec_id", "clip_id"])
+
+    def side(suffix: str):
+        return names.map_batches(
+            lambda b, s=suffix: pa.table(
+                {"vec_id": b.column("vec_id"), f"clip_id_{s}": b.column("clip_id")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    with_a = strip_empty_blocks(pairs).join(
+        side("a"), join_type="inner", on=("vec_id_a",), right_on=("vec_id",),
+        num_partitions=np_parts,
+    )
+    with_ab = strip_empty_blocks(with_a).join(
+        side("b"), join_type="inner", on=("vec_id_b",), right_on=("vec_id",),
+        num_partitions=np_parts,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("clip_id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("clip_id_b").to_numpy(zero_copy_only=False)
+        swap = a > b                       # vec-hash order != clip-id order
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        return pa.table(
+            {
+                "clip_id_a": pa.array(lo, pa.string()),
+                "clip_id_b": pa.array(hi, pa.string()),
+                "cos": batch.column("cos"),
+            }
+        )
+
+    return with_ab.map_batches(finish, batch_format="pyarrow")
+
+
+def audio_semantic_dedup(
+    clips,
+    threshold: float = 0.99,
+    n_centroids: int = 16,
+    frame_ms: int = 250,
+    max_frames: int = 8,
+    seed: int = 42,
+    num_partitions: int = 8,
+    concurrency: int = 4,
+):
+    """(clip_id, cluster_id_clip, keep): SemDeDup applied to audio —
+    pooled spectral clip embeddings through ``ann.semantic_dedup``'s
+    IVF-cell + within-cell-components machinery (``embs=`` override),
+    keep-one-per-component, clip ids re-attached by slim joins.
+
+    This is the DENSE-corpus shape: on a corpus whose embeddings cluster
+    heavily (synthetic tone families here; screenshot/boilerplate audio
+    in production), emitting all near-dup PAIRS is inherently quadratic —
+    measured 1.45e9 LSH-join rows at 30k clips with the coarse 8-band
+    features.  Cell-partitioned components never materialize pairs: the
+    per-cell gram matmul happens inside one map task and only
+    assignments (corpus-width) leave it.  Use
+    :func:`audio_embedding_dup_pairs` when the pair list itself is the
+    product and dup density is bounded."""
+    from minhash_ray.pipelines.ann import semantic_dedup
+    from minhash_ray.util import (
+        clamp_concurrency,
+        clamp_partitions,
+        strip_empty_blocks,
+    )
+
+    np_parts = clamp_partitions(num_partitions)
+    emb = clips.map_batches(
+        AudioClipEmbedding,
+        fn_constructor_kwargs={"frame_ms": frame_ms, "max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=clamp_concurrency(concurrency),
+    ).materialize()
+
+    assign = semantic_dedup(
+        "", n_centroids=n_centroids, threshold=threshold, seed=seed,
+        embs=emb.select_columns(["vec_id", "embedding"]),
+    )
+
+    names = emb.select_columns(["vec_id", "clip_id"])
+    with_name = strip_empty_blocks(assign).join(
+        names, join_type="inner", on=("vec_id",), num_partitions=np_parts
+    )
+    cluster_names = names.map_batches(
+        lambda b: pa.table(
+            {"cluster_id": b.column("vec_id"), "cluster_id_clip": b.column("clip_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = strip_empty_blocks(with_name).join(
+        cluster_names, join_type="inner", on=("cluster_id",), num_partitions=np_parts
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "cluster_id_clip": batch.column("cluster_id_clip"),
+                "keep": batch.column("keep"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

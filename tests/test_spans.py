@@ -181,3 +181,107 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     odf = odf.sort_values("doc_id").reset_index(drop=True)
     eng = eng[list(odf.columns)]
     assert eng.equals(odf)
+
+
+def test_audio_embedding_dup_pairs_planted(ray_session, tmp_path):
+    """SemDeDup-for-audio: exact and gain-scaled copies pair at high
+    cosine; unrelated clips don't; non-decodable codecs are dropped."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.functions.audio import encode_pcm, synth_waveform
+    from minhash_ray.pipelines.audio import audio_embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    sr = 16000
+    ids, payloads, codecs = [], [], []
+
+    def add(cid, wave, codec="pcm_s16le"):
+        ids.append(cid)
+        payloads.append(encode_pcm(wave))
+        codecs.append(codec)
+
+    base = [synth_waveform(rng, sr, 900) for _ in range(6)]
+    for i, w in enumerate(base):
+        add(f"clip_{i}", w)
+    add("copy_of_0", base[0])               # byte-identical copy
+    add("gain_of_1", base[1] * 0.5)         # re-gained copy
+    add("ext", base[2], codec="mp3")        # dropped (no decoder)
+
+    t = pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sr_hz": pa.array([sr] * len(ids), pa.int32()),
+            "dur_ms": pa.array(
+                [len(p) // 2 * 1000 // sr for p in payloads], pa.int32()
+            ),
+            "codec": pa.array(codecs, pa.string()),
+            "transcript": pa.array(["x"] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "clips.parquet"))
+    clips = rd.read_parquet(str(tmp_path / "clips.parquet"))
+
+    df = _pdf(audio_embedding_dup_pairs(clips, threshold=0.995))
+    pairs = {(a, b) for a, b in zip(df.clip_id_a, df.clip_id_b)}
+    assert ("clip_0", "copy_of_0") in pairs
+    assert ("clip_1", "gain_of_1") in pairs
+    assert all("ext" not in p for pair in pairs for p in pair)
+    # ordering + cosine sanity
+    assert (df.clip_id_a < df.clip_id_b).all()
+    assert (df.cos >= 0.995).all()
+
+
+def test_audio_semantic_dedup_planted(ray_session, tmp_path):
+    """SemDeDup-for-audio assignments: copies cluster together under one
+    min-id representative; distinct clips keep themselves."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.functions.audio import encode_pcm, synth_waveform
+    from minhash_ray.pipelines.audio import audio_semantic_dedup
+
+    rng = np.random.default_rng(23)
+    sr = 16000
+    ids, payloads = [], []
+
+    def add(cid, wave):
+        ids.append(cid)
+        payloads.append(encode_pcm(wave))
+
+    base = [synth_waveform(rng, sr, 900) for _ in range(5)]
+    for i, w in enumerate(base):
+        add(f"clip_{i}", w)
+    add("copy_of_0", base[0])
+    add("gain_of_0", base[0] * 0.25)
+
+    t = pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sr_hz": pa.array([sr] * len(ids), pa.int32()),
+            "dur_ms": pa.array(
+                [len(p) // 2 * 1000 // sr for p in payloads], pa.int32()
+            ),
+            "codec": pa.array(["pcm_s16le"] * len(ids), pa.string()),
+            "transcript": pa.array(["x"] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "clips.parquet"))
+    clips = rd.read_parquet(str(tmp_path / "clips.parquet"))
+
+    df = (
+        _pdf(audio_semantic_dedup(clips, threshold=0.995, n_centroids=2))
+        .set_index("clip_id")
+        .sort_index()
+    )
+    assert len(df) == 7
+    # the three copies of base[0] share one cluster; exactly one kept
+    trio = df.loc[["clip_0", "copy_of_0", "gain_of_0"]]
+    assert trio.cluster_id_clip.nunique() == 1
+    assert int(trio.keep.sum()) == 1
+    # distinct clips are their own kept representative
+    for cid in ("clip_1", "clip_2", "clip_3", "clip_4"):
+        assert df.loc[cid, "keep"] == 1
+    assert int(df.keep.sum()) == 5
