@@ -74,6 +74,16 @@ def clips_dedup_edges(sf_dir: str):
     return _clips_dedup(sf_dir).edges
 
 
+def clips_modality_agreement(sf_dir: str):
+    """(clip_id_a, clip_id_b, text_dup, audio_dup, modality) — cross-modal
+    classification of every verified dup edge (re-record vs re-transcribe
+    vs true re-upload); rows-only, planted-kind accuracy is
+    pytest-asserted."""
+    from minhash_ray.pipelines.dedup import modality_agreement
+
+    return modality_agreement(_clips_dedup(sf_dir).edges)
+
+
 def clips_pair_snr(sf_dir: str):
     """(clip_id_a, clip_id_b, channel, snr_db, snr_ok) — the north-rule
     per-row invariant (decoded-PCM SNR of every verified dup edge, gate
@@ -891,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship clips pipelines (rows-only: sketch/LSH semantics) ---
         "clips_dedup_assignments": clips_dedup_assignments,
         "clips_dedup_edges": clips_dedup_edges,
+        "clips_modality_agreement": clips_modality_agreement,
         # rows-only: the north-rule per-row invariant (decoded-PCM SNR of
         # every verified dup edge, 30 dB gate) as a relation
         "clips_pair_snr": clips_pair_snr,

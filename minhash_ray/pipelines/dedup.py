@@ -1148,3 +1148,54 @@ def assignments_diff(
         return t.filter(pa.array(st != "same"))
 
     return strip_empty_blocks(joined.map_batches(status, batch_format="pyarrow"))
+
+
+def modality_agreement(edges, text_tau: float | None = None,
+                       audio_tau: float | None = None,
+                       cfg: PipelineConfig | None = None):
+    """(clip_id_a, clip_id_b, text_dup, audio_dup, modality): per-edge
+    modality classification over the flagship's verified edge table — the
+    cross-modal disagreement report a multimodal curation run ships with
+    (a pair whose transcript matches but whose audio doesn't is a
+    re-record / re-dub; audio-only matches are re-transcriptions or
+    caption drift; both-channel matches are true re-uploads).
+
+    Text evidence: exact channel, or verified shingle Jaccard >= tau
+    (falling back to the sketch estimator when the exact column wasn't
+    computed, jaccard = -1).  Audio evidence: byte-OPH audio similarity
+    >= tau.  Pure per-batch vectorized map over the edges — no shuffle;
+    the edge table is already the post-verify, post-dedup pair set.
+
+    Rows-only op (both channels are sketch-gated); the planted fixture's
+    near_text / near_audio / near_both truth kinds pytest the
+    classification."""
+    import pyarrow.compute as pc
+
+    cfg = cfg or PipelineConfig()
+    t_tau = cfg.tau if text_tau is None else text_tau
+    a_tau = cfg.audio_tau if audio_tau is None else audio_tau
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ch = batch.column("channel").to_numpy(zero_copy_only=False)
+        jac = batch.column("jaccard").to_numpy(zero_copy_only=False)
+        sim = batch.column("sim").to_numpy(zero_copy_only=False)
+        asim = batch.column("audio_sim").to_numpy(zero_copy_only=False)
+        text_score = np.where(jac >= 0.0, jac, sim)
+        text_dup = (ch == "exact") | (text_score >= t_tau)
+        audio_dup = (ch == "exact") | (asim >= a_tau)
+        modality = np.where(
+            text_dup & audio_dup, "both",
+            np.where(text_dup, "text_only",
+                     np.where(audio_dup, "audio_only", "estimator_only")),
+        )
+        return pa.table(
+            {
+                "clip_id_a": batch.column("clip_id_a"),
+                "clip_id_b": batch.column("clip_id_b"),
+                "text_dup": pa.array(text_dup.astype(np.int64), pa.int64()),
+                "audio_dup": pa.array(audio_dup.astype(np.int64), pa.int64()),
+                "modality": pa.array(modality, pa.string()),
+            }
+        )
+
+    return edges.map_batches(fn, batch_format="pyarrow")

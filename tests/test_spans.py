@@ -285,3 +285,50 @@ def test_audio_semantic_dedup_planted(ray_session, tmp_path):
     for cid in ("clip_1", "clip_2", "clip_3", "clip_4"):
         assert df.loc[cid, "keep"] == 1
     assert int(df.keep.sum()) == 5
+
+
+def test_modality_agreement_matches_planted_kinds(ray_session, small_fixture):
+    """Cross-modal edge classification vs planted construction
+    (tools/make_fixtures.py): near_transcript pairs share BYTE-IDENTICAL
+    audio (only text edited) so they must carry audio evidence;
+    near_audio pairs share IDENTICAL transcripts (only audio perturbed)
+    so they must carry text evidence; exact pairs carry both."""
+    import pyarrow.parquet as pq
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import modality_agreement, run_dedup
+    from minhash_ray.sources.clips import read_clips
+
+    res = run_dedup(
+        read_clips(str(small_fixture / "clips.parquet")),
+        PipelineConfig(),
+        num_partitions=4,
+    )
+    df = _pdf(modality_agreement(res.edges))
+    cls = {
+        (a, b): (int(t), int(au))
+        for a, b, t, au in zip(df.clip_id_a, df.clip_id_b, df.text_dup, df.audio_dup)
+    }
+    truth = pq.read_table(str(small_fixture / "truth_pairs.parquet")).to_pandas()
+    stats = {"near_transcript": [0, 0], "near_audio": [0, 0], "exact": [0, 0]}
+    for a, b, kind in zip(truth.clip_id_a, truth.clip_id_b, truth.kind):
+        if kind not in stats:
+            continue
+        key = (a, b) if a < b else (b, a)
+        got = cls.get(key)
+        if got is None:
+            continue                      # recall is asserted elsewhere
+        t, au = got
+        ok = {
+            "near_transcript": au == 1,   # audio bytes identical
+            "near_audio": t == 1,         # transcript identical
+            "exact": t == 1 and au == 1,
+        }[kind]
+        stats[kind][0] += int(ok)
+        stats[kind][1] += 1
+    for kind, (ok, n) in stats.items():
+        assert n > 0, f"no {kind} edges recovered"
+        assert ok / n >= 0.95, (kind, ok, n)
+    assert set(df.modality.unique()) <= {
+        "both", "text_only", "audio_only", "estimator_only"
+    }
