@@ -857,6 +857,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q3 shape: 3-table join + corpus-width revenue fold +
         # exact top-k — SQL-checked against the classic Q3 oracle
         "shipping_priority": relational.shipping_priority,
+        # TPC-H Q10 shape: top returned-item revenue customers (SQL-checked)
+        "returned_item_revenue": relational.returned_item_revenue,
+        # TPC-H Q18 shape: HAVING-gated large-volume orders (SQL-checked)
+        "large_volume_customers": relational.large_volume_customers,
         # percentile-gated length filter (exact global q-quantile cut)
         # — SQL-checked against a row_number quantile + filter oracle
         "length_gate_docs": text.length_gate_docs,
@@ -3222,6 +3226,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT li.o_orderkey, li.revenue_cents, o.o_orderdate_us, "
             "o.o_orderpriority FROM li JOIN o USING (o_orderkey) "
             "ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"
+        ),
+        "returned_item_revenue": (
+            "WITH li AS (SELECT l_orderkey AS o_orderkey, "
+            "CAST(sum(CAST(floor(((l_extendedprice * (1 - l_discount)) * 100) "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS rev FROM lineitem "
+            "WHERE l_returnflag = 'R' GROUP BY l_orderkey), "
+            "o AS (SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1995-07-01' "
+            "AND o_orderdate < TIMESTAMP '1995-10-01'), "
+            "cr AS (SELECT o.o_custkey AS c_custkey, "
+            "CAST(sum(li.rev) AS BIGINT) AS revenue_cents "
+            "FROM li JOIN o USING (o_orderkey) GROUP BY o.o_custkey) "
+            "SELECT cr.c_custkey, c.c_name, n.n_name, cr.revenue_cents "
+            "FROM cr JOIN customer c ON cr.c_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "ORDER BY cr.revenue_cents DESC, cr.c_custkey LIMIT 20"
+        ),
+        "large_volume_customers": (
+            "WITH q AS (SELECT l_orderkey AS o_orderkey, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING "
+            "sum(CAST(l_quantity AS BIGINT)) > 250) "
+            "SELECT o.o_custkey AS c_custkey, c.c_name, q.o_orderkey, "
+            "epoch_us(o.o_orderdate) AS o_orderdate_us, q.total_qty "
+            "FROM q JOIN orders o USING (o_orderkey) "
+            "JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
         "segment_priority_cube": (
             "SELECT COALESCE(c_mktsegment, '<all>') AS c_mktsegment, "

@@ -287,6 +287,8 @@ def run_bench() -> dict:
         ("dup_spans", spans.dup_span_extract),
         ("dup_span_scrub", spans.dup_span_scrub),
         ("pii_scrub", text.pii_scrub),
+        ("returned_item_revenue", relational.returned_item_revenue),
+        ("large_volume_customers", relational.large_volume_customers),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_phash_pairs", lambda _sf: _aphp(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),

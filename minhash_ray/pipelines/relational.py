@@ -1098,3 +1098,217 @@ def local_supplier_volume(
         .groupby("n_name")
         .aggregate(Count(alias_name="n_items"), Sum("revenue_cents", alias_name="revenue_cents"))
     )
+
+
+def returned_item_revenue(
+    sf_dir: str,
+    date_lo: str = "1995-07-01",
+    date_hi: str = "1995-10-01",
+    k: int = 20,
+    num_partitions: int = 8,
+):
+    """TPC-H Q10 shape — (c_custkey, c_name, n_name, revenue_cents): the
+    k customers who generated the most revenue on RETURNED items
+    (l_returnflag = 'R') for orders placed in [date_lo, date_hi), revenue
+    in exact integer cents (the Q3 bit-stable expression).
+
+    Scale shape: returned-lineitem revenue folds per order key through
+    the key-hash partition; ONE partitioned join routes it through the
+    date-filtered orders to custkeys; a second custkey-hash fold sums per
+    customer; customer attributes attach by ONE partitioned join (the
+    customer table scales with the corpus — never driver state) while the
+    25-row nation map is the one legitimate driver broadcast; per-batch
+    local top-k prunes to <= batches x k rows before the exact
+    sort+limit.  Deterministic tie-break on c_custkey."""
+    from minhash_ray.util import fold_by_int_keys, strip_empty_blocks
+
+    lo_us = np.int64(int(np.datetime64(date_lo, "us").astype(np.int64)))
+    hi_us = np.int64(int(np.datetime64(date_hi, "us").astype(np.int64)))
+
+    def ts_us(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.cast(pa.int64()).to_numpy()
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag")
+        t = batch.filter(pc.equal(rf, "R"))
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.floor(((ep * (1.0 - disc)) * 100.0) + 0.5).astype(np.int64)
+        g = pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "revenue_cents": pa.array(rev, pa.int64()),
+            }
+        ).group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "revenue_cents": pc.cast(g.column("revenue_cents_sum"), pa.int64()),
+            }
+        )
+
+    def key_sum_final(key: str):
+        def fold(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([("revenue_cents", "sum")])
+            return pa.table(
+                {
+                    key: g.column(key),
+                    "revenue_cents": pc.cast(g.column("revenue_cents_sum"), pa.int64()),
+                }
+            )
+
+        return fold
+
+    order_rev = fold_by_int_keys(
+        _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]),
+        ["o_orderkey"], rev_partial, key_sum_final("o_orderkey"), num_partitions,
+    )
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        od = ts_us(batch.column("o_orderdate"))
+        keep = (od >= lo_us) & (od < hi_us)
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "c_custkey": t.column("o_custkey")}
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_filter, batch_format="pyarrow"
+    )
+    routed = strip_empty_blocks(order_rev).join(
+        strip_empty_blocks(orders), join_type="inner", on=("o_orderkey",),
+        num_partitions=num_partitions,
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["c_custkey", "revenue_cents"]).group_by(
+            "c_custkey"
+        ).aggregate([("revenue_cents", "sum")])
+        return pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "revenue_cents": pc.cast(g.column("revenue_cents_sum"), pa.int64()),
+            }
+        )
+
+    cust_rev = fold_by_int_keys(
+        routed, ["c_custkey"], cust_partial, key_sum_final("c_custkey"), num_partitions
+    )
+
+    # nation names: the 25-row driver broadcast; customer attrs: a
+    # partitioned join (customers scale with the corpus)
+    nation = pa.concat_tables(
+        list(_t(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
+    )
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+
+    def cust_attrs(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "n_name": pa.array([n_name[x] for x in nk], pa.string()),
+            }
+        )
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        cust_attrs, batch_format="pyarrow"
+    )
+    joined = strip_empty_blocks(cust_rev).join(
+        cust, join_type="inner", on=("c_custkey",), num_partitions=num_partitions
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        rev = batch.column("revenue_cents").to_numpy()
+        ck = batch.column("c_custkey").to_numpy()
+        o = np.lexsort((ck, -rev))[:k]
+        return batch.take(pa.array(o)).select(
+            ["c_custkey", "c_name", "n_name", "revenue_cents"]
+        )
+
+    pruned = joined.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def large_volume_customers(
+    sf_dir: str,
+    qty_min: int = 250,
+    num_partitions: int = 8,
+):
+    """TPC-H Q18 shape — (c_custkey, c_name, o_orderkey, o_orderdate_us,
+    total_qty): every order whose total lineitem quantity exceeds
+    ``qty_min``, with its customer (the large-volume-order audit).
+
+    Scale shape: integer quantities fold per order key through the
+    key-hash partition and the HAVING gate runs inside the fold (only
+    gated orders — a tiny fraction — reach any join); two partitioned
+    joins attach order metadata and customer name.  No driver state at
+    any corpus size."""
+    from minhash_ray.util import fold_by_int_keys, strip_empty_blocks
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "q": pa.array(
+                    batch.column("l_quantity").to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        ).group_by("o_orderkey").aggregate([("q", "sum")])
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "q": pc.cast(g.column("q_sum"), pa.int64()),
+            }
+        )
+
+    def qty_final(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderkey").aggregate([("q", "sum")])
+        out = pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "total_qty": pc.cast(g.column("q_sum"), pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(out.column("total_qty"), qty_min))
+
+    gated = fold_by_int_keys(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        ["o_orderkey"], qty_partial, qty_final, num_partitions,
+    )
+
+    def order_slim(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "c_custkey": batch.column("o_custkey"),
+                "o_orderdate_us": pc.cast(od.cast(pa.int64()), pa.int64()),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_slim, batch_format="pyarrow"
+    )
+    with_order = strip_empty_blocks(gated).join(
+        strip_empty_blocks(orders), join_type="inner", on=("o_orderkey",),
+        num_partitions=num_partitions,
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = strip_empty_blocks(with_order).join(
+        cust, join_type="inner", on=("c_custkey",), num_partitions=num_partitions
+    )
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["c_custkey", "c_name", "o_orderkey", "o_orderdate_us", "total_qty"]
+        )
+
+    return out.map_batches(order_cols, batch_format="pyarrow")
