@@ -233,9 +233,25 @@ def dup_span_extract(
         )
         return pa.table({"doc_id": agg.column("doc_id"), "cand_pack": pack})
 
-    packs = strip_empty_blocks(
-        fold_by_int_keys(cand, ["doc_id"], pack_partial, pack_final, np_parts)
+    _EMPTY_SPANS = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64()),
+            "span_len": pa.array([], pa.int64()),
+        }
     )
+
+    packs = fold_by_int_keys(
+        cand, ["doc_id"], pack_partial, pack_final, np_parts
+    ).materialize()
+    if packs.count() == 0:
+        # duplicate-free corpus: an all-empty fold yields a schema-less
+        # block that would poison the join's key resolution — short-circuit
+        import ray.data as rd
+
+        return rd.from_arrow(_EMPTY_SPANS)
+    packs = strip_empty_blocks(packs)
     joined = strip_empty_blocks(
         ds.join(packs, join_type="inner", on=("doc_id",), num_partitions=np_parts)
     )
@@ -407,9 +423,27 @@ def dup_span_scrub(
         )
         return pa.table({"doc_id": agg.column("doc_id"), "sp_pack": pack})
 
-    packs = strip_empty_blocks(
-        fold_by_int_keys(spans, ["doc_id"], sp_partial, sp_final, np_parts)
-    )
+    packs = fold_by_int_keys(
+        spans, ["doc_id"], sp_partial, sp_final, np_parts
+    ).materialize()
+    if packs.count() == 0:
+        # duplicate-free corpus: every doc passes through unchanged (and
+        # the schema-less empty fold block cannot enter a join anyway)
+        def passthrough(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "clean_text": pc.cast(
+                        pc.fill_null(batch.column("text"), ""), pa.large_string()
+                    ),
+                    "n_spans": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                    "n_dup_chars": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                }
+            )
+
+        return ds.map_batches(passthrough, batch_format="pyarrow")
+    packs = strip_empty_blocks(packs)
     joined = ds.join(
         packs, join_type="left_outer", on=("doc_id",), num_partitions=np_parts
     )

@@ -332,3 +332,25 @@ def test_modality_agreement_matches_planted_kinds(ray_session, small_fixture):
     assert set(df.modality.unique()) <= {
         "both", "text_only", "audio_only", "estimator_only"
     }
+
+
+def test_dup_spans_duplicate_free_corpus(ray_session, tmp_path):
+    """A corpus with NO duplicated L-gram anywhere: empty span table with
+    the full schema, and a scrub that passes every doc through unchanged
+    (regression: the all-empty candidate fold produced a schema-less
+    block that poisoned the join's key resolution)."""
+    texts = [
+        "completely unique first document text here zero overlap",
+        "another one with different words entirely for sure now",
+        "third doc also unlike anything else in this tiny corpus",
+    ]
+    d = _write_docs(tmp_path, texts)
+    from minhash_ray.pipelines.spans import dup_span_extract, dup_span_scrub
+
+    sp_ds = dup_span_extract(d)
+    assert sp_ds.schema().names == ["doc_id", "span_start", "span_end", "span_len"]
+    assert sp_ds.count() == 0
+    sc = _pdf(dup_span_scrub(d)).set_index("doc_id").sort_index()
+    for i, txt in enumerate(texts):
+        assert sc.loc[i, "clean_text"] == txt
+    assert int(sc.n_spans.sum()) == 0 and int(sc.n_dup_chars.sum()) == 0
