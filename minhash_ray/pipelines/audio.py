@@ -1265,6 +1265,19 @@ def audio_embedding_dup_pairs(
         concurrency=clamp_concurrency(concurrency),
     ).materialize()
 
+    if emb.count() == 0:
+        # no decodable clips: typed empty result (take(1)/concat on an
+        # empty embeddings table would throw downstream)
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {
+                "clip_id_a": pa.array([], pa.string()),
+                "clip_id_b": pa.array([], pa.string()),
+                "cos": pa.array([], pa.float64()),
+            }
+        ))
+
     pairs = embedding_dup_pairs(
         "",                                   # unused with embs=
         threshold=threshold,
@@ -1350,6 +1363,17 @@ def audio_semantic_dedup(
         batch_size=64,
         concurrency=clamp_concurrency(concurrency),
     ).materialize()
+
+    if emb.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {
+                "clip_id": pa.array([], pa.string()),
+                "cluster_id_clip": pa.array([], pa.string()),
+                "keep": pa.array([], pa.int64()),
+            }
+        ))
 
     assign = semantic_dedup(
         "", n_centroids=n_centroids, threshold=threshold, seed=seed,

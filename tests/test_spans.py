@@ -354,3 +354,34 @@ def test_dup_spans_duplicate_free_corpus(ray_session, tmp_path):
     for i, txt in enumerate(texts):
         assert sc.loc[i, "clean_text"] == txt
     assert int(sc.n_spans.sum()) == 0 and int(sc.n_dup_chars.sum()) == 0
+
+
+def test_audio_embedding_ops_no_decodable_clips(ray_session, tmp_path):
+    """All-external-codec corpus: both embedding ops return typed empty
+    results instead of throwing on the empty embeddings table."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.pipelines.audio import (
+        audio_embedding_dup_pairs,
+        audio_semantic_dedup,
+    )
+
+    t = pa.table(
+        {
+            "clip_id": pa.array(["a", "b"], pa.string()),
+            "bytes": pa.array([b"xx", b"yy"], pa.binary()),
+            "sr_hz": pa.array([16000] * 2, pa.int32()),
+            "dur_ms": pa.array([100] * 2, pa.int32()),
+            "codec": pa.array(["opus", "mp3"], pa.string()),
+            "transcript": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "clips.parquet"))
+    clips = rd.read_parquet(str(tmp_path / "clips.parquet"))
+    sd = audio_semantic_dedup(clips)
+    assert sd.schema().names == ["clip_id", "cluster_id_clip", "keep"]
+    assert sd.count() == 0
+    pr = audio_embedding_dup_pairs(clips)
+    assert pr.schema().names == ["clip_id_a", "clip_id_b", "cos"]
+    assert pr.count() == 0
