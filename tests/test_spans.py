@@ -385,3 +385,70 @@ def test_audio_embedding_ops_no_decodable_clips(ray_session, tmp_path):
     pr = audio_embedding_dup_pairs(clips)
     assert pr.schema().names == ["clip_id_a", "clip_id_b", "cos"]
     assert pr.count() == 0
+
+
+def _brute_dup_spans(texts, L):
+    """O(n^2)-ish reference: every L-gram occurring >= 2 times, merged
+    into per-doc maximal islands (window starts chain while gap <= L)."""
+    from collections import Counter
+
+    grams = Counter()
+    for txt in texts:
+        b = txt.encode("utf-8")
+        for p in range(len(b) - L + 1):
+            grams[b[p : p + L]] += 1
+    spans = []
+    for doc_id, txt in enumerate(texts):
+        b = txt.encode("utf-8")
+        ps = [p for p in range(len(b) - L + 1) if grams[b[p : p + L]] >= 2]
+        if not ps:
+            continue
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > L:
+                spans.append((doc_id, start, prev + L))
+                start = p
+            prev = p
+        spans.append((doc_id, start, prev + L))
+    return sorted(spans)
+
+
+def test_dup_spans_matches_bruteforce_random(ray_session, tmp_path):
+    """Differential fuzz: the distributed pipeline == the brute-force
+    reference on seeded random corpora with planted repeats (covers
+    candidate detection, exact verify, island merge, all partitionings)."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    L = 12
+    alphabet = list("abcdef ")
+    for trial in range(4):
+        n_docs = int(rng.integers(4, 10))
+        texts = []
+        for _ in range(n_docs):
+            n = int(rng.integers(0, 80))
+            texts.append("".join(rng.choice(alphabet, size=n)))
+        # plant a shared fragment into a random subset
+        frag = "".join(rng.choice(alphabet, size=int(rng.integers(L, 3 * L))))
+        for i in rng.choice(n_docs, size=min(3, n_docs), replace=False):
+            pos = int(rng.integers(0, max(1, len(texts[i]))))
+            texts[i] = texts[i][:pos] + frag + texts[i][pos:]
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, str(d / "documents.parquet"))
+        from minhash_ray.pipelines.spans import dup_span_extract
+
+        df = _pdf(dup_span_extract(str(d), L=L, num_partitions=3))
+        got = sorted(
+            (int(a), int(b), int(c))
+            for a, b, c in zip(df.doc_id, df.span_start, df.span_end)
+        )
+        assert got == _brute_dup_spans(texts, L), (trial, texts)
