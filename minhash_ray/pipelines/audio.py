@@ -1127,6 +1127,11 @@ class AudioClipEmbedding:
                     max(2, n_spec // 256), max(3, n_spec - 1), self.n_bands + 1
                 ).astype(np.int64)
             )
+            # pathological frame lengths (sr_hz <= 23 Hz -> n_spec <= 3)
+            # produce edges past the spectrum: clamp so reduceat stays in
+            # bounds — a row whose every band vanishes drops via the
+            # zero-norm mask, the same poison-row contract as decode
+            e = e[e < n_spec]
             self._edges_cache[frame_len] = e
         return e
 
@@ -1153,9 +1158,12 @@ class AudioClipEmbedding:
             rms = float(np.sqrt((wave * wave).mean()))
             if rms == 0.0:
                 continue
+            sr_i = int(sr) if sr else 16000
+            if sr_i <= 0:                    # malformed metadata: poison row
+                continue
             ids.append(cid)
             waves.append(wave / rms)
-            rates.append(int(sr) if sr else 16000)
+            rates.append(sr_i)
 
         out_ids: list = []
         out_vecs: list = []
@@ -1185,11 +1193,12 @@ class AudioClipEmbedding:
             frames = np.vstack(mats)
             spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
             edges = self._edges(frame_len)
-            nb = min(self.n_bands, len(edges) - 1)
+            nb = max(0, min(self.n_bands, len(edges) - 1))
             bands = np.zeros((len(frames), self.n_bands), dtype=np.float64)
-            bands[:, :nb] = np.log1p(
-                np.add.reduceat(spec, edges[: nb + 1], axis=1)[:, :nb]
-            )
+            if nb > 0:
+                bands[:, :nb] = np.log1p(
+                    np.add.reduceat(spec, edges[: nb + 1], axis=1)[:, :nb]
+                )
             # pool frames per clip: sum + sumsq reduceat at clip starts
             starts = np.concatenate(([0], np.cumsum(nf)[:-1]))
             ssum = np.add.reduceat(bands, starts, axis=0)

@@ -1204,15 +1204,24 @@ def returned_item_revenue(
         list(_t(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"))
     )
-    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    import ray
+
+    from minhash_ray.util import int_lookup_pack
+
+    nat_ref = [ray.put(int_lookup_pack(
+        nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist()
+    ))]
 
     def cust_attrs(batch: pa.Table) -> pa.Table:
-        nk = batch.column("c_nationkey").to_pylist()
+        from minhash_ray.util import cached_get, int_lookup_take
+
         return pa.table(
             {
                 "c_custkey": batch.column("c_custkey"),
                 "c_name": batch.column("c_name"),
-                "n_name": pa.array([n_name[x] for x in nk], pa.string()),
+                "n_name": int_lookup_take(
+                    cached_get(nat_ref[0]), batch.column("c_nationkey").to_numpy()
+                ),
             }
         )
 

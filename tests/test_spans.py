@@ -452,3 +452,34 @@ def test_dup_spans_matches_bruteforce_random(ray_session, tmp_path):
             for a, b, c in zip(df.doc_id, df.span_start, df.span_end)
         )
         assert got == _brute_dup_spans(texts, L), (trial, texts)
+
+
+def test_audio_embedding_malformed_sr_rows_drop(ray_session, tmp_path):
+    """sr_hz <= 0 or too small for one spectral band: the row drops like
+    a codec poison row instead of crashing the batch (regression:
+    reduceat index out of bounds at frame_len <= 5)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.functions.audio import encode_pcm, synth_waveform
+    from minhash_ray.pipelines.audio import audio_semantic_dedup
+
+    rng = np.random.default_rng(3)
+    w = synth_waveform(rng, 16000, 600)
+    t = pa.table(
+        {
+            "clip_id": pa.array(["good1", "good2", "tiny_sr", "neg_sr"], pa.string()),
+            "bytes": pa.array([encode_pcm(w)] * 4, pa.binary()),
+            "sr_hz": pa.array([16000, 16000, 16, -8000], pa.int32()),
+            "dur_ms": pa.array([600] * 4, pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * 4, pa.string()),
+            "transcript": pa.array(["x"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "clips.parquet"))
+    df = _pdf(
+        audio_semantic_dedup(
+            rd.read_parquet(str(tmp_path / "clips.parquet")), threshold=0.995
+        )
+    )
+    assert sorted(df.clip_id) == ["good1", "good2"]
