@@ -876,6 +876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-width integer-cents value histogram — SQL-checked against
         # a floor-division bucket oracle
         "value_histogram": events.value_histogram,
+        # exact-percentile winsorization (data-driven outlier clamp —
+        # SQL-checked via a row_number order-statistic replay)
+        "value_winsorize": events.value_winsorize,
         # event-type co-occurrence (market-basket users-who-did-both)
         # — SQL-checked against a distinct self-join oracle
         "type_cooccurrence": events.type_cooccurrence,
@@ -3150,6 +3153,19 @@ def oracle_sql() -> dict[str, str]:
             + ", CAST(sum(CASE WHEN lang NOT IN "
             "('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_other "
             "FROM documents GROUP BY source"
+        ),
+        "value_winsorize": (
+            "WITH c AS (SELECT event_id, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), "
+            "o AS (SELECT vc, row_number() OVER (ORDER BY vc) - 1 AS r, "
+            "count(*) OVER () AS n FROM c), "
+            "lo AS (SELECT vc FROM o "
+            "WHERE r = CAST(floor((n - 1) * 0.01) AS BIGINT) LIMIT 1), "
+            "hi AS (SELECT vc FROM o "
+            "WHERE r = CAST(floor((n - 1) * 0.99) AS BIGINT) LIMIT 1) "
+            "SELECT c.event_id, c.vc AS value_cents, "
+            "CAST(least(greatest(c.vc, lo.vc), hi.vc) AS BIGINT) "
+            "AS value_cents_w FROM c, lo, hi"
         ),
         "value_histogram": (
             "WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents "

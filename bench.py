@@ -289,6 +289,7 @@ def run_bench() -> dict:
         ("pii_scrub", text.pii_scrub),
         ("returned_item_revenue", relational.returned_item_revenue),
         ("large_volume_customers", relational.large_volume_customers),
+        ("value_winsorize", events.value_winsorize),
         ("audio_dup_pairs", lambda _sf: _adp(read_clips(clips_path))),
         ("audio_phash_pairs", lambda _sf: _aphp(
             read_clips(clips_path, columns=["clip_id", "bytes", "codec"]))),

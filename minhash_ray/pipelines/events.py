@@ -1815,3 +1815,67 @@ def active_sessions_per_window(
         )
 
     return agg.map_batches(order_cols, batch_format="pyarrow")
+
+
+def value_winsorize(sf_dir: str, q_lo: float = 0.01, q_hi: float = 0.99):
+    """(event_id, value_cents, value_cents_w): every event's value in
+    exact integer cents, clamped to the corpus's EXACT [q_lo, q_hi]
+    order statistics (winsorization — the outlier-capping transform a
+    feature pipeline runs before aggregates that a fat tail would
+    dominate; the data-driven cousin of ``value_outliers``'s z-gate).
+
+    Scale shape: the two cut points come from the ``token_quantiles``
+    exact-histogram machinery — per-batch (value, count) partials
+    (``np.unique``), one tiny ``groupby(value).sum`` exchange
+    (distinct cents values ≪ events), a metadata-scale driver fold to
+    the order statistics at ``floor((n-1)*q)`` (numpy 'lower' semantics,
+    replayed by the oracle's row_number join) — then ONE streaming
+    clamp map over the events.  No global sort, nothing corpus-width on
+    the driver."""
+    import pyarrow.compute as pc
+
+    def cents(batch: pa.Table) -> np.ndarray:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(cents(batch), return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    hist = (
+        _events(sf_dir, ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+    )
+    t = pa.concat_tables(
+        list(hist.iter_batches(batch_size=1_048_576, batch_format="pyarrow"))
+    )
+    ccol = [c for c in t.column_names if c != "v"][0]
+    v = t.column("v").to_numpy()
+    c = t.column(ccol).to_numpy()
+    o = np.argsort(v)
+    v, c = v[o], c[o]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        lo = hi = np.int64(0)
+    else:
+        lo = v[np.searchsorted(cum, int(np.floor((n - 1) * q_lo)) + 1)]
+        hi = v[np.searchsorted(cum, int(np.floor((n - 1) * q_hi)) + 1)]
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        vc = cents(batch)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "value_cents": pa.array(vc, pa.int64()),
+                "value_cents_w": pa.array(np.clip(vc, lo, hi), pa.int64()),
+            }
+        )
+
+    return _events(sf_dir, ["event_id", "value"]).map_batches(
+        clamp, batch_format="pyarrow"
+    )
