@@ -74,6 +74,17 @@ def clips_dedup_edges(sf_dir: str):
     return _clips_dedup(sf_dir).edges
 
 
+def clips_dedup_keep_best(sf_dir: str):
+    """(clip_id, cluster_id, keep_first, keep_best) — both canonical-rep
+    policies over the flagship clusters (largest-payload member wins
+    keep_best, tie min clip_id); rows-only, planted-policy
+    pytest-asserted."""
+    from minhash_ray.pipelines.dedup import keep_best_assignments
+
+    clips, _ = _clips_ds(sf_dir)
+    return keep_best_assignments(_clips_dedup(sf_dir).assignments, clips)
+
+
 def clips_modality_agreement(sf_dir: str):
     """(clip_id_a, clip_id_b, text_dup, audio_dup, modality) — cross-modal
     classification of every verified dup edge (re-record vs re-transcribe
@@ -909,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_dedup_assignments": clips_dedup_assignments,
         "clips_dedup_edges": clips_dedup_edges,
         "clips_modality_agreement": clips_modality_agreement,
+        "clips_dedup_keep_best": clips_dedup_keep_best,
         # rows-only: the north-rule per-row invariant (decoded-PCM SNR of
         # every verified dup edge, 30 dB gate) as a relation
         "clips_pair_snr": clips_pair_snr,

@@ -1199,3 +1199,129 @@ def modality_agreement(edges, text_tau: float | None = None,
         )
 
     return edges.map_batches(fn, batch_format="pyarrow")
+
+
+def keep_best_assignments(assignments, clips, num_partitions: int = 8):
+    """(clip_id, cluster_id, keep_first, keep_best): both canonical-rep
+    policies over the flagship's cluster assignments — ``keep_first``
+    (min clip_id, the deterministic rep the pipeline already emits) and
+    ``keep_best`` (the cluster member with the LARGEST audio payload,
+    tie-broken to min clip_id) — the production policy when a dup
+    cluster mixes a full-bitrate original with truncated or re-encoded
+    copies and the biggest payload is the one worth keeping (the clips
+    analog of ``dedup_text.doc_dedup_keep_best``).
+
+    Scale shape: payload SIZE (never the payload) joins the assignment
+    table on a partitioned clip_id hash join; per-cluster winners reduce
+    as per-batch vectorized partials (one lexsort + run-starts pass per
+    batch) folded through a CLUSTER-hash partition (``fold_by_str_key``
+    — cluster ids scale with the corpus, never Ray aggregate groups);
+    one slim join routes each winner back to its members."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.util import (
+        bytes_key_array,
+        clamp_partitions,
+        fold_by_str_key,
+        strip_empty_blocks,
+    )
+
+    np_parts = clamp_partitions(num_partitions)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        col = batch.column("bytes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "n_bytes": pc.cast(pc.binary_length(col), pa.int64()),
+            }
+        )
+
+    sized = strip_empty_blocks(assignments).join(
+        clips.map_batches(sizes, batch_format="pyarrow"),
+        join_type="inner", on=("clip_id",), num_partitions=np_parts,
+    )
+
+    def reduce_best(t: pa.Table) -> pa.Table:
+        cid = bytes_key_array(t.column("cluster_id"))
+        clip = bytes_key_array(t.column("clip_id"))
+        nb = t.column("n_bytes").to_numpy(zero_copy_only=False)
+        # first: min clip per cluster
+        o1 = np.lexsort((clip, cid))
+        starts1 = np.ones(len(o1), dtype=bool)
+        starts1[1:] = cid[o1][1:] != cid[o1][:-1]
+        f_idx = o1[starts1]
+        # best: max bytes, tie min clip
+        o2 = np.lexsort((clip, -nb, cid))
+        starts2 = np.ones(len(o2), dtype=bool)
+        starts2[1:] = cid[o2][1:] != cid[o2][:-1]
+        b_idx = o2[starts2]
+        return pa.table(
+            {
+                "cluster_id": t.column("cluster_id").take(pa.array(f_idx)),
+                "first_clip": t.column("clip_id").take(pa.array(f_idx)),
+                "best_clip": t.column("clip_id").take(pa.array(b_idx)),
+                "n_bytes": pa.array(nb[b_idx], pa.int64()),
+            }
+        )
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        return reduce_best(batch)
+
+    def win_final(t: pa.Table) -> pa.Table:
+        # fold partials: re-reduce with first_clip as the min channel and
+        # (n_bytes, best_clip) as the max channel
+        cid = bytes_key_array(t.column("cluster_id"))
+        first = bytes_key_array(t.column("first_clip"))
+        best = bytes_key_array(t.column("best_clip"))
+        nb = t.column("n_bytes").to_numpy(zero_copy_only=False)
+        o1 = np.lexsort((first, cid))
+        s1 = np.ones(len(o1), dtype=bool)
+        s1[1:] = cid[o1][1:] != cid[o1][:-1]
+        f_idx = o1[s1]
+        o2 = np.lexsort((best, -nb, cid))
+        s2 = np.ones(len(o2), dtype=bool)
+        s2[1:] = cid[o2][1:] != cid[o2][:-1]
+        b_idx = o2[s2]
+        return pa.table(
+            {
+                "cluster_id": t.column("cluster_id").take(pa.array(f_idx)),
+                "first_clip": t.column("first_clip").take(pa.array(f_idx)),
+                "best_clip": t.column("best_clip").take(pa.array(b_idx)),
+            }
+        )
+
+    winners = fold_by_str_key(
+        sized.map_batches(win_partial, batch_format="pyarrow"),
+        "cluster_id",
+        lambda b: b,
+        win_final,
+        num_partitions,
+    )
+
+    out = strip_empty_blocks(assignments).join(
+        strip_empty_blocks(winners), join_type="inner", on=("cluster_id",),
+        num_partitions=np_parts,
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kf = pc.cast(
+            pc.equal(batch.column("clip_id"), batch.column("first_clip")), pa.int64()
+        )
+        kb = pc.cast(
+            pc.equal(batch.column("clip_id"), batch.column("best_clip")), pa.int64()
+        )
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "cluster_id": batch.column("cluster_id"),
+                "keep_first": kf,
+                "keep_best": kb,
+            }
+        )
+
+    return out.map_batches(flags, batch_format="pyarrow")

@@ -483,3 +483,43 @@ def test_audio_embedding_malformed_sr_rows_drop(ray_session, tmp_path):
         )
     )
     assert sorted(df.clip_id) == ["good1", "good2"]
+
+
+def test_keep_best_assignments_planted(ray_session, tmp_path):
+    """Unit semantics over synthetic assignments + clips: keep_best is
+    the largest payload (tie min clip_id), keep_first the min clip_id,
+    singletons keep themselves on both policies."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from minhash_ray.pipelines.dedup import keep_best_assignments
+
+    assigns = pa.table(
+        {
+            "clip_id": pa.array(["a", "b", "c", "d", "e", "f"], pa.string()),
+            "cluster_id": pa.array(["a", "a", "a", "d", "d", "f"], pa.string()),
+        }
+    )
+    clips = pa.table(
+        {
+            "clip_id": pa.array(["a", "b", "c", "d", "e", "f"], pa.string()),
+            # cluster a: c biggest; cluster d: tie -> min id d; f singleton
+            "bytes": pa.array(
+                [b"x" * 10, b"x" * 30, b"x" * 40, b"x" * 20, b"x" * 20, b"x"],
+                pa.binary(),
+            ),
+        }
+    )
+    df = (
+        keep_best_assignments(
+            rd.from_arrow(assigns), rd.from_arrow(clips), num_partitions=3
+        )
+        .to_pandas()
+        .set_index("clip_id")
+        .sort_index()
+    )
+    assert df.keep_first.to_dict() == {"a": 1, "b": 0, "c": 0, "d": 1, "e": 0, "f": 1}
+    assert df.keep_best.to_dict() == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 0, "f": 1}
+    # exactly one of each flag per cluster
+    g = df.groupby("cluster_id")[["keep_first", "keep_best"]].sum()
+    assert (g == 1).all().all()
