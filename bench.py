@@ -36,6 +36,30 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def _warm(path: str) -> None:
+    """Page-warm a parquet file OR a directory of shard part-files (the
+    sharded >100k fixtures write clips.parquet as a directory)."""
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    )
+    for p in files:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def _mean_std(xs):
+    m = sum(xs) / len(xs)
+    if len(xs) < 2:
+        return m, 0.0
+    var = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+    return m, var ** 0.5
+
+
 def run_bench() -> dict:
     import ray
 
@@ -83,9 +107,7 @@ def run_bench() -> dict:
     )                                                    # cached, untimed
     clips_path = os.path.join(clips_dir, "clips.parquet")
     # warm the page cache so we measure compute + shuffle, not first-touch IO
-    with open(clips_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    _warm(clips_path)
     # warm the Ray worker pool: spawning NCPUS python workers is cluster
     # startup cost, not pipeline throughput
     rd.range(NCPUS * 4).repartition(NCPUS * 2).map_batches(
@@ -95,14 +117,40 @@ def run_bench() -> dict:
     from minhash_ray.sources.clips import read_clips
 
     cfg = PipelineConfig()
-    stage_times: dict = {}
-    t0 = time.time()
-    res = run_dedup(
-        read_clips(clips_path), cfg, num_partitions=max(8, NCPUS),
-        stage_times=stage_times,
+    # mean±std over repeated runs — the reference's 10-run protocol
+    # (plot_test_prob.py:139 reports mean and std per point); best-of-2
+    # under the box's ±20-50% wall-time drift reported luck, not the
+    # engine.  --scaling legs keep 1 run each: the interleaved-pair
+    # median in run_scaling is that protocol's variance control.
+    n_rep = int(
+        os.environ.get(
+            "GRAFT_HEADLINE_REPEATS",
+            "1" if os.environ.get("GRAFT_HEADLINE_ONLY") else "10",
+        )
     )
-    n_clips = res.assignments.count()
-    headline = time.time() - t0
+    head_runs: list = []
+    stage_runs: list = []
+    res = None
+    for _ in range(n_rep):
+        del res  # drop prior run's blocks before re-running
+        stage_times: dict = {}
+        t0 = time.time()
+        res = run_dedup(
+            read_clips(clips_path), cfg, num_partitions=max(8, NCPUS),
+            stage_times=stage_times,
+        )
+        n_clips = res.assignments.count()
+        head_runs.append(time.time() - t0)
+        stage_runs.append(dict(stage_times))
+    headline, headline_std = _mean_std(head_runs)
+    stage_times = {
+        k: round(_mean_std([sr[k] for sr in stage_runs])[0], 3)
+        for k in stage_runs[0]
+    }
+    stage_times_std = {
+        k: round(_mean_std([sr[k] for sr in stage_runs])[1], 3)
+        for k in stage_runs[0]
+    }
     if os.environ.get("GRAFT_STATS"):
         print(res.assignments.stats(), file=sys.stderr)
     metrics = dedup_metrics(
@@ -117,9 +165,12 @@ def run_bench() -> dict:
         out = {
             "metric": "clips_dedup_e2e",
             "value": round(headline, 3),
+            "value_std": round(headline_std, 3),
+            "value_runs": [round(x, 3) for x in head_runs],
             "unit": "sec",
             "queries": {},
             "stages": stage_times,
+            "stages_std": stage_times_std,
             "sf": _sf_of(SF_DIR),
             "num_cpus": NCPUS,
             "clips": n_clips,
@@ -321,28 +372,49 @@ def run_bench() -> dict:
     rows_sweep: dict = {}
     sweep_sizes = [
         int(x) for x in os.environ.get(
-            "GRAFT_ROWS_SWEEP", "3000,30000,100000").split(",") if x
+            "GRAFT_ROWS_SWEEP", "3000,30000,100000,300000,1000000").split(",") if x
     ]
     if sweep_sizes:
         big_dir = clips_dir_for(SF_DIR, n_rows=max(sweep_sizes))
         big_path = os.path.join(big_dir, "clips.parquet")
-        with open(big_path, "rb") as f:
-            while f.read(1 << 24):
-                pass
+        _warm(big_path)
+        sweep_reps = int(os.environ.get("GRAFT_SWEEP_REPEATS", "5"))
         for n in sweep_sizes:
+            # mean±std like the headline; the >100k points run twice (the
+            # 1M point alone is ~2 min/run — 2 runs still expose drift)
+            reps = sweep_reps if n <= 100_000 else min(2, sweep_reps)
             rcfg = PipelineConfig()
-            tr = time.time()
-            rres = run_dedup(
-                read_clips(big_path).limit(n), rcfg,
-                num_partitions=max(8, NCPUS),
-            )
-            rn = rres.assignments.count()
-            dt = time.time() - tr
+            runs = []
+            rres = None
+            for _ in range(reps):
+                del rres
+                tr = time.time()
+                rres = run_dedup(
+                    read_clips(big_path).limit(n), rcfg,
+                    num_partitions=max(8, NCPUS),
+                )
+                rn = rres.assignments.count()
+                runs.append(time.time() - tr)
+            dt, dt_std = _mean_std(runs)
             rows_sweep[str(n)] = {
                 "sec": round(dt, 3),
+                "sec_std": round(dt_std, 3),
+                "runs": [round(x, 3) for x in runs],
                 "clips": rn,
                 "clips_per_sec": round(rn / dt, 1),
             }
+            if n == max(sweep_sizes):
+                # recall spot-check at the largest scale (full corpus, so
+                # the planted truth applies) — the 100×-posture evidence
+                big_metrics = dedup_metrics(
+                    rres.assignments,
+                    os.path.join(big_dir, "truth_pairs.parquet"),
+                    rcfg,
+                )
+                rows_sweep[str(n)]["recall_gated"] = round(
+                    big_metrics["recall_gated"], 4
+                )
+            del rres
 
     # --- num_perm sweep: the reference's sketch-size sweep protocol
     # (run_tests_prob_sketch_size.sh:10 — {64..2048}) scaled to the engine:
@@ -384,10 +456,13 @@ def run_bench() -> dict:
     out = {
         "metric": "clips_dedup_e2e",
         "value": round(headline, 3),
+        "value_std": round(headline_std, 3),
+        "value_runs": [round(x, 3) for x in head_runs],
         "unit": "sec",
         "queries": queries,
         "queries_runs": queries_runs,
         "stages": stage_times,
+        "stages_std": stage_times_std,
         "rows_sweep": rows_sweep,
         "sweep": sweep,
         "batch_sweep": batch_sweep,

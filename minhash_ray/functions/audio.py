@@ -6,13 +6,25 @@ The reference has no audio (or any I/O); these kernels implement the
 byte-level fingerprint channel that feeds the same sketch algebra as the
 transcript shingles.
 
-Only ``pcm_s16le`` is decodable in this sandbox (no codec libraries are
-installed); other codecs raise ``UnsupportedCodecError`` from the decode
-stub so the Ray-side plumbing (schema, batching, actor signature) stays
-real and tested while the decoder itself is a clearly-marked gap.
+Decoding goes through a pluggable per-process REGISTRY
+(:data:`AUDIO_DECODERS` / :func:`register_decoder`): built in are the
+pure-numpy codecs ``pcm_s16le``, ``pcm_mulaw`` and ``pcm_alaw`` (G.711
+companding — ITU-T G.711, public spec), and container codecs (wav / flac /
+ogg) register automatically when ``soundfile`` is importable (it is not in
+this sandbox).  Codecs absent from the registry raise
+``UnsupportedCodecError`` from :func:`decode_pcm`, which pipelines route to
+typed poison rows — the Ray-side plumbing (schema, batching, actor
+signature) stays real and tested whatever decoders exist.
+
+NOTE: the registry is per-process module state.  The built-ins exist in
+every Ray worker (module import registers them); a CUSTOM decoder must be
+registered inside the worker process — do it in the consuming actor's
+``__init__`` (the once-per-actor setup slot), not on the driver.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 import numpy as np
 
@@ -20,21 +32,116 @@ U64 = np.uint64
 
 
 class UnsupportedCodecError(NotImplementedError):
-    """Raised for codecs that would need external libraries (mp3, opus, ...)."""
+    """Raised for codecs with no registered decoder (mp3, opus, ...)."""
+
+
+#: codec name → payload-bytes → float64 waveform in [-1, 1]
+AUDIO_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {}
+
+
+def register_decoder(codec: str, fn: Callable[[bytes], np.ndarray]) -> None:
+    """Register (or override) a decoder for ``codec``.  Per-process: call
+    from the consuming actor's ``__init__`` so every Ray worker has it."""
+    AUDIO_DECODERS[codec] = fn
+
+
+def decodable_mask(codecs) -> np.ndarray:
+    """Boolean mask of which codec strings have a registered decoder —
+    the vectorized gate pipelines use for ``decode_ok`` columns."""
+    return np.array([c in AUDIO_DECODERS for c in codecs], dtype=bool)
 
 
 def decode_pcm(payload: bytes, codec: str) -> np.ndarray:
-    """Decode an audio payload to a float64 waveform in [-1, 1].
+    """Decode an audio payload to a float64 waveform in [-1, 1] via the
+    decoder registry; unknown codecs raise :class:`UnsupportedCodecError`
+    (pipelines catch it and emit typed poison rows)."""
+    fn = AUDIO_DECODERS.get(codec)
+    if fn is None:
+        raise UnsupportedCodecError(f"codec {codec!r} has no registered decoder")
+    return fn(payload)
 
-    STUB BOUNDARY: only "pcm_s16le" is implemented; real deployments plug a
-    codec library in here — the surrounding pipeline is codec-agnostic.
-    """
-    if codec != "pcm_s16le":
-        raise UnsupportedCodecError(f"codec {codec!r} needs an external decoder")
+
+def _decode_pcm_s16le(payload: bytes) -> np.ndarray:
     # tolerate odd-length payloads (truncated final sample)
     usable = len(payload) - (len(payload) % 2)
     pcm = np.frombuffer(payload[:usable], dtype="<i2")
     return pcm.astype(np.float64) / 32768.0
+
+
+def decode_mulaw(payload: bytes) -> np.ndarray:
+    """G.711 µ-law → float64 waveform (pure numpy, ITU-T G.711 expansion:
+    the 8-bit code is bit-complemented, then magnitude
+    ``((m·8 + 0x84) << e) - 0x84`` over exponent e / mantissa m — the
+    16-bit-domain decode, max magnitude 32124)."""
+    u = (~np.frombuffer(payload, dtype=np.uint8)) & np.uint8(0xFF)
+    sign = (u & 0x80) != 0
+    e = ((u >> 4) & 0x07).astype(np.int32)
+    m = (u & 0x0F).astype(np.int32)
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float64) / 32768.0
+
+
+def encode_mulaw(waveform: np.ndarray) -> bytes:
+    """Float waveform → G.711 µ-law bytes (inverse of :func:`decode_mulaw`;
+    round-trip SNR ≈ 35-38 dB by companding design, above the 30 dB
+    invariant gate)."""
+    x = np.clip(np.round(waveform * 32768.0), -32768, 32767).astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    e = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 7, 0, 7)
+    m = (mag >> (e + 3)) & 0x0F
+    u = ~(sign | (e << 4) | m) & 0xFF
+    return u.astype(np.uint8).tobytes()
+
+
+def decode_alaw(payload: bytes) -> np.ndarray:
+    """G.711 A-law → float64 waveform (pure numpy, ITU-T G.711: code XOR
+    0x55, magnitude ``(m·16 + 8)`` for e = 0 else
+    ``((m·16 + 0x108) << (e-1))``)."""
+    a = np.frombuffer(payload, dtype=np.uint8) ^ np.uint8(0x55)
+    positive = (a & 0x80) != 0                            # A-law: sign bit 1 = positive
+    e = ((a >> 4) & 0x07).astype(np.int32)
+    m = (a & 0x0F).astype(np.int32)
+    mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
+    return np.where(positive, mag, -mag).astype(np.float64) / 32768.0
+
+
+def encode_alaw(waveform: np.ndarray) -> bytes:
+    """Float waveform → G.711 A-law bytes (inverse of :func:`decode_alaw`)."""
+    x = np.clip(np.round(waveform * 32768.0), -32768, 32767).astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0).astype(np.int32)     # A-law: positive → bit set
+    mag = np.minimum(np.abs(x), 32767)
+    e = np.clip(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7, 0, 7)
+    m = np.where(e == 0, mag >> 4, mag >> (e + 3)) & 0x0F
+    a = (sign | (e << 4) | m) ^ 0x55
+    return a.astype(np.uint8).tobytes()
+
+
+register_decoder("pcm_s16le", _decode_pcm_s16le)
+register_decoder("pcm_mulaw", decode_mulaw)
+register_decoder("pcm_alaw", decode_alaw)
+
+
+def _register_external_decoders() -> None:
+    """Register container-format decoders when ``soundfile`` is importable
+    (import-gated: the library is absent in this sandbox, so this is a
+    no-op here; on a real deployment wav/flac/ogg decode activates in every
+    worker at module import)."""
+    try:
+        import soundfile as sf  # noqa: F401
+    except Exception:
+        return
+    import io
+
+    def _sf_decode(payload: bytes) -> np.ndarray:
+        data, _sr = sf.read(io.BytesIO(payload), dtype="float64")
+        return data.mean(axis=1) if getattr(data, "ndim", 1) > 1 else data
+
+    for codec in ("wav", "flac", "ogg"):
+        register_decoder(codec, _sf_decode)
+
+
+_register_external_decoders()
 
 
 def encode_pcm(waveform: np.ndarray) -> bytes:

@@ -1831,7 +1831,14 @@ def value_winsorize(sf_dir: str, q_lo: float = 0.01, q_hi: float = 0.99):
     the order statistics at ``floor((n-1)*q)`` (numpy 'lower' semantics,
     replayed by the oracle's row_number join) — then ONE streaming
     clamp map over the events.  No global sort, nothing corpus-width on
-    the driver."""
+    the driver.
+
+    EAGER at call time: the histogram fold executes during query
+    construction (the driver must hold the two cut points before the
+    clamp map can be built — the ``token_quantiles`` pattern), so the
+    events table is scanned twice end-to-end (histogram pass + returned
+    lazy clamp pass).  Pass an already-materialized events Dataset via a
+    wrapper if the double scan matters upstream."""
     import pyarrow.compute as pc
 
     def cents(batch: pa.Table) -> np.ndarray:

@@ -1,8 +1,10 @@
 """ExactSubstr-style cross-document duplicate-span operators (Lee et al.
 2021, "Deduplicating Training Data Makes Language Models Better"):
-alignment-free extraction of every maximal character span all of whose
-L-byte windows occur at least twice corpus-wide, and the scrub pass that
-removes those spans from the corpus.
+alignment-free extraction of maximal unions of duplicated L-byte windows
+(each emitted span is the union of byte ranges covered by windows that
+occur at least twice corpus-wide, with runs closer than L merged — the
+merged span may bridge gaps whose own windows are unique), and the scrub
+pass that removes those spans from the corpus.
 
 This is the gap between the repo's chunk-aligned passes
 (``chunk_dedup_docs``: fixed word chunks; ``repeated_ngram_scrub``:
@@ -15,10 +17,10 @@ distributed equivalent here is the classic window-hash inverted index:
      polynomial hash of every L-byte window (O(bytes) per doc via
      prefix-product/prefix-sum identities mod 2^64 — NOT O(L x bytes);
      the odd base is invertible mod 2^64 so ``h(p) = (Q[p+L]-Q[p]) *
-     B^(p+L-1)`` with both prefixes materialized once per batch, the same
-     wraparound arithmetic as the reference's hash chain
-     src/utils/hash.c:11-31).  Only (doc_id, p, h1, h2) leaves the task —
-     16 B/window, never the text.
+     B^(p+L-1)`` with both prefixes materialized once per batch; unlike
+     the reference's kwise hash, which reduces mod a prime, this chain
+     works mod 2^64 throughout).  Only (doc_id, p, h1, h2) leaves the
+     task — 16 B/window, never the text.
   2. **candidate windows** — hash-partition on h1 (``groupby(pkey)``):
      equal hashes co-locate, so a single partition-local run-length pass
      over the lexsorted (h1, h2) pairs finds every window whose 128-bit
@@ -137,10 +139,13 @@ def dup_span_extract(
     num_partitions: int = 8,
     docs=None,
 ):
-    """(doc_id, span_start, span_end, span_len): maximal character spans
-    whose every L-byte window occurs >= 2 times corpus-wide — Lee et al.
-    ExactSubstr duplicate detection, distributed as a window-hash
-    inverted index (module docstring has the full stage map)."""
+    """(doc_id, span_start, span_end, span_len): maximal unions of
+    duplicated L-byte windows — the byte ranges covered by windows
+    occurring >= 2 times corpus-wide, with runs closer than L merged
+    (bridged gap bytes need not themselves start a duplicated window) —
+    Lee et al. ExactSubstr duplicate detection, distributed as a
+    window-hash inverted index (module docstring has the full stage
+    map)."""
     np_parts = clamp_partitions(num_partitions)
     P = np.int64(max(2, 4 * np_parts))
     ds = docs if docs is not None else _docs(sf_dir, ["doc_id", "text"])
@@ -472,11 +477,27 @@ def dup_span_scrub(
         ck = np.zeros(nb + 1, dtype=np.int64)
         np.cumsum(keep, out=ck[1:])
         new_offs = ck[toffs.astype(np.int64)]
-        clean = pa.Array.from_buffers(
-            pa.large_string(),
+        # spans are BYTE ranges: on a multi-byte corpus a duplicated
+        # window can start/end mid-codepoint, so the kept bytes are
+        # validated before being declared a string column — the common
+        # (ASCII / codepoint-aligned) case is the zero-copy cast, and
+        # only rows actually left with dangling partial codepoints pay
+        # the per-row lossy re-decode (ADVICE r4)
+        clean_bin = pa.Array.from_buffers(
+            pa.large_binary(),
             len(batch),
             [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(kept.tobytes())],
         )
+        try:
+            clean = clean_bin.cast(pa.large_string())
+        except pa.ArrowInvalid:
+            clean = pa.array(
+                [
+                    v.as_py().decode("utf-8", "ignore")
+                    for v in clean_bin
+                ],
+                pa.large_string(),
+            )
         n_spans = np.zeros(len(batch), dtype=np.int64)
         n_dup = np.zeros(len(batch), dtype=np.int64)
         if len(row_of):

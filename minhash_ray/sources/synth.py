@@ -24,6 +24,44 @@ DEFAULT_ROWS = {
 }
 
 
+# rows per generation shard for large corpora: generate_clips holds every
+# float64 waveform in a driver-side dict (~115 KB/clip at default
+# durations), so a 1M-row corpus would need ~100 GB in one process; above
+# this bound the corpus is synthesized as independent seeded shards
+# (unique id ranges via generate_clips(id_offset=...)) written straight to
+# a clips.parquet DIRECTORY, ≤3 shards in flight (~12 GB peak each)
+SHARD_ROWS = 100_000
+
+_PQ_WRITE_KW = dict(
+    row_group_size=256,
+    use_dictionary=["clip_id", "codec"],
+    compression={"bytes": "NONE", "clip_id": "SNAPPY", "sr_hz": "SNAPPY",
+                 "dur_ms": "SNAPPY", "codec": "SNAPPY", "transcript": "SNAPPY"},
+)
+
+
+def _write_clip_shard(tmp_dir: str, shard: int, n_rows: int, id_offset: int,
+                      seed: int, base_texts, dur_range, widen_texts) -> None:
+    """Worker for sharded synthesis (module-level for picklability):
+    generate one shard and write its clips part-file + truth shard."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tools.make_fixtures import generate_clips
+
+    clips, truth = generate_clips(
+        n_rows, seed=seed, base_texts=base_texts, dur_range=dur_range,
+        widen_texts=widen_texts, id_offset=id_offset,
+    )
+    pq.write_table(
+        clips, os.path.join(tmp_dir, "clips.parquet", f"part-{shard:05d}.parquet"),
+        **_PQ_WRITE_KW,
+    )
+    pq.write_table(truth, os.path.join(tmp_dir, f"truth-{shard:05d}.parquet"))
+
+
 def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
                   dur_range: tuple[int, int] = (300, 1500),
                   widen_texts: bool = False) -> str:
@@ -32,13 +70,19 @@ def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
 
     ``widen_texts`` grows the transcript source pool with the corpus so
     near-dup pairs stay ∝ rows (the scaling bench's width-proportional
-    corpus; see tools/make_fixtures.generate_clips)."""
+    corpus; see tools/make_fixtures.generate_clips).
+
+    Above :data:`SHARD_ROWS` rows, ``clips.parquet`` is a DIRECTORY of
+    shard part-files (each shard an independent seeded generation with a
+    disjoint clip-id range; planted truth clusters never span shards) —
+    ``read_clips`` and ``pq.read_table`` both handle the directory form."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     if n_rows is None:
         n_rows = DEFAULT_ROWS.get(sf_name, 1000)
     widen_tag = "|widen" if widen_texts else ""
+    shard_tag = f"|sharded{SHARD_ROWS}" if n_rows > SHARD_ROWS else ""
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n_rows}|{seed}|{dur_range}|v5{widen_tag}".encode()
+        f"{os.path.abspath(sf_dir)}|{n_rows}|{seed}|{dur_range}|v5{widen_tag}{shard_tag}".encode()
     ).hexdigest()[:16]
     out_dir = os.path.join(CACHE_ROOT, key)
     marker = os.path.join(out_dir, "_COMPLETE")
@@ -56,6 +100,11 @@ def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
     from tools.make_fixtures import generate_clips
+
+    if n_rows > SHARD_ROWS:
+        return _clips_dir_sharded(
+            out_dir, n_rows, seed, base_texts, dur_range, widen_texts
+        )
 
     clips, truth = generate_clips(
         n_rows, seed=seed, base_texts=base_texts, dur_range=dur_range,
@@ -86,6 +135,58 @@ def clips_dir_for(sf_dir: str, n_rows: int | None = None, seed: int = 42,
                      "dur_ms": "SNAPPY", "codec": "SNAPPY", "transcript": "SNAPPY"},
     )
     pq.write_table(truth, os.path.join(tmp, "truth_pairs.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    if os.path.exists(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    return out_dir
+
+
+def _clips_dir_sharded(out_dir: str, n_rows: int, seed: int, base_texts,
+                       dur_range, widen_texts) -> str:
+    """Shard-wise synthesis of a >SHARD_ROWS corpus: each shard is an
+    independent ``generate_clips`` run (seed + 7919·shard, disjoint id
+    range) written directly to ``clips.parquet/part-*.parquet`` from a
+    worker process, ≤3 in flight so peak memory stays ~36 GB instead of
+    the ~100 GB a single 1M-row generation would need.  Truth shards are
+    concatenated into one small ``truth_pairs.parquet`` (pairs ∝ rows)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = out_dir + ".tmp"
+    os.makedirs(os.path.join(tmp, "clips.parquet"), exist_ok=True)
+    n_shards = -(-n_rows // SHARD_ROWS)
+    counts = [
+        n_rows // n_shards + (1 if s < n_rows % n_shards else 0)
+        for s in range(n_shards)
+    ]
+    offsets = [0] * n_shards
+    for s in range(1, n_shards):
+        offsets[s] = offsets[s - 1] + counts[s - 1]
+    with ProcessPoolExecutor(max_workers=min(3, n_shards)) as ex:
+        futs = [
+            ex.submit(
+                _write_clip_shard, tmp, s, counts[s], offsets[s],
+                seed + 7919 * s, base_texts, dur_range, widen_texts,
+            )
+            for s in range(n_shards)
+        ]
+        for f in futs:
+            f.result()
+    truth = pa.concat_tables(
+        [
+            pq.read_table(os.path.join(tmp, f"truth-{s:05d}.parquet"))
+            for s in range(n_shards)
+        ]
+    )
+    pq.write_table(truth, os.path.join(tmp, "truth_pairs.parquet"))
+    for s in range(n_shards):
+        os.remove(os.path.join(tmp, f"truth-{s:05d}.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok")
     if os.path.exists(out_dir):

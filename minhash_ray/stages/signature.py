@@ -78,7 +78,10 @@ class ValidateSignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from minhash_ray.functions.audio import (
+            UnsupportedCodecError,
             byte_oph_signatures_flat,
+            decode_pcm,
+            energy_delta_fingerprint,
             energy_delta_fingerprint_i16,
         )
         from minhash_ray.util import (
@@ -128,18 +131,32 @@ class ValidateSignatureStage:
         decode_ok = np.zeros(n, dtype=bool)
         i2 = np.dtype("<i2")
         for i in range(n):
-            if codecs[i] != "pcm_s16le":
-                decode_ok[i] = False       # stub boundary: external codec
-                continue
             o0, o1 = int(p_offs[i]), int(p_offs[i + 1])
-            usable = (o1 - o0) - ((o1 - o0) % 2)
-            seg = p_flat[o0 : o0 + usable]
-            if o0 % 2:                     # int16 view needs 2-byte alignment
-                seg = seg.copy()
-            w16 = seg.view(i2)
-            n_samples[i] = len(w16)
-            audio_fp[i] = energy_delta_fingerprint_i16(w16, cfg.audio_fp_frames)
-            decode_ok[i] = True
+            if codecs[i] == "pcm_s16le":
+                # zero-copy int16 fast path (no float widening)
+                usable = (o1 - o0) - ((o1 - o0) % 2)
+                seg = p_flat[o0 : o0 + usable]
+                if o0 % 2:                 # int16 view needs 2-byte alignment
+                    seg = seg.copy()
+                w16 = seg.view(i2)
+                n_samples[i] = len(w16)
+                audio_fp[i] = energy_delta_fingerprint_i16(w16, cfg.audio_fp_frames)
+                decode_ok[i] = True
+            else:
+                # decoder registry (built-in G.711 µ-law/A-law; external
+                # libs when importable) — energy-delta fingerprints are
+                # companding-robust, so a µ-law copy of a pcm clip lands
+                # on the same audio_fp; unregistered codecs stay typed
+                # poison rows (decode_ok = False)
+                try:
+                    wave = decode_pcm(
+                        p_flat[o0:o1].tobytes(), codecs[i]
+                    )
+                except UnsupportedCodecError:
+                    continue
+                n_samples[i] = len(wave)
+                audio_fp[i] = energy_delta_fingerprint(wave, cfg.audio_fp_frames)
+                decode_ok[i] = True
 
         shingles, counts = shingles_for_config(texts_col, cfg)
         # SimHash votes over the shingle MULTISET (oracle parity)...

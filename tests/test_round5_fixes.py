@@ -16,6 +16,7 @@ import time
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 
 # ---------------------------------------------------------------------------
@@ -177,3 +178,292 @@ def test_bpe_train_max_vocab_prunes_tail(ray_session, tmp_path):
     # training result
     got2 = bpe_train(str(d), n_merges=10, min_count=2).to_pandas()
     assert got2.equals(want)
+
+
+# ---------------------------------------------------------------------------
+# audio decoder registry: built-in G.711 codecs + pluggable registration
+# ---------------------------------------------------------------------------
+
+
+def test_g711_roundtrip_snr_meets_invariant():
+    from minhash_ray.functions.audio import (
+        decode_alaw,
+        decode_mulaw,
+        encode_alaw,
+        encode_mulaw,
+        snr_db,
+        synth_waveform,
+    )
+
+    rng = np.random.default_rng(11)
+    for enc, dec in ((encode_mulaw, decode_mulaw), (encode_alaw, decode_alaw)):
+        for _ in range(4):
+            w = synth_waveform(rng, 16000, int(rng.integers(300, 1200)))
+            w2 = dec(enc(w))
+            assert len(w2) == len(w)
+            # the input_hint per-row invariant: decoded-PCM SNR >= 30 dB
+            assert snr_db(w, w2) >= 30.0
+
+
+def test_register_decoder_custom_codec():
+    from minhash_ray.functions.audio import (
+        AUDIO_DECODERS,
+        UnsupportedCodecError,
+        decode_pcm,
+        register_decoder,
+    )
+
+    with pytest.raises(UnsupportedCodecError):
+        decode_pcm(b"\x00\x01", "testcodec_u8")
+    try:
+        register_decoder(
+            "testcodec_u8",
+            lambda p: np.frombuffer(p, np.uint8).astype(np.float64) / 128.0 - 1.0,
+        )
+        out = decode_pcm(bytes([0, 128, 255]), "testcodec_u8")
+        assert out[1] == 0.0 and out[0] == -1.0
+    finally:
+        AUDIO_DECODERS.pop("testcodec_u8", None)
+
+
+def test_signature_stage_decodes_mulaw_same_fingerprint():
+    """A µ-law copy of a pcm clip must decode (decode_ok) and land on
+    (nearly) the same energy-delta fingerprint — companding preserves the
+    frame-energy ordering."""
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.functions.audio import encode_mulaw, encode_pcm, synth_waveform
+    from minhash_ray.stages.signature import ValidateSignatureStage
+
+    rng = np.random.default_rng(5)
+    w = synth_waveform(rng, 16000, 900)
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["a", "b", "c"], pa.string()),
+            "bytes": pa.array(
+                [encode_pcm(w), encode_mulaw(w), b"\x01\x02\x03"], pa.binary()
+            ),
+            "sr_hz": pa.array([16000] * 3, pa.int32()),
+            "dur_ms": pa.array([900] * 3, pa.int32()),
+            "codec": pa.array(["pcm_s16le", "pcm_mulaw", "opus"], pa.string()),
+            "transcript": pa.array(["x y z"] * 3, pa.string()),
+        }
+    )
+    out = ValidateSignatureStage(PipelineConfig())(batch)
+    ok = out.column("decode_ok").to_pylist()
+    assert ok == [True, True, False]
+    ns = out.column("n_samples").to_pylist()
+    assert ns[0] == ns[1] == len(w)
+    fp = out.column("audio_fp").to_numpy(zero_copy_only=False).astype(np.uint64)
+    ham = bin(int(fp[0]) ^ int(fp[1])).count("1")
+    assert ham <= 3, f"mulaw fingerprint drifted {ham} bits from pcm"
+
+
+def test_flagship_cross_codec_dup_e2e(ray_session):
+    """End-to-end flagship over a mixed-codec corpus: a byte-different
+    µ-law re-encode of a pcm clip (same waveform, same transcript) must
+    cluster with it, and an unregistered-codec poison row must flow
+    through to a singleton assignment without crashing."""
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.functions.audio import encode_mulaw, encode_pcm, synth_waveform
+    from minhash_ray.pipelines.dedup import run_dedup
+    from minhash_ray.sources.clips import CLIPS_SCHEMA
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(40):
+        w = synth_waveform(rng, 16000, int(rng.integers(400, 900)))
+        text = " ".join(f"tok{int(t)}" for t in rng.integers(0, 500, 30))
+        rows.append(
+            {
+                "clip_id": f"clip_{i:04d}",
+                "bytes": encode_pcm(w),
+                "sr_hz": 16000,
+                "dur_ms": int(len(w) / 16),
+                "codec": "pcm_s16le",
+                "transcript": text,
+            }
+        )
+    # planted cross-codec duplicate of clip_0003
+    base = rows[3]
+    rows.append(
+        {
+            "clip_id": "clip_9000",
+            "bytes": encode_mulaw(
+                np.frombuffer(base["bytes"], "<i2").astype(np.float64) / 32768.0
+            ),
+            "sr_hz": 16000,
+            "dur_ms": base["dur_ms"],
+            "codec": "pcm_mulaw",
+            "transcript": base["transcript"],
+        }
+    )
+    # unregistered codec → poison row
+    rows.append(
+        {
+            "clip_id": "clip_9001",
+            "bytes": b"\xde\xad\xbe\xef",
+            "sr_hz": 16000,
+            "dur_ms": 100,
+            "codec": "opus",
+            "transcript": "completely unique transcript here",
+        }
+    )
+    t = pa.Table.from_pylist(rows, schema=CLIPS_SCHEMA)
+    res = run_dedup(rd.from_arrow(t), PipelineConfig(), num_partitions=4)
+    a = pa.concat_tables(
+        list(res.assignments.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    cl = dict(
+        zip(a.column("clip_id").to_pylist(), a.column("cluster_id").to_pylist())
+    )
+    assert len(cl) == len(rows)
+    assert cl["clip_0003"] == cl["clip_9000"], "cross-codec dup not clustered"
+    assert cl["clip_9001"] not in (
+        cl["clip_0003"],
+    ), "poison row wrongly clustered with the dup pair"
+
+
+# ---------------------------------------------------------------------------
+# dup_span_scrub: multi-byte corpus — span edges may split a codepoint
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_scrub_multibyte_codepoint_split(ray_session):
+    """Two docs sharing a 31-byte prefix (30 ASCII + the first byte of a
+    2-byte codepoint: 'é' vs 'è' share the 0xC3 lead byte) make the
+    duplicated span end mid-codepoint; the scrub must still emit a VALID
+    string column (dangling partial codepoints dropped), not silently
+    corrupt clean_text (ADVICE r4)."""
+    import ray.data as rd
+
+    from minhash_ray.pipelines.spans import dup_span_scrub
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "x" * 30 + "é" + " unique tail number one",
+                    "x" * 30 + "è" + " second tail quite other",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = dup_span_scrub("", L=24, num_partitions=2, docs=rd.from_arrow(docs))
+    t = pa.concat_tables(
+        list(out.iter_batches(batch_size=1024, batch_format="pyarrow"))
+    ).sort_by("doc_id")
+    cleans = t.column("clean_text").to_pylist()
+    assert len(cleans) == 2
+    for c in cleans:
+        c.encode("utf-8")  # valid strings round-trip
+        assert "x" not in c  # the duplicated prefix was scrubbed
+    # the dangling continuation byte of the split codepoint was dropped,
+    # not emitted as invalid UTF-8: tails survive intact
+    assert cleans[0].endswith("unique tail number one")
+    assert cleans[1].endswith("second tail quite other")
+
+
+# ---------------------------------------------------------------------------
+# lance dispatch seam: pylance is absent in this sandbox, so the branch is
+# proven with a stubbed ray.data.read_lance (the input_hint's named format)
+# ---------------------------------------------------------------------------
+
+
+def _fake_lance_dir(tmp_path, table, name="clips.lance"):
+    """A directory that the auto-detect treats as a Lance dataset
+    (``_versions`` subdir), carrying a parquet payload for the stub."""
+    import pyarrow.parquet as pq_
+
+    d = tmp_path / name
+    (d / "_versions").mkdir(parents=True)
+    pq_.write_table(table, str(d / "payload.parquet"))
+    return d
+
+
+def test_read_clips_lance_dispatch_and_flagship(ray_session, tmp_path, monkeypatch):
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.functions.audio import encode_pcm, synth_waveform
+    from minhash_ray.pipelines.dedup import run_dedup
+    from minhash_ray.sources.clips import CLIPS_SCHEMA, read_clips
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(20):
+        w = synth_waveform(rng, 16000, 400)
+        text = " ".join(f"w{int(t)}" for t in rng.integers(0, 300, 25))
+        rows.append(
+            {"clip_id": f"c{i:03d}", "bytes": encode_pcm(w), "sr_hz": 16000,
+             "dur_ms": 400, "codec": "pcm_s16le", "transcript": text}
+        )
+    rows.append(dict(rows[0], clip_id="c900"))  # exact dup of c000
+    t = pa.Table.from_pylist(rows, schema=CLIPS_SCHEMA)
+    d = _fake_lance_dir(tmp_path, t)
+
+    calls = []
+
+    def fake_read_lance(path, columns=None, **kw):
+        calls.append({"path": path, "columns": columns})
+        ds = rd.read_parquet(str(d / "payload.parquet"), columns=columns)
+        return ds
+
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+
+    # column pruning reaches the lance read
+    ds_pruned = read_clips(str(d), columns=["clip_id", "transcript"])
+    assert calls[-1]["columns"] == ["clip_id", "transcript"]
+    assert set(ds_pruned.schema().names) == {"clip_id", "transcript"}
+
+    # the flagship consumes a lance-sourced Dataset end-to-end
+    res = run_dedup(read_clips(str(d)), PipelineConfig(), num_partitions=2)
+    a = pa.concat_tables(
+        list(res.assignments.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    cl = dict(zip(a.column("clip_id").to_pylist(), a.column("cluster_id").to_pylist()))
+    assert len(cl) == len(rows)
+    assert cl["c000"] == cl["c900"]
+    assert calls[0]["path"] == str(d)
+
+
+def test_read_clips_lance_without_pylance_raises(tmp_path):
+    from minhash_ray.sources.clips import read_clips
+
+    d = tmp_path / "x.lance"
+    (d / "_versions").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="pylance is not installed"):
+        read_clips(str(d))
+
+
+def test_read_docs_lance_dispatch(ray_session, tmp_path, monkeypatch):
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from minhash_ray.sources.docs import read_docs
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["alpha beta", "gamma delta"], pa.string())}
+    )
+    d = _fake_lance_dir(tmp_path, t, name="docs.lance")
+    calls = []
+
+    def fake_read_lance(path, columns=None, **kw):
+        calls.append({"path": path, "columns": columns})
+        return rd.read_parquet(str(d / "payload.parquet"), columns=columns)
+
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    ds = read_docs(str(d), columns=["doc_id", "text"])
+    assert ds.count() == 2
+    assert calls and calls[0]["columns"] == ["doc_id", "text"]

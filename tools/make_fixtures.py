@@ -126,6 +126,7 @@ def generate_clips(
     dur_range: tuple[int, int] = (500, 5000),
     cfg: PipelineConfig | None = None,
     widen_texts: bool = False,
+    id_offset: int = 0,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate (clips, truth_pairs) deterministically.
 
@@ -139,6 +140,12 @@ def generate_clips(
     superlinearly (two windows of the same doc overlap), so a 200k corpus
     measures a pair workload a width-proportional corpus never has —
     the scaling bench uses this so pairs ∝ rows.
+
+    ``id_offset``: shifts the generated clip ids (``clip_{i+offset:08d}``)
+    so shard-wise generation of one large corpus
+    (:func:`minhash_ray.sources.synth.clips_dir_for` at >100k rows, where
+    the in-memory wave dict would not fit the driver) yields globally
+    unique ids.
     """
     cfg = cfg or PipelineConfig()
     rng = np.random.default_rng(seed)
@@ -237,7 +244,7 @@ def generate_clips(
     perm = rng.permutation(len(rows))
     pos_of = np.empty(len(rows), dtype=np.int64)
     pos_of[perm] = np.arange(len(rows))
-    clip_ids = [f"clip_{i:08d}" for i in range(len(rows))]
+    clip_ids = [f"clip_{i + id_offset:08d}" for i in range(len(rows))]
 
     # encode audio
     payloads = [b""] * len(rows)
