@@ -899,8 +899,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collect-list + string_agg journey paths — SQL-checked against
         # an ordered string_agg oracle
         "user_event_paths": events.user_event_paths,
-        # PQ asymmetric-distance top-k over 8-byte codes (rows-only:
-        # two-level float argmin; cluster recall pytest-pinned)
+        # PQ asymmetric-distance top-k over 8-byte codes — SQL-checked:
+        # codebook/half-norm/query-table literals, code argmax as
+        # VALUES + ORDER BY LIMIT 1, ADC as a CASE-lookup chain
+        # (_pq_topk_sql); cluster recall additionally pytest-pinned
         "ann_topk_pq": ann.ann_topk_pq,
         # IVF+PQ: probe coarse cells, score survivors by ADC (rows-only;
         # full-probe == PQ-only proven in pytest)
@@ -1617,6 +1619,96 @@ def _ivf_topk_sql(query_vec_id: int = 0, k: int = 10, n_centroids: int = 16,
         "list_cosine_similarity(v, (SELECT v FROM q)) DESC, vec_id) AS BIGINT) AS rank "
         f"FROM ev WHERE cell IN ({probe_lits}) AND vec_id <> {query_vec_id} "
         f"ORDER BY rank LIMIT {k}"
+    )
+
+
+def _pq_topk_sql(query_vec_id: int = 0, k: int = 10, m_sub: int = 8,
+                 n_codes: int = 16, seed: int = 42, sample: int = 8192) -> str:
+    """DuckDB replay of the PQ asymmetric-distance top-k (``ann_topk_pq``,
+    VERDICT r4 item 8): once the seeded codebooks are fixed, the CODE
+    ASSIGNMENT is an integer argmax and the ADC score a lookup-table sum,
+    so the whole chain is SQL-expressible with the codebooks, the per-code
+    half-norm constants and the query's (m_sub × n_codes) inner-product
+    table embedded as literals (the ``_ivf_topk_sql`` pattern):
+
+    1. each vector normalizes (explicit sqrt-of-squares chain, zero-norm
+       → 1.0 like the engine),
+    2. per subspace s the code is ``argmax_c (sub·b_c − ||b_c||²/2)``,
+       replayed as a VALUES + ORDER BY score DESC, c LIMIT 1 (ties → the
+       smallest code, numpy argmax semantics),
+    3. ADC = left-to-right sum of m_sub CASE lookups into the query
+       table literals (numpy's sequential small-array sum order),
+    4. rank by (adc DESC, vec_id), query row excluded.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from minhash_ray.pipelines.ann import ivf_centroids
+
+    sf_dir = ORACLE_SF_DIR()
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    col = t.column("embedding").combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(n, -1)
+    dim = mat.shape[1]
+    d_sub = dim // m_sub
+    # codebook training — byte-for-byte the build_pq_index procedure
+    m = mat[:sample]
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    books = np.stack(
+        [
+            ivf_centroids(
+                np.ascontiguousarray(m[:, s * d_sub: (s + 1) * d_sub]),
+                n_codes, seed + s, 8,
+            )
+            for s in range(m_sub)
+        ]
+    )
+    half_norms = 0.5 * (books ** 2).sum(axis=2)          # (m_sub, n_codes)
+    ids = np.asarray(t.column("vec_id").to_numpy(), dtype=np.int64)
+    qrow = mat[int(np.flatnonzero(ids == query_vec_id)[0])]
+    qn = qrow / np.linalg.norm(qrow)
+    qtable = np.stack(
+        [books[s] @ qn[s * d_sub: (s + 1) * d_sub] for s in range(m_sub)]
+    )                                                    # (m_sub, n_codes)
+
+    nrm_chain = " + ".join(f"v[{i + 1}]*v[{i + 1}]" for i in range(dim))
+    score_exprs = []
+    for s in range(m_sub):
+        for c in range(n_codes):
+            dot = " + ".join(
+                f"(v[{s * d_sub + i + 1}]/nrm)*{books[s, c, i]!r}"
+                for i in range(d_sub)
+            )
+            score_exprs.append(f"(({dot}) - {half_norms[s, c]!r}) AS s{s}c{c}")
+    code_exprs = []
+    for s in range(m_sub):
+        vals = ", ".join(f"({c}, s{s}c{c})" for c in range(n_codes))
+        code_exprs.append(
+            f"(SELECT c FROM (VALUES {vals}) AS t(c, sc) "
+            f"ORDER BY sc DESC, c LIMIT 1) AS code{s}"
+        )
+    adc_terms = []
+    for s in range(m_sub):
+        whens = " ".join(
+            f"WHEN {c} THEN {qtable[s, c]!r}" for c in range(n_codes)
+        )
+        adc_terms.append(f"(CASE code{s} {whens} END)")
+    adc_expr = " + ".join(adc_terms)
+    return (
+        "WITH ev AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"nv AS (SELECT vec_id, v, CASE WHEN sqrt({nrm_chain}) = 0 THEN 1.0 "
+        f"ELSE sqrt({nrm_chain}) END AS nrm FROM ev), "
+        f"sc AS (SELECT vec_id, {', '.join(score_exprs)} FROM nv), "
+        f"cd AS (SELECT vec_id, {', '.join(code_exprs)} FROM sc), "
+        f"adc AS (SELECT vec_id, {adc_expr} AS adc FROM cd) "
+        "SELECT vec_id, CAST(row_number() OVER (ORDER BY adc DESC, vec_id) "
+        "AS BIGINT) AS rank "
+        f"FROM adc WHERE vec_id <> {query_vec_id} ORDER BY rank LIMIT {k}"
     )
 
 
@@ -2981,6 +3073,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_dup_pairs": _embedding_lsh_sql(),
         "ann_topk_ivf": _ivf_topk_sql(),
+        "ann_topk_pq": _pq_topk_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "ann_topk": (
             "SELECT vec_id, CAST(row_number() OVER ("

@@ -375,7 +375,14 @@ def run_bench() -> dict:
             "GRAFT_ROWS_SWEEP", "3000,30000,100000,300000,1000000").split(",") if x
     ]
     if sweep_sizes:
-        big_dir = clips_dir_for(SF_DIR, n_rows=max(sweep_sizes))
+        # width-proportional corpus (pairs ∝ rows): with the FIXED 5k base
+        # text pool, accidental dup pairs grow ~quadratically in rows, so
+        # a 1M-row point measures a degenerate ~200x-duplicated corpus no
+        # real 10^12-clip ingest resembles (the r3 scaling-bench lesson).
+        # Points ≤ 10k keep the old pool (widen floors at the base pool);
+        # bigger points are NOT comparable to the r4 fixed-pool sweep —
+        # BASELINE.md records the protocol change.
+        big_dir = clips_dir_for(SF_DIR, n_rows=max(sweep_sizes), widen_texts=True)
         big_path = os.path.join(big_dir, "clips.parquet")
         _warm(big_path)
         sweep_reps = int(os.environ.get("GRAFT_SWEEP_REPEATS", "5"))

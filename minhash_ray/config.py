@@ -134,10 +134,23 @@ class PipelineConfig:
                                                  # per-batch dedupe only, duplicate edges
                                                  # tolerated by union-find
     candidate_backend: str = "auto"              # "local": raw-task hash-partition reducers
-                                                 # (fast below driver_agg_max_rows band rows,
-                                                 # explicit star+chain caps); "join":
+                                                 # (explicit star+chain caps); "join":
                                                  # Dataset.join self-join (the 10^12 path);
                                                  # "auto" picks by band-row count
+    candidate_local_max_rows: int = 500_000_000  # "auto" backend switch: ≤ this many band
+                                                 # rows → the raw-task reducers (NOT a
+                                                 # driver bound — the reducers are fully
+                                                 # distributed; ~30 B/row → ≤ ~15 GB
+                                                 # exchange, well inside one box or a small
+                                                 # cluster's object store).  Beyond it the
+                                                 # Dataset.join path takes over (r5: at 1M
+                                                 # clips = 52M band rows the join's
+                                                 # HashShuffleAggregator OOMed on quadratic
+                                                 # sub-threshold bucket groups the reducers'
+                                                 # star+chain cap bounds by construction —
+                                                 # the old gate driver_agg_max_rows=50M was
+                                                 # conflating a driver bound with this
+                                                 # backend choice)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

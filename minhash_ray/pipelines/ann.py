@@ -785,9 +785,12 @@ def ann_topk_pq(
     Per-batch local top-k, driver folds batches × k rows.  Returns
     (vec_id, rank).
 
-    Rows-only in CORRECTNESS (two levels of float argmin are not
-    SQL-portable); recall vs the exact brute-force top-k is pytest-pinned
-    on clustered embeddings."""
+    SQL-checked in CORRECTNESS: once the seeded codebooks are fixed the
+    code assignment is an integer argmax and ADC a lookup-table sum, so
+    ``__ray_entry__._pq_topk_sql`` replays the chain with codebooks /
+    half-norms / query table embedded as literals.  Recall vs the exact
+    brute-force top-k is additionally pytest-pinned on clustered
+    embeddings."""
     import duckdb
 
     if index is None:

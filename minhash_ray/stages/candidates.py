@@ -361,7 +361,14 @@ def candidate_pairs(band_ds, cfg: PipelineConfig, num_partitions: int = 32):
 
     backend = cfg.candidate_backend
     if backend == "auto":
-        backend = "local" if n_band_rows <= cfg.driver_agg_max_rows else "join"
+        # the raw-task reducers are fully distributed (the "local" name is
+        # about bypassing Dataset.join, not the driver) and carry the
+        # star+chain per-run caps; the join backend exists for cluster
+        # scales where one exchange's ref fan-out matters (10^12 rows),
+        # and pays per-group quadratic emission below the salt threshold
+        backend = (
+            "local" if n_band_rows <= cfg.candidate_local_max_rows else "join"
+        )
 
     global_salt = False
     hot = {}

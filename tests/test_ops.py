@@ -75,6 +75,7 @@ SQL_QUERIES = [
     "dup_graph_pagerank", "sliding_window_distinct_users", "dedup_lines",
     "active_sessions_per_window", "dup_spans", "dup_span_scrub", "pii_scrub",
     "returned_item_revenue", "large_volume_customers", "value_winsorize",
+    "ann_topk_pq",
 ]
 
 
