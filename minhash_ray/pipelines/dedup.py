@@ -23,7 +23,6 @@ import pyarrow as pa
 
 from minhash_ray.config import PipelineConfig
 from minhash_ray.sources.clips import read_clips, validate_clips_schema
-from minhash_ray.stages.banding import make_minhash_band_fn, make_simhash_band_fn
 from minhash_ray.stages.candidates import candidate_pairs
 from minhash_ray.stages.cluster import assign_clusters
 from minhash_ray.stages.verify import exact_edges, verify_pairs
@@ -154,29 +153,14 @@ def run_dedup(
         edges = ckpt.load("edges")
         n_clips = None
     else:
-        band_rows = signatures.map_batches(
-            make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm),
-            batch_format="pyarrow",
-        )
-        if cfg.use_simhash_channel:
-            # d+1 chunks guarantee any pair within Hamming distance
-            # cfg.simhash_max_hamming shares a chunk (pigeonhole)
-            sim_rows = signatures.map_batches(
-                make_simhash_band_fn(cfg.simhash_max_hamming + 1),
-                batch_format="pyarrow",
-            )
-            band_rows = band_rows.union(sim_rows)
-        if cfg.use_audio_channel:
-            from minhash_ray.stages.banding import make_audio_band_fn
+        # all enabled channels (minhash bands + simhash d+1 pigeonhole
+        # chunks + audio OPH bands) fused into ONE flat-map: the unioned
+        # three-pipeline form scanned every signature block three times
+        from minhash_ray.stages.banding import make_fused_band_fn
 
-            audio_rows = signatures.map_batches(
-                make_audio_band_fn(
-                    cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm,
-                    min_filled=cfg.audio_min_filled,
-                ),
-                batch_format="pyarrow",
-            )
-            band_rows = band_rows.union(audio_rows)
+        band_rows = signatures.map_batches(
+            make_fused_band_fn(cfg), batch_format="pyarrow"
+        )
 
         # the pack build only needs the materialized signature blocks: launch
         # it as a Ray task BEFORE the candidates shuffle so it overlaps the
@@ -597,29 +581,11 @@ def _tiered_lsh_and_route(
 
     from minhash_ray.util import strip_empty_blocks
 
-    band_rows = reps_sigs.map_batches(
-        make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm),
-        batch_format="pyarrow",
-    )
-    if cfg.use_simhash_channel:
-        band_rows = band_rows.union(
-            reps_sigs.map_batches(
-                make_simhash_band_fn(cfg.simhash_max_hamming + 1),
-                batch_format="pyarrow",
-            )
-        )
-    if cfg.use_audio_channel:
-        from minhash_ray.stages.banding import make_audio_band_fn
+    from minhash_ray.stages.banding import make_fused_band_fn
 
-        band_rows = band_rows.union(
-            reps_sigs.map_batches(
-                make_audio_band_fn(
-                    cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm,
-                    min_filled=cfg.audio_min_filled,
-                ),
-                batch_format="pyarrow",
-            )
-        )
+    band_rows = reps_sigs.map_batches(
+        make_fused_band_fn(cfg), batch_format="pyarrow"
+    )
     if ckpt and resume and ckpt.is_complete("tier2_edges"):
         edges = ckpt.load("tier2_edges").materialize()
         _mark("candidates")
@@ -842,31 +808,10 @@ def append_clips(
 
     # --- banding over the merged table, restricted to buckets the new
     # partition touches (old-only buckets cannot yield new pairs) ---
-    from minhash_ray.stages.banding import (
-        make_audio_band_fn,
-        make_minhash_band_fn,
-        make_simhash_band_fn,
-    )
+    from minhash_ray.stages.banding import make_fused_band_fn
 
     def band_rows_of(ds):
-        rows = ds.map_batches(
-            make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm),
-            batch_format="pyarrow",
-        )
-        if cfg.use_simhash_channel:
-            rows = rows.union(ds.map_batches(
-                make_simhash_band_fn(cfg.simhash_max_hamming + 1),
-                batch_format="pyarrow",
-            ))
-        if cfg.use_audio_channel:
-            rows = rows.union(ds.map_batches(
-                make_audio_band_fn(
-                    cfg.audio_bands, cfg.audio_rows_per_band, cfg.audio_num_perm,
-                    min_filled=cfg.audio_min_filled,
-                ),
-                batch_format="pyarrow",
-            ))
-        return rows
+        return ds.map_batches(make_fused_band_fn(cfg), batch_format="pyarrow")
 
     new_buckets: list[np.ndarray] = []
     for b in band_rows_of(new_sigs).select_columns(["bucket"]).iter_batches(
