@@ -443,6 +443,40 @@ def test_read_clips_lance_without_pylance_raises(tmp_path):
         read_clips(str(d))
 
 
+# ---------------------------------------------------------------------------
+# candidate backend auto-switch: candidate_local_max_rows governs (r5 OOM fix)
+# ---------------------------------------------------------------------------
+
+
+def test_candidate_backend_auto_switch_knob(ray_session, small_fixture):
+    """The auto backend must switch on candidate_local_max_rows, not the
+    driver_agg_max_rows it used to conflate with (the gate that tipped the
+    1M-clip run into the OOMing join path); forcing the threshold to 0
+    must route through Dataset.join and still produce identical cluster
+    assignments."""
+    import ray.data as rd
+
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.pipelines.dedup import run_dedup
+
+    base = PipelineConfig()
+    ds1 = rd.read_parquet(str(small_fixture / "clips.parquet"))
+    res_local = run_dedup(ds1, base, num_partitions=4)
+
+    ds2 = rd.read_parquet(str(small_fixture / "clips.parquet"))
+    res_join = run_dedup(
+        ds2, base.with_(candidate_local_max_rows=0), num_partitions=4
+    )
+
+    def assign_map(res):
+        t = pa.concat_tables(
+            list(res.assignments.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        )
+        return dict(zip(t["clip_id"].to_pylist(), t["cluster_id"].to_pylist()))
+
+    assert assign_map(res_local) == assign_map(res_join)
+
+
 def test_read_docs_lance_dispatch(ray_session, tmp_path, monkeypatch):
     import sys
     import types
