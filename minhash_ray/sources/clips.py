@@ -54,10 +54,21 @@ def read_clips(path: str, columns: list[str] | None = None, **read_kwargs):
             f"{path} looks like a Lance dataset but pylance is not installed; "
             "re-export as parquet or install lance"
         )
-    if not read_kwargs and os.path.isfile(path):
-        rg_ds = _read_single_parquet_rowgroups(path, columns)
-        if rg_ds is not None:
-            return rg_ds
+    if not read_kwargs:
+        if os.path.isfile(path):
+            files = [path]
+        elif os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = []
+        if files:
+            rg_ds = _read_parquet_rowgroups(files, columns)
+            if rg_ds is not None:
+                return rg_ds
     if "override_num_blocks" not in read_kwargs:
         # keep read blocks ≫ parallelism: Ray's default gives a SINGLE read
         # task for a single parquet file (then splits post-read), which
@@ -110,31 +121,34 @@ def _cached_parquet_file(path: str):
     return pf
 
 
-def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
-    """Row-group-parallel scan of ONE parquet file, or None if it has too
-    few row groups to be worth it.
+def _read_parquet_rowgroups(paths: list[str], columns: list[str] | None):
+    """Row-group-parallel scan of one or more parquet files (a single
+    hand-off file OR a sharded directory), or None when there are too few
+    row groups to be worth it.
 
-    ``ray.data.read_parquet`` parallelizes across *files* — a single file
-    is one read task no matter what ``override_num_blocks`` says (the
-    split into N output blocks happens inside that task), so a 10 GB
+    ``ray.data.read_parquet`` parallelizes across *files* — each file is
+    one read task no matter what ``override_num_blocks`` says (the split
+    into N output blocks happens inside that task), so a 10 GB
     single-file corpus is a single-threaded ~90 s decode that gates every
-    downstream stage and destroys N→4N scaling.  At 100 TB inputs arrive
-    as many files and this path never triggers; it exists so one giant
-    file (a common hand-off shape) still scans at full width: a tiny
-    index Dataset of row-group ids is mapped with one task per row group,
-    each task opening the file itself and decoding only its row group
-    (footer metadata is KBs; payload bytes never pass through the driver).
+    downstream stage and destroys N→4N scaling — and a 2-shard 21 GB
+    directory is a 2-way scan that flattened the r5 scaling refresh to
+    0.28 (signatures 85 s at BOTH 4 and 16 CPUs) until this path learned
+    directories.  At 100 TB inputs arrive as very many files and file
+    granularity is plenty; this exists so the few-huge-files hand-off
+    shape still scans at full width: genuine ReadTasks per row-group
+    range, each opening its file itself (footer metadata is KBs; payload
+    bytes never pass through the driver).  Tasks never span files.
     """
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
     try:
-        md = pq.read_metadata(path)
+        mds = [pq.read_metadata(p) for p in paths]
     except Exception:
         return None
-    n_rg = md.num_row_groups
-    if n_rg < 4:
+    n_rg_total = sum(md.num_row_groups for md in mds)
+    if n_rg_total < 4:
         return None
     # genuine ReadTasks (not an index-Dataset + map_batches: a downstream
     # stage fusing with that bundles the tiny index blocks up to ITS
@@ -154,9 +168,16 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
 
     from minhash_ray.util import cluster_cpus
 
-    sizes = [md.row_group(i).total_byte_size for i in range(n_rg)]
-    rows = [md.row_group(i).num_rows for i in range(n_rg)]
-    total = sum(sizes)
+    # flattened (path, row-group) layout across all shard files
+    sizes_by_file = [
+        [md.row_group(i).total_byte_size for i in range(md.num_row_groups)]
+        for md in mds
+    ]
+    rows_by_file = [
+        [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        for md in mds
+    ]
+    total = sum(sum(s) for s in sizes_by_file)
     # ~16 tasks per CPU, bytes clamped to [8 MB, 512 MB].  Both measured
     # extremes lose: one task per fine row group (86 tasks/CPU at 4 CPUs)
     # drowns the driver-side scheduler when it shares the box with few
@@ -173,22 +194,27 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
     else:
         n_tasks_target = 16 * cluster_cpus()
         per_task = max(8 << 20, min(512 << 20, total // max(1, n_tasks_target)))
-    groups: list[tuple[int, int]] = []      # [start_rg, end_rg) per task
-    start, acc = 0, 0
-    for i in range(n_rg):
-        if acc and acc + sizes[i] > per_task:
-            groups.append((start, i))
-            start, acc = i, 0
-        acc += sizes[i]
-    groups.append((start, n_rg))
+    # [ (path, start_rg, end_rg) ) per task — tasks never span files
+    groups: list[tuple[str, int, int]] = []
+    for p, sizes in zip(paths, sizes_by_file):
+        start, acc = 0, 0
+        for i in range(len(sizes)):
+            if acc and acc + sizes[i] > per_task:
+                groups.append((p, start, i))
+                start, acc = i, 0
+            acc += sizes[i]
+        if len(sizes):
+            groups.append((p, start, len(sizes)))
 
     # declare the (column-pruned) footer schema on every ReadTask so
     # ds.schema() is metadata-only — without it the first schema() call
     # executes a limit-1 read task (~0.6 s of serial time inside every
     # pipeline run just to validate the input contract)
-    file_schema = md.schema.to_arrow_schema()
+    file_schema = mds[0].schema.to_arrow_schema()
     if columns is not None:
         file_schema = pa.schema([file_schema.field(c) for c in columns])
+    rows_of = dict(zip(paths, rows_by_file))
+    sizes_of = dict(zip(paths, sizes_by_file))
 
     class _RowGroupDatasource(Datasource):
         def get_name(self):
@@ -199,9 +225,9 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
 
         def get_read_tasks(self, parallelism):
             tasks = []
-            for g0, g1 in groups:
+            for p, g0, g1 in groups:
 
-                def read_fn(g0=g0, g1=g1):
+                def read_fn(p=p, g0=g0, g1=g1):
                     # memory-map: pages come straight off the page cache
                     # with no read()+memcpy (measured ~2x per row group),
                     # and use_threads=False — parallelism comes from the
@@ -211,7 +237,7 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
                     # metadata parse is ~tens of ms for a many-row-group
                     # file, and paying it once per TASK (several hundred
                     # fine-grained tasks) burned whole core-seconds.
-                    pf = _cached_parquet_file(path)
+                    pf = _cached_parquet_file(p)
                     t = pf.read_row_groups(
                         list(range(g0, g1)), columns=columns, use_threads=False
                     )
@@ -221,10 +247,10 @@ def _read_single_parquet_rowgroups(path: str, columns: list[str] | None):
                     ReadTask(
                         read_fn,
                         BlockMetadata(
-                            num_rows=sum(rows[g0:g1]),
-                            size_bytes=sum(sizes[g0:g1]),
+                            num_rows=sum(rows_of[p][g0:g1]),
+                            size_bytes=sum(sizes_of[p][g0:g1]),
                             exec_stats=None,
-                            input_files=[path],
+                            input_files=[p],
                         ),
                         schema=file_schema,
                     )

@@ -444,6 +444,44 @@ def test_read_clips_lance_without_pylance_raises(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# sharded-directory reads must split at ROW-GROUP granularity, not per file
+# ---------------------------------------------------------------------------
+
+
+def test_read_clips_directory_rowgroup_parallelism(ray_session, tmp_path, monkeypatch):
+    """ray.data.read_parquet gives one read task per FILE, so a 2-shard
+    21 GB directory scanned at parallelism 2 and flattened scaling to
+    0.28 (signatures 85 s at both 4 and 16 CPUs) until the row-group
+    datasource learned directories — a sharded dir must materialize to
+    many more blocks than files, and read the same rows.  (The 8 MB
+    per-task floor is pinned down so fixture-scale files split.)"""
+    import pyarrow.parquet as pq_
+
+    from minhash_ray.sources.clips import read_clips
+
+    monkeypatch.setenv("GRAFT_READ_TASK_BYTES", "4096")
+
+    d = tmp_path / "clips.parquet"
+    d.mkdir()
+    n_files, rows_per = 2, 600
+    for s in range(n_files):
+        t = pa.table(
+            {
+                "clip_id": pa.array(
+                    [f"c{s}_{i:05d}" for i in range(rows_per)], pa.string()
+                ),
+                "payload": pa.array([b"x" * 64] * rows_per, pa.binary()),
+            }
+        )
+        pq_.write_table(t, str(d / f"part-{s:05d}.parquet"), row_group_size=64)
+    ds = read_clips(str(d), columns=["clip_id"]).materialize()
+    assert ds.count() == n_files * rows_per
+    assert ds.num_blocks() > 2 * n_files, (
+        f"directory read collapsed to {ds.num_blocks()} blocks"
+    )
+
+
+# ---------------------------------------------------------------------------
 # candidate backend auto-switch: candidate_local_max_rows governs (r5 OOM fix)
 # ---------------------------------------------------------------------------
 
