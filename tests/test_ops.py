@@ -231,7 +231,10 @@ def test_multimodal_frame_features_and_stub(ray_session, small_fixture):
         )
     )
     assert (t2.column("frame_idx").to_numpy() == -1).all()
-    assert all(e and "external decoder" in e for e in t2.column("decode_error").to_pylist())
+    assert all(
+        e and "no registered decoder" in e
+        for e in t2.column("decode_error").to_pylist()
+    )
 
 
 def test_resample_stub(ray_session, small_fixture):
