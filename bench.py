@@ -364,6 +364,8 @@ def run_bench() -> dict:
         ("audio_exact_dedup", _audio_exact_dedup),
         ("clips_dedup_tiered", _clips_dedup_tiered),
     ):
+        if os.environ.get("GRAFT_SKIP_QUERIES"):
+            break
         queries[name], queries_runs[name] = timed2(fn)
 
     # --- input-rows sweep: the reference's ops-scaling protocol
@@ -375,53 +377,49 @@ def run_bench() -> dict:
             "GRAFT_ROWS_SWEEP", "3000,30000,100000,300000,1000000").split(",") if x
     ]
     if sweep_sizes:
-        # width-proportional corpus (pairs ∝ rows): with the FIXED 5k base
-        # text pool, accidental dup pairs grow ~quadratically in rows, so
-        # a 1M-row point measures a degenerate ~200x-duplicated corpus no
-        # real 10^12-clip ingest resembles (the r3 scaling-bench lesson).
-        # Points ≤ 10k keep the old pool (widen floors at the base pool);
-        # bigger points are NOT comparable to the r4 fixed-pool sweep —
-        # BASELINE.md records the protocol change.
-        big_dir = clips_dir_for(SF_DIR, n_rows=max(sweep_sizes), widen_texts=True)
-        big_path = os.path.join(big_dir, "clips.parquet")
-        _warm(big_path)
+        # Each point runs in a FRESH subprocess (the --scaling legs'
+        # protocol): after ~35 min of shared-session queries, lingering
+        # object-store fragmentation slowed the in-session 1M point ~7%
+        # vs a fresh run — the isolation the per-query timing note above
+        # applies at corpus scale too.  Every point is a FULL corpus of
+        # size n on the width-proportional fixture (pairs ∝ rows: the
+        # fixed 5k-text pool made a 1M-row fixture ~200x-duplicated,
+        # measuring degenerate dup density, not engine throughput — the
+        # r3 scaling-bench lesson; >10k points are therefore NOT
+        # comparable to the r4 fixed-pool limit(n) sweep, see
+        # BASELINE.md), and reports mean±std + recall vs its own
+        # planted truth.
         sweep_reps = int(os.environ.get("GRAFT_SWEEP_REPEATS", "5"))
         for n in sweep_sizes:
-            # mean±std like the headline; the >100k points run twice (the
-            # 1M point alone is ~2 min/run — 2 runs still expose drift)
+            # the >100k points run twice (the 1M point alone is
+            # ~40 s/run — 2 runs still expose drift)
             reps = sweep_reps if n <= 100_000 else min(2, sweep_reps)
-            rcfg = PipelineConfig()
-            runs = []
-            rres = None
-            for _ in range(reps):
-                del rres
-                tr = time.time()
-                rres = run_dedup(
-                    read_clips(big_path).limit(n), rcfg,
-                    num_partitions=max(8, NCPUS),
-                )
-                rn = rres.assignments.count()
-                runs.append(time.time() - tr)
-            dt, dt_std = _mean_std(runs)
+            # pre-generate outside the subprocess so a cold cache never
+            # counts against the measured legs
+            clips_dir_for(SF_DIR, n_rows=n, widen_texts=True)
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(NCPUS),
+                GRAFT_SF_DIR=SF_DIR,
+                GRAFT_CLIPS_ROWS=str(n),
+                GRAFT_CLIPS_WIDEN="1",
+                GRAFT_HEADLINE_ONLY="1",
+                GRAFT_HEADLINE_REPEATS=str(reps),
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
             rows_sweep[str(n)] = {
-                "sec": round(dt, 3),
-                "sec_std": round(dt_std, 3),
-                "runs": [round(x, 3) for x in runs],
-                "clips": rn,
-                "clips_per_sec": round(rn / dt, 1),
+                "sec": r["value"],
+                "sec_std": r["value_std"],
+                "runs": r["value_runs"],
+                "clips": r["clips"],
+                "clips_per_sec": r["clips_per_sec"],
+                "recall_gated": r["recall_gated"],
+                "stages": r["stages"],
             }
-            if n == max(sweep_sizes):
-                # recall spot-check at the largest scale (full corpus, so
-                # the planted truth applies) — the 100×-posture evidence
-                big_metrics = dedup_metrics(
-                    rres.assignments,
-                    os.path.join(big_dir, "truth_pairs.parquet"),
-                    rcfg,
-                )
-                rows_sweep[str(n)]["recall_gated"] = round(
-                    big_metrics["recall_gated"], 4
-                )
-            del rres
 
     # --- num_perm sweep: the reference's sketch-size sweep protocol
     # (run_tests_prob_sketch_size.sh:10 — {64..2048}) scaled to the engine:
