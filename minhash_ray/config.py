@@ -137,6 +137,15 @@ class PipelineConfig:
                                                  # (explicit star+chain caps); "join":
                                                  # Dataset.join self-join (the 10^12 path);
                                                  # "auto" picks by band-row count
+    simhash_channel_max_rows: int = 200_000      # simhash chunk channel saturation gate:
+                                                 # 16-bit chunks collide at expected bucket
+                                                 # size n/2^16 (accidental pairs ~n²/2^15 —
+                                                 # quadratic), so above this corpus size the
+                                                 # recall booster is dropped where the caller
+                                                 # knows n (run_dedup / tiered / append);
+                                                 # measured at 1M clips: 27M of 33.8M
+                                                 # candidates from this channel, recall
+                                                 # delta 1e-4
     candidate_local_max_rows: int = 500_000_000  # "auto" backend switch: ≤ this many band
                                                  # rows → the raw-task reducers (NOT a
                                                  # driver bound — the reducers are fully

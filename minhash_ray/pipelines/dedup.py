@@ -155,17 +155,19 @@ def run_dedup(
     else:
         # all enabled channels (minhash bands + simhash d+1 pigeonhole
         # chunks + audio OPH bands) fused into ONE flat-map: the unioned
-        # three-pipeline form scanned every signature block three times
+        # three-pipeline form scanned every signature block three times.
+        # n_clips (metadata on the materialized signatures) gates the
+        # simhash booster by its saturation bound — see make_fused_band_fn
         from minhash_ray.stages.banding import make_fused_band_fn
 
+        n_clips = signatures.count()
         band_rows = signatures.map_batches(
-            make_fused_band_fn(cfg), batch_format="pyarrow"
+            make_fused_band_fn(cfg, n_rows=n_clips), batch_format="pyarrow"
         )
 
         # the pack build only needs the materialized signature blocks: launch
         # it as a Ray task BEFORE the candidates shuffle so it overlaps the
         # whole shuffle instead of adding driver-serial time after it
-        n_clips = signatures.count()
         pack_future = None
         if n_clips <= cfg.broadcast_verify_max_rows:
             from minhash_ray.stages.verify import build_broadcast_pack_async
@@ -583,15 +585,15 @@ def _tiered_lsh_and_route(
 
     from minhash_ray.stages.banding import make_fused_band_fn
 
-    band_rows = reps_sigs.map_batches(
-        make_fused_band_fn(cfg), batch_format="pyarrow"
-    )
     if ckpt and resume and ckpt.is_complete("tier2_edges"):
         edges = ckpt.load("tier2_edges").materialize()
         _mark("candidates")
         _mark("verify")
     else:
         n_reps = reps_sigs.count()
+        band_rows = reps_sigs.map_batches(
+            make_fused_band_fn(cfg, n_rows=n_reps), batch_format="pyarrow"
+        )
         pairs = candidate_pairs(band_rows, cfg, num_partitions=num_partitions).materialize()
         _mark("candidates")
         edges = verify_pairs(
@@ -810,8 +812,15 @@ def append_clips(
     # partition touches (old-only buckets cannot yield new pairs) ---
     from minhash_ray.stages.banding import make_fused_band_fn
 
+    # one banding config for BOTH the touched-bucket discovery over the new
+    # partition and the merged-table pass — the simhash saturation gate
+    # keys off the MERGED corpus size so bucket namespaces stay consistent
+    n_merged = signatures.count()
+
     def band_rows_of(ds):
-        return ds.map_batches(make_fused_band_fn(cfg), batch_format="pyarrow")
+        return ds.map_batches(
+            make_fused_band_fn(cfg, n_rows=n_merged), batch_format="pyarrow"
+        )
 
     new_buckets: list[np.ndarray] = []
     for b in band_rows_of(new_sigs).select_columns(["bucket"]).iter_batches(

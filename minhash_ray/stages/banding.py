@@ -138,15 +138,27 @@ def make_audio_band_fn(
     return explode
 
 
-def make_fused_band_fn(cfg):
+def make_fused_band_fn(cfg, n_rows: int | None = None):
     """ALL enabled band channels (minhash + simhash chunks + audio OPH) in
     ONE flat-map over the signature blocks — the r4 form ran three
     map_batches pipelines unioned, so every signature block (with its wide
     shingle/signature columns) was scheduled and scanned three times; one
     fused pass emits the identical multiset of band rows with a third of
-    the task launches and block reads (VERDICT r5 item 7)."""
+    the task launches and block reads (VERDICT r5 item 7).
+
+    ``n_rows`` (when the caller knows the corpus size) gates the simhash
+    chunk channel by its SATURATION bound: 16-bit chunks collide randomly
+    at expected bucket size n/2^16, so accidental pairs grow ~n²/2^15 —
+    measured at 1M clips the channel emitted ~27M of the 33.8M candidate
+    pairs (7-8 s of candidates+verify) while moving recall by 1e-4 (the
+    32-band minhash channel already catches near-exact pairs).  Above
+    ``cfg.simhash_channel_max_rows`` the booster is dropped; None keeps
+    the configured behavior (fixture-scale callers)."""
+    use_simhash = cfg.use_simhash_channel and (
+        n_rows is None or n_rows <= cfg.simhash_channel_max_rows
+    )
     fns = [make_minhash_band_fn(cfg.bands, cfg.rows_per_band, cfg.num_perm)]
-    if cfg.use_simhash_channel:
+    if use_simhash:
         fns.append(make_simhash_band_fn(cfg.simhash_max_hamming + 1))
     if cfg.use_audio_channel:
         fns.append(

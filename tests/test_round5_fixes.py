@@ -482,6 +482,50 @@ def test_read_clips_directory_rowgroup_parallelism(ray_session, tmp_path, monkey
 
 
 # ---------------------------------------------------------------------------
+# simhash channel saturation gate (16-bit chunks collide ~n²/2^15)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_band_fn_simhash_saturation_gate():
+    from minhash_ray.config import PipelineConfig
+    from minhash_ray.functions.audio import encode_pcm, synth_waveform
+    from minhash_ray.stages.banding import make_fused_band_fn
+    from minhash_ray.stages.signature import ValidateSignatureStage
+
+    rng = np.random.default_rng(17)
+    n = 6
+    batch = pa.table(
+        {
+            "clip_id": pa.array([f"c{i}" for i in range(n)], pa.string()),
+            "bytes": pa.array(
+                [encode_pcm(synth_waveform(rng, 16000, 500)) for _ in range(n)],
+                pa.binary(),
+            ),
+            "sr_hz": pa.array([16000] * n, pa.int32()),
+            "dur_ms": pa.array([500] * n, pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * n, pa.string()),
+            "transcript": pa.array(
+                [" ".join(f"t{int(x)}" for x in rng.integers(0, 99, 20))
+                 for _ in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+    cfg = PipelineConfig()
+    sigs = ValidateSignatureStage(cfg)(batch)
+    small = make_fused_band_fn(cfg, n_rows=cfg.simhash_channel_max_rows)(sigs)
+    big = make_fused_band_fn(cfg, n_rows=cfg.simhash_channel_max_rows + 1)(sigs)
+    none = make_fused_band_fn(cfg)(sigs)  # None → configured behavior
+    n_chunks = cfg.simhash_max_hamming + 1
+    assert small.num_rows == none.num_rows
+    assert small.num_rows - big.num_rows == n * n_chunks
+    # the dropped rows are exactly the simhash-namespace buckets
+    assert set(big.column("bucket").to_pylist()) <= set(
+        small.column("bucket").to_pylist()
+    )
+
+
+# ---------------------------------------------------------------------------
 # candidate backend auto-switch: candidate_local_max_rows governs (r5 OOM fix)
 # ---------------------------------------------------------------------------
 
