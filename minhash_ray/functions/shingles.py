@@ -55,6 +55,16 @@ def tokenize_with_strings(
     toks = pc.utf8_split_whitespace(lowered)          # ListArray<string>
     # split_whitespace can emit empty strings at the edges; drop them.
     flat = toks.flatten()
+    # defensive trim (no-op on a correct split, where tokens never contain
+    # whitespace): under Ray workers the split kernel was observed — rarely,
+    # block-layout-dependently — emitting a row's final token WITH its
+    # trailing space ('beta ' instead of 'beta' + ''), which silently
+    # shifted that token's hash and every shingle containing it (r5: the
+    # bigram_familiarity planted test flaked 10 vs 11 with a wrong last
+    # shingle that inverted to combine(h('alpha'), h('beta '))).  Trimming
+    # restores the canonical token regardless of the kernel's edge
+    # behavior; edge-empties still drop via the filter below.
+    flat = pc.utf8_trim_whitespace(flat)
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     keep = pc.not_equal(flat, "")
     keep_np = keep.to_numpy(zero_copy_only=False)

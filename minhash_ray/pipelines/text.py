@@ -283,6 +283,11 @@ def term_doc_freq(sf_dir: str, min_df: int = 5):
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = toks.flatten()
+        # defensive trim: no-op on a correct split; under Ray workers the
+        # split kernel rarely emits a final token WITH its trailing space
+        # (see functions/shingles.tokenize_with_strings), which would
+        # silently fork that token's identity in every downstream count
+        flat = pc.utf8_trim_whitespace(flat)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         row_ids = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -751,6 +756,11 @@ def salient_terms(sf_dir: str, k: int = 3):
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = toks.flatten()
+        # defensive trim: no-op on a correct split; under Ray workers the
+        # split kernel rarely emits a final token WITH its trailing space
+        # (see functions/shingles.tokenize_with_strings), which would
+        # silently fork that token's identity in every downstream count
+        flat = pc.utf8_trim_whitespace(flat)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         row_ids = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -804,6 +814,11 @@ def salient_terms(sf_dir: str, k: int = 3):
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = toks.flatten()
+        # defensive trim: no-op on a correct split; under Ray workers the
+        # split kernel rarely emits a final token WITH its trailing space
+        # (see functions/shingles.tokenize_with_strings), which would
+        # silently fork that token's identity in every downstream count
+        flat = pc.utf8_trim_whitespace(flat)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         row_ids = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -1075,6 +1090,8 @@ def _flat_tokens(batch: pa.Table):
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
+    # defensive trim — see tokenize_with_strings (functions/shingles.py)
+    flat = pc.utf8_trim_whitespace(flat)
     return flat.filter(pc.not_equal(flat, ""))
 
 
@@ -1550,6 +1567,11 @@ def token_bigram_counts(sf_dir: str, min_count: int = 10, num_partitions: int = 
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = toks.flatten()
+        # defensive trim: no-op on a correct split; under Ray workers the
+        # split kernel rarely emits a final token WITH its trailing space
+        # (see functions/shingles.tokenize_with_strings), which would
+        # silently fork that token's identity in every downstream count
+        flat = pc.utf8_trim_whitespace(flat)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         row_ids = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)

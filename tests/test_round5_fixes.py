@@ -482,6 +482,50 @@ def test_read_clips_directory_rowgroup_parallelism(ray_session, tmp_path, monkey
 
 
 # ---------------------------------------------------------------------------
+# tokenizer hardening: split kernel trailing-space corruption (r5 flake)
+# ---------------------------------------------------------------------------
+
+
+def test_tokenize_trailing_space_stability_under_ray(ray_session, tmp_path):
+    """Regression for a ~1-in-6 block-layout-dependent flake: inside Ray
+    workers, utf8_split_whitespace was observed emitting a row's FINAL
+    token WITH its trailing space ('beta ' instead of 'beta' + ''), which
+    silently forked that token's hash — bigram_familiarity's planted doc
+    scored 10/11 with a wrong last shingle that inverted to
+    combine(h('alpha'), h('beta ')).  The tokenizers now trim flat tokens
+    defensively (a no-op on correct splits); this loops the original
+    reproducer across block layouts."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from minhash_ray.pipelines.text import bigram_familiarity
+
+    common = "alpha beta " * 6          # trailing space: the trigger shape
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [common, common, "one two three four five", "solo"], pa.string()
+            ),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"), row_group_size=1)
+    for trial in range(12):
+        docs = rd.read_parquet(
+            str(d / "documents.parquet"), override_num_blocks=(trial % 4) + 1
+        )
+        out = (
+            bigram_familiarity(str(d), min_count=10, docs=docs)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1].n_frequent == 11, f"trial {trial}: {out.to_dict()}"
+        assert out.loc[2].n_frequent == 11, f"trial {trial}: {out.to_dict()}"
+
+
+# ---------------------------------------------------------------------------
 # simhash channel saturation gate (16-bit chunks collide ~n²/2^15)
 # ---------------------------------------------------------------------------
 
