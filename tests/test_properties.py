@@ -174,3 +174,60 @@ def test_wordpoly_chunked_fold_matches_sequential(lens, seed):
     finally:
         U._WORDPOLY_CHUNK_WORDS = old
     assert (got_small == want).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts)
+def test_tokenize_matches_python_split_reference(batch_texts):
+    """The vectorized tokenizer (arrow split + defensive trim + empty
+    filter, functions/shingles.tokenize_with_strings) must equal the naive
+    Python ``text.lower().split()`` reference on arbitrary unicode —
+    including trailing/leading/repeated whitespace, the shapes the r5
+    split-kernel corruption hid in."""
+    import pyarrow.compute as pc
+
+    from minhash_ray.functions.shingles import tokenize_with_strings
+
+    flat, counts, hashes = tokenize_with_strings(
+        pa.array(batch_texts, pa.string()), CFG.seed
+    )
+    got = flat.to_pylist()
+    # reference: Python split over the SAME (arrow) lowering — isolates
+    # the split/trim/filter semantics this property pins (arrow and
+    # Python lowercase diverge on e.g. U+0130, which is out of scope)
+    lowered = pc.utf8_lower(pa.array(batch_texts, pa.string())).to_pylist()
+    want = [tok for t in lowered for tok in t.split()]
+    assert got == want
+    assert counts.tolist() == [len(t.split()) for t in lowered]
+    # hashes are positionally consistent with the token strings
+    from minhash_ray.functions.hashing import fnv1a_64
+
+    for tok, h in zip(got, hashes.tolist()):
+        assert h == fnv1a_64(tok.encode("utf-8"), CFG.seed)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-0.999, max_value=0.999, allow_nan=False),
+        min_size=64,
+        max_size=512,
+    )
+)
+def test_g711_roundtrip_property(samples):
+    """G.711 µ-law/A-law round-trip on arbitrary waveforms: length
+    preserved, output in [-1, 1], and per-sample error bounded by the
+    largest companding step (~1/32 of full scale at the top segment)."""
+    from minhash_ray.functions.audio import (
+        decode_alaw,
+        decode_mulaw,
+        encode_alaw,
+        encode_mulaw,
+    )
+
+    w = np.array(samples, dtype=np.float64)
+    for enc, dec in ((encode_mulaw, decode_mulaw), (encode_alaw, decode_alaw)):
+        out = dec(enc(w))
+        assert len(out) == len(w)
+        assert np.all(np.abs(out) <= 1.0)
+        assert np.max(np.abs(out - w)) < 0.0325
