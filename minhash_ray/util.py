@@ -99,6 +99,7 @@ def int_lookup_take(pack: dict, query) -> "pa.Array":
 
 
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 8
 
 
 def cached_get(ref):
@@ -108,13 +109,24 @@ def cached_get(ref):
     reservation, no actor-pool startup latency) while still deserializing
     the broadcast payload only once per worker process — the middle ground
     between an actor pool (state held, CPUs pinned) and naive per-task
-    ``ray.get`` (repeated deserialization of dict payloads)."""
+    ``ray.get`` (repeated deserialization of dict payloads).
+
+    Bounded LRU (pop+reinsert = touch): a long session runs MANY
+    broadcast-consuming queries through the same worker pool, and an
+    unbounded cache keeps a reference to every query's broadcast payload
+    (zero-copy views pin their object-store segments) for the worker's
+    lifetime — eviction only drops the cache's reference, callers hold
+    their own for the duration of a task."""
     import ray
 
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
+    val = _BROADCAST_CACHE.pop(key, _BROADCAST_CACHE)   # sentinel: miss
+    if val is _BROADCAST_CACHE:
+        val = ray.get(ref)
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+    _BROADCAST_CACHE[key] = val
+    return val
 
 
 def string_flat_offsets(col):

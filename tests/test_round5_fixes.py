@@ -482,6 +482,43 @@ def test_read_clips_directory_rowgroup_parallelism(ray_session, tmp_path, monkey
 
 
 # ---------------------------------------------------------------------------
+# broadcast cache: bounded LRU (unbounded growth pinned every query's
+# broadcast payload for the worker's lifetime across long sessions)
+# ---------------------------------------------------------------------------
+
+
+def test_cached_get_lru_bound(monkeypatch):
+    import ray
+
+    import minhash_ray.util as U
+
+    class FakeRef:
+        def __init__(self, k, v):
+            self._k, self.v = k, v
+
+        def hex(self):
+            return self._k
+
+    real_get = ray.get
+    monkeypatch.setattr(
+        ray, "get", lambda r: r.v if isinstance(r, FakeRef) else real_get(r)
+    )
+    U._BROADCAST_CACHE.clear()
+    try:
+        refs = [FakeRef(f"k{i}", i) for i in range(12)]
+        for r in refs:
+            assert U.cached_get(r) == r.v
+        assert len(U._BROADCAST_CACHE) == U._BROADCAST_CACHE_MAX
+        assert "k11" in U._BROADCAST_CACHE and "k0" not in U._BROADCAST_CACHE
+        assert U.cached_get(refs[4]) == 4          # resident hit
+        assert U.cached_get(refs[0]) == 0          # evicted → re-get
+        # the re-touched k4 survived the k0 insertion (LRU order)
+        assert "k4" in U._BROADCAST_CACHE
+    finally:
+        U._BROADCAST_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
 # tokenizer hardening: split kernel trailing-space corruption (r5 flake)
 # ---------------------------------------------------------------------------
 
